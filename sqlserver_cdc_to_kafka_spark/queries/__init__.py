@@ -1,0 +1,4 @@
+"""Declared queries (driver contract). Importing this package registers every
+query with the registry."""
+
+from sqlserver_cdc_to_kafka_spark.queries import cdc  # noqa: F401

@@ -1,0 +1,269 @@
+"""Core CDC-engine queries: snapshot, change scan, ordered merge, compaction,
+replay — the reference's primary pipeline (SURVEY §2.1, §2.5, §2.7, §3.1)
+declared over the driver's test tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.fixtures.cdc_events import (
+    CDC_EVENTS_SQL,
+    cdc_events,
+)
+from sqlserver_cdc_to_kafka_spark.operators.compaction import (
+    last_value_per_key,
+    tombstones,
+)
+from sqlserver_cdc_to_kafka_spark.operators.counts import count_by_operation
+from sqlserver_cdc_to_kafka_spark.operators.merge import (
+    common_frontier,
+    ordered_merge,
+)
+from sqlserver_cdc_to_kafka_spark.operators.replay import replay_merge
+from sqlserver_cdc_to_kafka_spark.operators.validation import lag_regressions
+from sqlserver_cdc_to_kafka_spark.registry import query
+from sqlserver_cdc_to_kafka_spark.sources.snapshot import (
+    change_window_scan,
+    snapshot_envelope,
+    snapshot_page,
+)
+from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+A1_BOUND = 30_000  # change-index ceiling for the count-by-operation slice
+S1_LOW, S1_HIGH = 900, 2_700  # change-window scan bounds (non-empty at sf0.001+)
+
+
+@query(
+    "cdc_count_by_operation",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT __operation, COUNT(*) AS n
+FROM cdc_events
+WHERE change_seq <= {A1_BOUND} AND __operation IN (1, 2, 4)
+GROUP BY __operation
+""",
+    bench=True,
+)
+def q_count_by_operation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: COUNT(*) GROUP BY operation below an index bound
+    (sql_queries.py:170-192), PreUpdate excluded (P3)."""
+    return count_by_operation(cdc_events(spark, sf_dir), idx_bound=A1_BOUND)
+
+
+@query(
+    "cdc_change_window_scan",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT __operation, change_seq, o_orderkey, o_orderstatus
+FROM cdc_events
+WHERE change_seq > {S1_LOW} AND change_seq <= {S1_HIGH}
+  AND __operation IN (1, 2, 4)
+""",
+    bench=True,
+)
+def q_change_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P5: the incremental change-table scan — strictly-after low bound,
+    at-most high bound (sql_queries.py:218-267). One range filter; Catalyst
+    pushes both bounds to the scan (the reference needed a hand-built 3-way
+    UNION ALL for the same effect)."""
+    return change_window_scan(cdc_events(spark, sf_dir), S1_LOW, S1_HIGH).select(
+        "__operation", "change_seq", "o_orderkey", "o_orderstatus"
+    )
+
+
+_MERGE_CTES = f"""
+WITH {CDC_EVENTS_SQL},
+a AS (SELECT * FROM cdc_events WHERE change_seq % 2 = 0),
+b AS (SELECT * FROM cdc_events WHERE change_seq % 2 = 1),
+fr AS (SELECT LEAST((SELECT MAX(change_seq) FROM a),
+                    (SELECT MAX(change_seq) FROM b)) AS f),
+m AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+r AS (SELECT CAST(row_number() OVER (ORDER BY change_seq) AS BIGINT) AS global_rank,
+             change_seq, __operation, o_orderkey
+      FROM m WHERE change_seq <= (SELECT f FROM fr))
+"""
+
+
+def _merged_with_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = cdc_events(spark, sf_dir)
+    feeds = [
+        cdc.filter(F.col("change_seq") % 2 == 0),
+        cdc.filter(F.col("change_seq") % 2 == 1),
+    ]
+    frontier = common_frontier(feeds)
+    merged = ordered_merge(feeds, frontier, global_rank=True)
+    return merged.select(
+        F.col("global_rank").cast("bigint").alias("global_rank"),
+        "change_seq",
+        "__operation",
+        "o_orderkey",
+    )
+
+
+@query("cdc_ordered_merge", oracle=_MERGE_CTES + "SELECT * FROM r", bench=True)
+def q_ordered_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/T4: K-way ordered merge of per-table feeds bounded by the common
+    frontier (main.py:299-350). global_rank makes the total order
+    hash-visible. Scale path: repartitionByRange(change_idx) + in-partition
+    sort instead of the single row_number window."""
+    return _merged_with_rank(spark, sf_dir)
+
+
+@query(
+    "cdc_order_regression_check",
+    oracle=_MERGE_CTES
+    + """
+SELECT bucket,
+       COUNT(*) FILTER (WHERE prev > change_seq) AS regressions,
+       COUNT(*) AS n_rows
+FROM (SELECT o_orderkey % 4 AS bucket, change_seq,
+             lag(change_seq) OVER (PARTITION BY o_orderkey % 4
+                                   ORDER BY global_rank) AS prev
+      FROM r)
+GROUP BY bucket
+""",
+)
+def q_order_regression_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/W1: the strict-order assertion (main.py:329-331) as a lag-window
+    audit — zero regressions expected in every partition."""
+    merged = _merged_with_rank(spark, sf_dir).withColumn(
+        "bucket", F.col("o_orderkey") % 4
+    )
+    return lag_regressions(merged, "bucket", "global_rank", "change_seq")
+
+
+@query(
+    "cdc_compaction_last_per_key",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+       change_seq AS last_seq
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY change_seq DESC) AS rn
+      FROM cdc_events)
+WHERE rn = 1 AND __operation <> 1
+""",
+    bench=True,
+)
+def q_compaction_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: compacted-topic replay — latest value per key, tombstoned keys
+    dropped (progress_tracking.py:236-246). One shuffle via max_by."""
+    out = last_value_per_key(cdc_events(spark, sf_dir), ["o_orderkey"], "change_seq")
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("change_seq").alias("last_seq"),
+    )
+
+
+@query(
+    "cdc_replay_merge",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+feed AS (SELECT * FROM cdc_events WHERE __operation IN (1, 4)),
+last AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY change_seq DESC) AS rn FROM feed)
+         WHERE rn = 1),
+dels AS (SELECT o_orderkey FROM last WHERE __operation = 1),
+ups AS (SELECT * FROM last WHERE __operation <> 1)
+SELECT t.o_orderkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+FROM orders t LEFT JOIN ups u ON t.o_orderkey = u.o_orderkey
+WHERE NOT EXISTS (SELECT 1 FROM dels d WHERE d.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus, u.o_totalprice, u.o_orderpriority
+FROM ups u
+WHERE NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = u.o_orderkey)
+  AND NOT EXISTS (SELECT 1 FROM dels d WHERE d.o_orderkey = u.o_orderkey)
+""",
+    bench=True,
+)
+def q_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J6/W5: the replayer — last-op-per-key dedupe, deletes-first, MERGE
+    upsert onto the target (replayer.py:355-525). Feed = update/delete events
+    applied to the orders snapshot."""
+    target = load_table(spark, sf_dir, "orders").drop("o_orderdate")
+    feed = cdc_events(spark, sf_dir).filter(F.col("__operation").isin(1, 4))
+    return replay_merge(target, feed, ["o_orderkey"])
+
+
+@query(
+    "cdc_tombstones",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT o_orderkey, CAST(NULL AS VARCHAR) AS value
+FROM cdc_events WHERE __operation = 1
+""",
+)
+def q_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: (key, null) companion records for every Delete (main.py:342-345)."""
+    return tombstones(cdc_events(spark, sf_dir), ["o_orderkey"])
+
+
+@query(
+    "snapshot_keyset_page",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey < 7500
+ORDER BY o_orderkey DESC LIMIT 2000
+""",
+)
+def q_snapshot_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/O3: one reverse-keyset snapshot page — TOP(batch) strictly below the
+    resume key, highest keys first (sql_queries.py:270-309)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return snapshot_page(orders, ["o_orderkey"], (7500,), 2000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "snapshot_keyset_page_composite",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey < 3000 OR (l_orderkey = 3000 AND l_linenumber < 3)
+ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 2000
+""",
+    bench=True,
+)
+def q_snapshot_keyset_page_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P4: composite-PK keyset page. The Spark side filters on a native
+    struct comparison — Catalyst expands it to the OR-of-ANDs the oracle SQL
+    (and the reference, sql_queries.py:312-367) writes explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return snapshot_page(li, ["l_orderkey", "l_linenumber"], (3000, 3), 2000).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "snapshot_envelope",
+    oracle="""
+SELECT 0 AS __operation, CAST(NULL AS INT) AS __command_id,
+       'o_orderkey|o_orderstatus|legacy_col' AS updated_fields,
+       o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS legacy_col
+FROM orders
+""",
+)
+def q_snapshot_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P1/P2: snapshot envelope synthesis — op=Snapshot, NULL LSN columns,
+    dropped-but-captured column projected as typed NULL
+    (sql_queries.py:274-303)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    env = snapshot_envelope(orders, dropped_cols={"legacy_col": "string"})
+    return env.select(
+        "__operation",
+        "__command_id",
+        F.concat_ws("|", "__updated_fields").alias("updated_fields"),
+        "o_orderkey",
+        "o_orderstatus",
+        "legacy_col",
+    )

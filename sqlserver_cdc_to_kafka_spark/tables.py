@@ -1,0 +1,37 @@
+"""Test-table loading (the driver's synthetic TPC-H-ish tables, TESTDATA.md).
+
+These parquet tables stand in for the reference's SQL Server source tables
+(SURVEY.md §1.1); `documents` / `embeddings` back the beyond-reference
+LLM-pipeline operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan with Catalyst pushdown/pruning intact — never wrap this
+    in anything that would block filter pushdown to the parquet reader."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for the SQL API path."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,80 @@
+"""Direct unit tests of operator semantics on tiny hand-built inputs —
+independent of the oracle harness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.operators.compaction import (
+    last_value_per_key,
+    tombstones,
+)
+from sqlserver_cdc_to_kafka_spark.operators.merge import common_frontier, ordered_merge
+from sqlserver_cdc_to_kafka_spark.operators.replay import replay_merge, set_reconciliation
+from sqlserver_cdc_to_kafka_spark.operators.validation import missing_offsets
+
+FEED_SCHEMA = "k long, __operation int, change_seq long, v string"
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(rows, FEED_SCHEMA)
+
+
+def test_last_value_per_key_with_tombstone(spark):
+    feed = _feed(
+        spark,
+        [
+            (1, 2, 10, "a"),
+            (1, 4, 20, "b"),
+            (2, 2, 11, "x"),
+            (2, 1, 30, None),  # deleted last -> compacted away
+        ],
+    )
+    out = last_value_per_key(feed, ["k"], "change_seq")
+    rows = {r["k"]: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["v"] == "b"
+    ts = tombstones(feed, ["k"]).collect()
+    assert [(r["k"], r["value"]) for r in ts] == [(2, None)]
+
+
+def test_replay_merge_insert_update_delete(spark):
+    target = spark.createDataFrame([(1, "old"), (2, "gone"), (3, "keep")], "k long, v string")
+    feed = _feed(
+        spark,
+        [
+            (1, 4, 10, "new"),   # update existing
+            (2, 1, 11, None),    # delete existing
+            (9, 2, 12, "ins"),   # insert brand-new key
+            (9, 4, 13, "ins2"),  # ...then update it: last-op-per-key wins
+        ],
+    )
+    out = replay_merge(target, feed.select("k", "__operation", "change_seq", "v"), ["k"])
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: "new", 3: "keep", 9: "ins2"}
+
+
+def test_ordered_merge_frontier_bounds_unread_feeds(spark):
+    a = _feed(spark, [(1, 2, 10, "a"), (2, 2, 30, "b")])
+    b = _feed(spark, [(3, 2, 5, "c"), (4, 2, 20, "d")])
+    frontier = common_frontier([a, b])
+    assert frontier == 20  # min(max_a=30, max_b=20)
+    out = ordered_merge([a, b], frontier)
+    assert [r["change_seq"] for r in out.collect()] == [5, 10, 20]
+
+
+def test_missing_offsets_gaps(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 5), (1, 3), (1, 4)], "part int, offset long"
+    )
+    out = {r["part"]: r["missing"] for r in missing_offsets(df, "part", "offset").collect()}
+    assert out == {0: 3, 1: 0}
+
+
+def test_set_reconciliation(spark):
+    snap = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    ins = spark.createDataFrame([(4,), (4,)], "k long")
+    dele = spark.createDataFrame([(2,)], "k long")
+    actual = spark.createDataFrame([(1,), (3,), (4,)], "k long")
+    row = set_reconciliation(snap, ins, dele, actual).collect()[0]
+    assert (row["expected_count"], row["actual_count"], row["match"]) == (3, 3, True)

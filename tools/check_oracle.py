@@ -1,0 +1,126 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle over the same
+parquet tables, canonicalizes both results (columns sorted by name, rows
+sorted by all columns, floats rounded) and diffs them.
+
+Usage:
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sqlserver_cdc_to_kafka_spark.tables import TABLES  # noqa: E402
+
+
+def canonicalize(df: pd.DataFrame, float_decimals: int = 6) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # Decimal / bytes normalization
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(float_decimals)
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from sqlserver_cdc_to_kafka_spark.registry import load_all
+    from sqlserver_cdc_to_kafka_spark.session import get_spark
+
+    registry = load_all()
+    names = args.names or sorted(registry)
+    spark = get_spark("oracle-check")
+    con = duckdb_conn(args.sf)
+
+    n_pass = n_fail = 0
+    for name in names:
+        q = registry[name]
+        t0 = time.time()
+        try:
+            got = canonicalize(q.fn(spark, args.sf).toPandas())
+        except Exception:
+            print(f"FAIL {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"SKIP {name}: no oracle (rows-only), rows={len(got)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            want = canonicalize(con.execute(q.oracle).fetchdf())
+        except Exception:
+            print(f"FAIL {name}: duckdb raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        ok = True
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            ok = False
+        elif len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            ok = False
+        else:
+            for c in got.columns:
+                g, w = got[c], want[c]
+                if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+                    eq = np.isclose(
+                        g.astype(float), w.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True
+                    ).all()
+                else:
+                    eq = (g.fillna("<null>") == w.fillna("<null>")).all() if g.dtype == object else g.equals(w)
+                if not eq:
+                    bad = (
+                        ~(g.fillna("<null>") == w.fillna("<null>"))
+                        if g.dtype == object
+                        else ~(g == w) & ~(g.isna() & w.isna())
+                    )
+                    idx = np.where(bad)[0][:3]
+                    print(f"FAIL {name}: column {c} differs, e.g. rows {idx.tolist()}:")
+                    for i in idx:
+                        print(f"   spark={g.iloc[i]!r} duckdb={w.iloc[i]!r}")
+                    ok = False
+                    break
+        if ok:
+            print(f"PASS {name}: rows={len(got)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            n_fail += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
