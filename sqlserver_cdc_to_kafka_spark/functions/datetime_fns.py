@@ -1,0 +1,44 @@
+"""Date/time scalar functions (SURVEY §2.8 F6/F9/F17).
+
+Everything here is **session-timezone-independent** by construction: the
+driver may run queries in any session tz, and the DuckDB oracle computes on
+naive timestamps, so epochs are extracted with tz-free arithmetic:
+
+- TIMESTAMP_NTZ (what Spark 4 infers for the test parquet): naive
+  ``timestampdiff`` from the NTZ epoch literal — matches DuckDB ``epoch_us``.
+- TIMESTAMP (instant): ``unix_micros`` — instant-based, tz-free.
+- LONG (events.ts nanos surfaced by nanosAsLong): integer division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def epoch_micros(df: DataFrame, col: str) -> Column:
+    """Epoch microseconds as BIGINT for any of the engine's time columns."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{col} div 1000").alias(col)
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(col))
+    raise TypeError(f"{col}: unsupported time column type {dt}")
+
+
+def epoch_seconds(df: DataFrame, col: str) -> Column:
+    """Epoch seconds as DOUBLE (fractional part preserved)."""
+    return epoch_micros(df, col) / F.lit(1_000_000.0)
+
+
+def clock_skew_adjust(col: Column, skew_seconds: float) -> Column:
+    """F9 (``cdc_kafka/clock_sync.py:24-39``): shift a DB-clock timestamp by
+    the measured driver-vs-DB skew. The skew is measured driver-side and
+    applied as a constant interval per batch."""
+    micros = int(round(skew_seconds * 1_000_000))
+    return col + F.make_interval(secs=F.lit(micros) / F.lit(1_000_000.0))

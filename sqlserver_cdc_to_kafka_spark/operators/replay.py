@@ -85,5 +85,5 @@ def set_reconciliation(
     return e.crossJoin(a).select(
         "expected_count",
         "actual_count",
-        (F.col("expected_count") == F.col("actual_count")).alias("match"),
+        (F.col("expected_count") == F.col("actual_count")).alias("is_match"),
     )

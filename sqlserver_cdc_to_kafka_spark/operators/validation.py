@@ -14,6 +14,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
 from sqlserver_cdc_to_kafka_spark.model.envelope import (
     OP_DELETE,
     OP_INSERT,
@@ -45,7 +46,7 @@ def topic_summary(
         F.countDistinct(key).alias("n_distinct_keys"),
         F.min(idx_col).alias("min_idx"),
         F.max(idx_col).alias("max_idx"),
-        F.max(F.col(event_time_col).cast("double")).alias("max_event_time_epoch"),
+        F.max(epoch_micros(df, event_time_col)).alias("max_event_time_us"),
     )
 
 

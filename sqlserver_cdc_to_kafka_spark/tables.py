@@ -27,7 +27,12 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan with Catalyst pushdown/pruning intact — never wrap this
-    in anything that would block filter pushdown to the parquet reader."""
+    in anything that would block filter pushdown to the parquet reader.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark cannot represent;
+    ``nanosAsLong`` (runtime-settable) surfaces it as LongType epoch-nanos —
+    the engine treats it as an epoch column (see functions.datetime_fns)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

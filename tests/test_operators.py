@@ -77,4 +77,4 @@ def test_set_reconciliation(spark):
     dele = spark.createDataFrame([(2,)], "k long")
     actual = spark.createDataFrame([(1,), (3,), (4,)], "k long")
     row = set_reconciliation(snap, ins, dele, actual).collect()[0]
-    assert (row["expected_count"], row["actual_count"], row["match"]) == (3, 3, True)
+    assert (row["expected_count"], row["actual_count"], row["is_match"]) == (3, 3, True)
