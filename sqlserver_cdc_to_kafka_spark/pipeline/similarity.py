@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (beyond-reference scope).
+
+- **Brute-force cosine top-k**: broadcast the (small) query set against the
+  candidate corpus — one scan of the corpus, no shuffle of the big side.
+  Norms are precomputed per side BEFORE the join so the per-pair work is one
+  dot product.
+- **Hyperplane LSH**: the scale path. 64-dim sign-random-projection buckets
+  computed from DETERMINISTIC md5-derived hyperplanes (portable to any
+  engine, reproducible across runs); ANN then probes only same-bucket
+  candidates — turns O(N·Q) into O(N + collisions).
+
+All vector math uses built-in higher-order functions (zip_with/aggregate) on
+array<double> — JVM-side, no Python serialization in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMBEDDING_DIM = 64
+LSH_PLANES = 8
+
+
+def as_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector. Queries are broadcast;
+    the candidate corpus is scanned once. Rank on the rounded cosine with the
+    candidate id as tiebreak (deterministic under float jitter)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = candidates.select(
+        F.col(id_col).alias("c_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "c_id",
+        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def cosine_threshold_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold. Quadratic by construction —
+    the correctness baseline; production pre-filters candidates with LSH
+    buckets (below) before this exact pass."""
+    e = df.select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    a = e.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = e.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def hyperplane_signs(planes: int = LSH_PLANES, dim: int = EMBEDDING_DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign(p, d) = −1 iff the first hex digit
+    of md5('p,d') ≥ 8. Reproducible in any engine/runtime (used verbatim by
+    the DuckDB oracle)."""
+    return [
+        [
+            -1.0 if int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[0], 16) >= 8 else 1.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit p = (v · plane_p) > 0."""
+    bucket = F.lit(0)
+    for p, signs in enumerate(planes):
+        plane = F.array([F.lit(s) for s in signs])
+        bucket = bucket + F.when(dot(vec_col, plane) > 0, F.lit(1 << p)).otherwise(0)
+    return bucket.cast("int")
+
+
+def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, planes: int = LSH_PLANES) -> DataFrame:
+    """Assign every vector its LSH bucket (the ANN partitioning key)."""
+    signs = hyperplane_signs(planes)
+    return df.select(
+        F.col(id_col),
+        lsh_bucket(as_double_array(vec_col), signs).alias("bucket"),
+    )

@@ -1,0 +1,80 @@
+"""Text-analysis operators for LLM training-data pipelines (beyond-reference
+scope, BASELINE.json north star): shingling, token counting, quality scoring,
+language-ID heuristics, document fingerprinting.
+
+All pure built-in expressions (split / transform / filter / regexp_*) — no
+UDFs, so everything stays in whole-stage codegen and scales linearly with a
+single scan. At 100 TB these run as one map-only stage per document partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to")
+
+# whitespace tokens OR single punctuation — a BPE-ish pre-tokenizer split
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles (the MinHash/Jaccard input unit)."""
+    w = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({w}) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size({w}) - {k}), "
+        f"i -> concat_ws(' ', slice({w}, i + 1, {k})))) "
+        f"ELSE array() END"
+    )
+
+
+def token_counts(text_col: str = "text") -> tuple[Column, Column]:
+    """(whitespace token count, regex token count)."""
+    ws = F.size(F.split(F.col(text_col), " "))
+    rx = F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX))
+    return ws.alias("n_ws_tokens"), rx.alias("n_regex_tokens")
+
+
+def stopword_ratio(
+    text_col: str = "text", stopwords: Sequence[str] = DEFAULT_STOPWORDS
+) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    quoted = ", ".join(f"'{s}'" for s in stopwords)
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), x -> x IN ({quoted}))) "
+        f"/ CAST(size(split({text_col}, ' ')) AS DOUBLE)"
+    )
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality heuristic: length saturation + stopword presence +
+    punctuation penalty (the shape of C4/Gopher-style quality rules)."""
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("double")
+    len_component = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text_col) * 5.0, F.lit(1.0))
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("double")
+    punct_penalty = F.least(punct / n_tokens, F.lit(1.0))
+    return (
+        len_component * 0.5 + stop_component * 0.4 - punct_penalty * 0.1
+    )
+
+
+def lang_id_score(text_col: str, markers: Sequence[str]) -> Column:
+    """Marker-hit ratio for one language's marker-word list (n-gram/stopword
+    language-ID heuristic; on a real corpus each language gets its own
+    marker list and argmax wins)."""
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), x -> x IN ({quoted}))) "
+        f"/ CAST(size(split({text_col}, ' ')) AS DOUBLE)"
+    )
+
+
+def document_fingerprint(text_col: str = "text") -> Column:
+    """Content fingerprint: md5 over case- and whitespace-normalized text —
+    the exact-dedup key that survives formatting noise."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return F.md5(normalized)

@@ -3,4 +3,6 @@ query with the registry."""
 
 from sqlserver_cdc_to_kafka_spark.queries import cdc  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import functions  # noqa: F401
+from sqlserver_cdc_to_kafka_spark.queries import joins  # noqa: F401
+from sqlserver_cdc_to_kafka_spark.queries import pipeline  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import validation  # noqa: F401

@@ -1,0 +1,165 @@
+"""Join + event-time-window queries (SURVEY §2.3 J1–J8; §2.9 note — the
+reference has no event-time windows, Spark gives them free over `events`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.fixtures.cdc_events import (
+    CDC_EVENTS_SQL,
+    cdc_events,
+)
+from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+from sqlserver_cdc_to_kafka_spark.model.envelope import OP_DELETE, OP_POST_UPDATE
+from sqlserver_cdc_to_kafka_spark.registry import query
+from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "join_region_revenue",
+    oracle="""
+SELECT r_name,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    bench=True,
+)
+def q_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1–J3 stand-in: the catalog-join chain as a star join — fact table
+    scans once, all dimensions broadcast (no shuffle of the big side).
+    Money summed as DECIMAL for an exact, order-insensitive total."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_lsn_time_mapping",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+mapping AS (SELECT change_seq // 3000 AS lsn_bucket,
+                   MAX(epoch_us(__event_time)) AS tran_end_us
+            FROM cdc_events GROUP BY 1)
+SELECT c.change_seq, c.__operation, m.tran_end_us
+FROM cdc_events c JOIN mapping m ON c.change_seq // 3000 = m.lsn_bucket
+""",
+)
+def q_join_lsn_time_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (sql_queries.py:264): change rows ⋈ lsn_time_mapping to attach the
+    transaction end time — small mapping side broadcast (the FORCESEEK-hinted
+    lookup becomes a broadcast hash join)."""
+    feed = cdc_events(spark, sf_dir)
+    bucket = (F.col("change_seq") / 3000).cast("bigint")
+    mapping = (
+        feed.groupBy(bucket.alias("lsn_bucket"))
+        .agg(F.max(epoch_micros(feed, "__event_time")).alias("tran_end_us"))
+    )
+    return (
+        feed.withColumn("lsn_bucket", bucket)
+        .join(F.broadcast(mapping), "lsn_bucket")
+        .select("change_seq", "__operation", "tran_end_us")
+    )
+
+
+@query(
+    "join_delete_semi_anti",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+dels AS (SELECT DISTINCT o_orderkey FROM cdc_events WHERE __operation = 1),
+ups  AS (SELECT DISTINCT o_orderkey FROM cdc_events WHERE __operation = 4)
+SELECT
+  (SELECT COUNT(*) FROM orders
+   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)) AS n_live,
+  (SELECT COUNT(*) FROM orders
+   WHERE o_orderkey IN (SELECT o_orderkey FROM ups)) AS n_updated
+""",
+)
+def q_join_delete_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J8: the replayer's set-based delete as a left_anti join and the
+    validator's 'touched keys' as a left_semi join."""
+    orders = load_table(spark, sf_dir, "orders")
+    feed = cdc_events(spark, sf_dir)
+    dels = feed.filter(F.col("__operation") == OP_DELETE).select("o_orderkey")
+    ups = feed.filter(F.col("__operation") == OP_POST_UPDATE).select("o_orderkey")
+    live = orders.join(dels, "o_orderkey", "left_anti").agg(
+        F.count("*").alias("n_live")
+    )
+    updated = orders.join(ups, "o_orderkey", "left_semi").agg(
+        F.count("*").alias("n_updated")
+    )
+    return live.crossJoin(updated)
+
+
+@query(
+    "window_tumbling_hourly",
+    oracle=f"""
+SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS hour_start_us,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    bench=True,
+)
+def q_window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (1h) per event type — epoch-aligned bucket
+    boundaries (identical to Structured Streaming's window() alignment and
+    timezone-independent). Beyond-reference capability (SURVEY §2.9 note)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_micros(ev, "ts")
+    return (
+        ev.withColumn("hour_start_us", us - (us % _HOUR_US))
+        .groupBy("hour_start_us", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "topk_orders_per_priority",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+FROM orders QUALIFY rnk <= 3
+""",
+)
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (common OLAP pattern): partitioned window, no global
+    sort — each group ranks independently in parallel."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
