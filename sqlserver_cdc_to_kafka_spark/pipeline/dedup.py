@@ -51,7 +51,10 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by word-3-gram Jaccard ≥ threshold. Candidates come
     from the inverted index self-join (pairs sharing ≥1 shingle), then the
     exact Jaccard is computed from intersection + per-doc shingle counts."""
-    idx = shingle_index(df, id_col, text_col)
+    # One materialization of the parsed index: it feeds three plan branches
+    # (sizes + both join sides); without the cache the text would be
+    # re-shingled three times.
+    idx = shingle_index(df, id_col, text_col).persist()
     sizes = idx.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = idx.select(F.col(id_col).alias("doc_a"), "shingle")
     b = idx.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -81,27 +84,37 @@ def ngram_jaccard_pairs(
     )
 
 
+# Universal-hash parameters: sig_s = min((a_s * h + b_s) mod MERSENNE) where
+# h is a 32-bit md5-derived base hash. One md5 per shingle total; the other
+# 15 "hash functions" are integer arithmetic. a < 2^7 and h < 2^32 keep the
+# product far from bigint overflow. Constants are fixed so results are
+# deterministic and reproducible in any engine.
+MINHASH_MERSENNE = 2_147_483_647  # 2^31 - 1
+
+
+def _minhash_params(seeds: int) -> list[tuple[int, int]]:
+    return [(2 * s + 3, s * s + 7) for s in range(seeds)]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", seeds: int = MINHASH_SEEDS
 ) -> DataFrame:
-    """Per-doc MinHash signature vector: sig[s] = min(md5(s || ':' || shingle))
-    over the doc's shingles. Portable and deterministic — lexicographic min
-    over hex digests."""
+    """Per-doc MinHash signature vector via universal hashing over ONE
+    md5-derived base hash per shingle. All ``seeds`` minima are parallel
+    aggregate expressions over one pass of the exploded shingle index
+    (map-side partial min) — never rows ×seeds."""
     idx = shingle_index(df, id_col, text_col)
-    seeded = idx.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(seeds - 1))).alias("seed"),
-        "shingle",
-    )
-    sigs = seeded.groupBy(id_col, "seed").agg(
-        F.min(
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-        ).alias("sig")
-    )
-    return sigs.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "sig"))), lambda s: s["sig"]
-        ).alias("sig_vector")
+    base = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    hashed = idx.select(id_col, base.alias("h"))
+    min_exprs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_MERSENNE)).alias(
+            f"sig_{s}"
+        )
+        for s, (a, b) in enumerate(_minhash_params(seeds))
+    ]
+    sigs = hashed.groupBy(id_col).agg(*min_exprs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"sig_{s}") for s in range(seeds)]).alias("sig_vector")
     )
 
 
@@ -120,7 +133,11 @@ def minhash_lsh_candidate_pairs(
     band_exprs = [
         F.md5(
             F.concat_ws(
-                "", *[F.col("sig_vector")[b * band_size + i] for i in range(band_size)]
+                ",",
+                *[
+                    F.col("sig_vector")[b * band_size + i].cast("string")
+                    for i in range(band_size)
+                ],
             )
         ).alias(f"band_{b}")
         for b in range(n_bands)
@@ -158,19 +175,16 @@ def simhash_fingerprints(
         id_col,
         F.conv(F.substring(F.md5("shingle"), 1, 4), 16, 10).cast("int").alias("hv"),
     )
-    per_bit = hashed.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "hv",
-    ).groupBy(id_col, "bit").agg(
+    # one aggregation, `bits` parallel vote expressions — no row explosion
+    vote_exprs = [
         F.sum(
-            F.when(F.expr("(shiftright(hv, bit) & 1) = 1"), 1).otherwise(-1)
-        ).alias("vote")
-    )
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+            F.when(F.expr(f"(shiftright(hv, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"vote_{b}")
+        for b in range(bits)
+    ]
+    votes = hashed.groupBy(id_col).agg(*vote_exprs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"vote_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select(id_col, fp.cast("bigint").alias("simhash"))

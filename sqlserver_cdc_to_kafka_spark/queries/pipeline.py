@@ -89,25 +89,44 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", threshold=0.3)
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+def _minhash_oracle() -> str:
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
+        MINHASH_MERSENNE,
+        MINHASH_SEEDS,
+        _minhash_params,
+    )
+
+    sig_exprs = ", ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_MERSENNE}) AS sig_{s}"
+        for s, (a, b) in enumerate(_minhash_params(MINHASH_SEEDS))
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || ',' || ".join(
+            f"CAST(sig_{4 * band + i} AS VARCHAR)" for i in range(4)
+        )
+        + f") AS bh_{band}"
+        for band in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, bh_{band} AS bh FROM banded"
+        for band in range(4)
+    )
+    return f"""
 WITH {_DUCK_SHINGLES},
-seeded AS (SELECT doc_id, s.seed, shingle
-           FROM shingled, (SELECT unnest(range(0, 16)) AS seed) s),
-sigs AS (SELECT doc_id, seed,
-                MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
-         FROM seeded GROUP BY doc_id, seed),
-vecs AS (SELECT doc_id, list(sig ORDER BY seed) AS sv FROM sigs GROUP BY doc_id),
-bands AS (SELECT doc_id, b.b AS band,
-                 md5(sv[4*b.b+1] || sv[4*b.b+2] || sv[4*b.b+3] || sv[4*b.b+4]) AS bh
-          FROM vecs, (SELECT unnest(range(0, 4)) AS b) b)
+hashed AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+           FROM shingled),
+sigs AS (SELECT doc_id, {sig_exprs} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+bands AS ({band_union})
 SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bh = b2.bh
 WHERE a.doc_id < b2.doc_id
-""",
-    bench=True,
-)
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), bench=True)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 seeds) + LSH(4 bands of 4): candidate near-dup pairs from
     band-hash collisions — the sub-quadratic dedup path at corpus scale."""
