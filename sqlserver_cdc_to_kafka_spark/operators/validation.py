@@ -86,6 +86,71 @@ def missing_offsets(df: DataFrame, partition_col: str, offset_col: str) -> DataF
     )
 
 
+def snapshot_history(
+    df: DataFrame,
+    topic_col: str,
+    action_col: str,
+    time_col,
+    offset_col: str,
+) -> DataFrame:
+    """W7 (``show_snapshot_history.py:73-77,114-124``,
+    ``find_truncation_opportunities.py:35-57``): pair the last 'started' and
+    last 'completed' snapshot-log event per topic (last = highest log offset,
+    not highest time) and flag topics with a snapshot still in progress.
+    One ``max_by`` pass — no window, no self-join."""
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    act = F.col(action_col)
+    started = F.max_by(F.when(act == "started", t), F.when(act == "started", F.col(offset_col)))
+    completed = F.max_by(F.when(act == "completed", t), F.when(act == "completed", F.col(offset_col)))
+    return (
+        df.groupBy(topic_col)
+        .agg(
+            started.alias("last_started"),
+            completed.alias("last_completed"),
+            F.count_if(act == "started").alias("n_started"),
+            F.count_if(act == "completed").alias("n_completed"),
+        )
+        .withColumn(
+            "in_progress",
+            F.coalesce(
+                F.col("last_started") > F.col("last_completed"),
+                F.col("last_started").isNotNull(),
+            ),
+        )
+    )
+
+
+def progress_rollup(
+    df: DataFrame,
+    topic_col: str,
+    offset_col: str,
+    idx_col: str,
+    entry_kind_col: str,
+) -> DataFrame:
+    """A10 (``progress_topic_validator.py:19-30,56-153``): the progress-topic
+    invariant audit as ONE pass — per topic: entry count, regressing entries
+    (W1), duplicate consecutive entries (W6), missing offsets (W3), index
+    extrema, distinct entry kinds. The window and the aggregation share the
+    same partitioning key, so Spark computes this with a single shuffle."""
+    w = Window.partitionBy(topic_col).orderBy(offset_col)
+    prev_idx = F.lag(F.col(idx_col)).over(w)
+    gap = F.col(offset_col) - F.lag(F.col(offset_col)).over(w) - 1
+    return (
+        df.withColumn("__prev", prev_idx)
+        .withColumn("__gap", gap)
+        .groupBy(topic_col)
+        .agg(
+            F.count("*").alias("n_entries"),
+            F.count_if(F.col("__prev") > F.col(idx_col)).alias("regressions"),
+            F.count_if(F.col("__prev") == F.col(idx_col)).alias("duplicates"),
+            F.coalesce(F.sum("__gap"), F.lit(0)).alias("missing_offsets"),
+            F.min(idx_col).alias("min_idx"),
+            F.max(idx_col).alias("max_idx"),
+            F.countDistinct(entry_kind_col).alias("n_kinds"),
+        )
+    )
+
+
 def duplicate_index_check(df: DataFrame, partition_col: str, order_col: str, idx_col: str) -> DataFrame:
     """W6 (``progress_topic_validator.py:106-111``): equal consecutive change
     indexes within a partition are duplicate progress entries."""

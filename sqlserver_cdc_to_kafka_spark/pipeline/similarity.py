@@ -124,3 +124,71 @@ def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, planes: int = LSH_PLAN
         F.col(id_col),
         lsh_bucket(as_double_array(vec_col), signs).alias("bucket"),
     )
+
+
+def ivf_assignments(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8
+) -> DataFrame:
+    """IVF coarse quantizer with deterministic centroids (the first
+    ``n_centroids`` vectors by id — a fixed, engine-portable choice standing
+    in for a k-means fit, which at 100 TB would be trained on a sample and
+    broadcast exactly the same way).
+
+    Returns (vid, v, n, cid, cs, crank): every vector with its cosine to each
+    centroid ranked; crank=1 is the assignment, crank<=nprobe is the probe
+    list. Centroids are broadcast — the corpus is scanned once, no shuffle of
+    the big side."""
+    e = df.select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    cent = e.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("n").alias("cn")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vid",
+        "v",
+        "n",
+        "cid",
+        F.round(dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6).alias("cs"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("cid"))
+    return scored.withColumn("crank", F.row_number().over(w))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_max_id: int = 5,
+    k: int = 10,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF-flat ANN: assign corpus vectors to their nearest centroid
+    (inverted lists = cluster-partitioned corpus), probe each query's
+    ``nprobe`` nearest clusters, exact top-k within the probed lists. At
+    scale the corpus is written bucketed by cluster id so a probe is a
+    partition-pruned scan; recall < 1.0 by design — the exact counterpart is
+    ``cosine_topk``."""
+    asg = ivf_assignments(df, id_col, vec_col, n_centroids).cache()
+    lists = asg.filter(F.col("crank") == 1).select(
+        F.col("vid").alias("c_id"), F.col("v").alias("cv2"), F.col("n").alias("cn2"),
+        F.col("cid").alias("cluster"),
+    )
+    probes = asg.filter((F.col("vid") < query_max_id) & (F.col("crank") <= nprobe)).select(
+        F.col("vid").alias("q_id"), F.col("v").alias("qv"), F.col("n").alias("qn"),
+        F.col("cid").alias("cluster"),
+    )
+    scored = lists.join(F.broadcast(probes), "cluster").select(
+        "q_id",
+        "c_id",
+        F.round(dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2")), 6).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )

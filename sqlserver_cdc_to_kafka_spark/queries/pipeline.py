@@ -23,6 +23,7 @@ from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
     cosine_threshold_pairs,
     cosine_topk,
     hyperplane_signs,
+    ivf_topk,
     lsh_buckets,
 )
 from sqlserver_cdc_to_kafka_spark.pipeline.text import (
@@ -224,6 +225,40 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-bucket equality join at 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_buckets(emb, "vec_id", "embedding")
+
+
+@query(
+    "ann_ivf_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, cid,
+         ROUND(list_cosine_similarity(v, cv), 6) AS cs,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(v, cv), 6) DESC,
+                                     cid) AS crank
+  FROM e, cent),
+lists AS (SELECT vec_id AS c_id, cid AS cluster FROM scored WHERE crank = 1),
+probes AS (SELECT vec_id AS q_id, cid AS cluster
+           FROM scored WHERE vec_id < 5 AND crank <= 2),
+cand AS (SELECT q_id, c_id FROM probes JOIN lists USING (cluster)),
+s AS (SELECT q_id, c_id,
+             ROUND(list_cosine_similarity(qe.v, ce.v), 6) AS cos
+      FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = c_id)
+SELECT q_id, c_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: corpus vectors assigned to their nearest of 8
+    deterministic centroids; each query probes its 2 nearest clusters and
+    ranks exactly within them — the partition-pruned scale path next to the
+    brute-force `ann_cosine_topk` baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "vec_id", "embedding", query_max_id=5, k=10, nprobe=2)
 
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in DEFAULT_STOPWORDS)
