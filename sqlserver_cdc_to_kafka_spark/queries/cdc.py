@@ -267,3 +267,27 @@ def q_snapshot_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "legacy_col",
     )
+
+
+@query(
+    "serde_json_roundtrip",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT COUNT(*) AS n_total, COUNT(*) AS n_exact FROM cdc_events
+""",
+)
+def q_serde_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/§1.4: serializer self-check as a query — every envelope row
+    serialized to the JSON wire format and parsed back must reproduce the
+    row exactly (the reference's 1-in-50k canonical-encoder compare,
+    avro.py:559-609, run here on every row). n_exact < n_total would mean
+    the wire format is lossy for some type in the envelope."""
+    from sqlserver_cdc_to_kafka_spark.serializers import get_serializer
+
+    feed = cdc_events(spark, sf_dir)
+    ser = get_serializer("json")
+    ser.register_table("orders", feed.schema, ["o_orderkey"])
+    ok = ser.roundtrip_equal(feed, "orders")
+    return feed.agg(
+        F.count("*").alias("n_total"), F.count_if(ok).alias("n_exact")
+    )
