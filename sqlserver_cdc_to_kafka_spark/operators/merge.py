@@ -39,21 +39,29 @@ def ordered_merge(
     frontier,
     idx_col: str = "change_seq",
     global_rank: bool = False,
+    lo=None,
 ) -> DataFrame:
     """Union all feeds, bound by the common frontier, order globally by the
     change index. With ``global_rank=True`` a ``global_rank`` column makes the
     total order hash-visible — computed scalably (see global_order_rank),
-    never as a single-partition window."""
+    never as a single-partition window. Pass ``lo`` (the known min index) to
+    skip the rank's bounds pass."""
     merged = feeds[0]
     for f in feeds[1:]:
         merged = merged.unionByName(f)
     merged = merged.filter(F.col(idx_col) <= F.lit(frontier))
     if global_rank:
-        return global_order_rank(merged, idx_col)
+        bounds = (lo, frontier) if lo is not None else None
+        return global_order_rank(merged, idx_col, bounds=bounds)
     return merged.orderBy(idx_col)
 
 
-def global_order_rank(df: DataFrame, idx_col: str, buckets: int | None = None) -> DataFrame:
+def global_order_rank(
+    df: DataFrame,
+    idx_col: str,
+    buckets: int | None = None,
+    bounds: tuple | None = None,
+) -> DataFrame:
     """Dense global rank along ``idx_col`` WITHOUT a single-partition sort.
 
     Two-phase: (1) deterministic range-bucket each row with ``width_bucket``
@@ -61,11 +69,18 @@ def global_order_rank(df: DataFrame, idx_col: str, buckets: int | None = None) -
     windows) and add the exclusive prefix count of earlier buckets (one tiny
     per-bucket count collected to the driver — bounded by bucket count, not
     data size). Equivalent to ``row_number() OVER (ORDER BY idx)`` when idx
-    values are unique; survives 100 TB where the global window cannot."""
+    values are unique; survives 100 TB where the global window cannot.
+
+    Pass ``bounds=(lo, hi)`` when the caller already knows the index range
+    (e.g. from the frontier computation) to skip one extra pass over the
+    data."""
     spark = df.sparkSession
     if buckets is None:
         buckets = max(spark.sparkContext.defaultParallelism, 16)
-    lo, hi = df.agg(F.min(idx_col), F.max(idx_col)).collect()[0]
+    if bounds is not None:
+        lo, hi = bounds
+    else:
+        lo, hi = df.agg(F.min(idx_col), F.max(idx_col)).collect()[0]
     if lo is None:
         return df.withColumn("global_rank", F.lit(None).cast("bigint"))
     bucketed = df.withColumn(

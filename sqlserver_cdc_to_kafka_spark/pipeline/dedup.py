@@ -46,24 +46,44 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard ≥ threshold. Candidates come
-    from the inverted index self-join (pairs sharing ≥1 shingle), then the
-    exact Jaccard is computed from intersection + per-doc shingle counts."""
-    # One materialization of the parsed index: it feeds three plan branches
-    # (sizes + both join sides); without the cache the text would be
-    # re-shingled three times.
-    idx = shingle_index(df, id_col, text_col).persist()
-    sizes = idx.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = idx.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = idx.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    """Near-dup pairs by word-3-gram Jaccard ≥ threshold.
+
+    Candidate generation: ONE shuffle of the inverted index —
+    ``groupBy(shingle) → sorted doc list → in-group pair explode`` — instead
+    of the classic two-sided self-join (which shuffles the index twice and
+    hash-joins it against itself). Per-doc shingle counts come straight from
+    the shingle array (no explode, no extra shuffle); AQE broadcasts that
+    side onto the candidate pairs while it fits, shuffle-joins beyond.
+
+    ``max_doc_freq`` (off by default to keep results exact): drop shingles
+    appearing in more than N docs before pairing — the standard stop-shingle
+    cap that bounds the worst-case group at web scale, where a boilerplate
+    phrase would otherwise produce a quadratic group."""
+    sh = df.select(F.col(id_col), word_shingles(text_col).alias("shingles"))
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
+    idx = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    grouped = idx.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("docs")
     )
+    if max_doc_freq is not None:
+        grouped = grouped.filter(F.size("docs") <= max_doc_freq)
+    # all i<j pairs within each shingle's (sorted) doc list
+    pairs = grouped.filter(F.size("docs") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) -> "
+                "transform(slice(docs, i + 2, size(docs)), y -> "
+                "struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (

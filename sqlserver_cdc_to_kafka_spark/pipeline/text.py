@@ -21,13 +21,19 @@ TOKEN_REGEX = r"\w+|[^\w\s]"
 
 
 def word_shingles(text_col: str = "text", k: int = 3) -> Column:
-    """Distinct word k-gram shingles (the MinHash/Jaccard input unit)."""
-    w = f"split({text_col}, ' ')"
+    """Distinct word k-gram shingles (the MinHash/Jaccard input unit).
+
+    The single-element ``transform(array(split(..)), ws -> ...)`` wrapper is
+    a let-binding: it forces the split to evaluate ONCE per row. Inlining
+    ``split`` into the inner lambda instead makes Spark re-split the text for
+    every shingle — quadratic per document (measured 5-10× slower on the
+    bench corpus)."""
     return F.expr(
-        f"CASE WHEN size({w}) >= {k} THEN "
-        f"array_distinct(transform(sequence(0, size({w}) - {k}), "
-        f"i -> concat_ws(' ', slice({w}, i + 1, {k})))) "
-        f"ELSE array() END"
+        f"transform(array(split({text_col}, ' ')), ws -> "
+        f"CASE WHEN size(ws) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size(ws) - {k}), "
+        f"i -> concat_ws(' ', slice(ws, i + 1, {k})))) "
+        f"ELSE array() END)[0]"
     )
 
 

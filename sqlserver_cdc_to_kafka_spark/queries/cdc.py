@@ -19,6 +19,7 @@ from sqlserver_cdc_to_kafka_spark.operators.compaction import (
 from sqlserver_cdc_to_kafka_spark.operators.counts import count_by_operation
 from sqlserver_cdc_to_kafka_spark.operators.merge import (
     common_frontier,
+    global_order_rank,
     ordered_merge,
 )
 from sqlserver_cdc_to_kafka_spark.operators.replay import replay_merge
@@ -87,14 +88,25 @@ r AS (SELECT CAST(row_number() OVER (ORDER BY change_seq) AS BIGINT) AS global_r
 
 
 def _merged_with_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cdc = cdc_events(spark, sf_dir)
+    # project to the 3 needed columns BEFORE the merge: the sort/rank then
+    # moves 3 narrow columns instead of the whole envelope
+    cdc = cdc_events(spark, sf_dir).select("change_seq", "__operation", "o_orderkey")
     feeds = [
         cdc.filter(F.col("change_seq") % 2 == 0),
         cdc.filter(F.col("change_seq") % 2 == 1),
     ]
-    frontier = common_frontier(feeds)
-    merged = ordered_merge(feeds, frontier, global_rank=True)
-    return merged.select(
+    merged = feeds[0].unionByName(feeds[1]).persist()
+    # ONE driver job for frontier + lower bound: per-feed maxes (the feed tag
+    # is derivable from the index) and the global min together
+    row = merged.agg(
+        F.min("change_seq").alias("lo"),
+        F.max(F.when(F.col("change_seq") % 2 == 0, F.col("change_seq"))).alias("m0"),
+        F.max(F.when(F.col("change_seq") % 2 == 1, F.col("change_seq"))).alias("m1"),
+    ).collect()[0]
+    frontier = min(row["m0"], row["m1"])  # common_frontier, fused
+    bounded = merged.filter(F.col("change_seq") <= F.lit(frontier))
+    ranked = global_order_rank(bounded, "change_seq", bounds=(row["lo"], frontier))
+    return ranked.select(
         F.col("global_rank").cast("bigint").alias("global_rank"),
         "change_seq",
         "__operation",

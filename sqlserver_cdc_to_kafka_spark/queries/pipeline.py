@@ -35,7 +35,15 @@ from sqlserver_cdc_to_kafka_spark.pipeline.text import (
     token_counts,
 )
 from sqlserver_cdc_to_kafka_spark.registry import query
-from sqlserver_cdc_to_kafka_spark.tables import load_table
+from sqlserver_cdc_to_kafka_spark.tables import ensure_parallel, load_table
+
+
+def _docs(spark, sf_dir):
+    return ensure_parallel(load_table(spark, sf_dir, "documents"))
+
+
+def _emb(spark, sf_dir):
+    return ensure_parallel(load_table(spark, sf_dir, "embeddings"))
 
 # DuckDB equivalent of pipeline.text.word_shingles (1-based list ops)
 _DUCK_SHINGLES = """
@@ -60,7 +68,7 @@ FROM documents GROUP BY 1
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content hash — one shuffle, map-side
     combine, linear at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return exact_duplicates(docs, "doc_id")
 
 
@@ -86,7 +94,7 @@ WHERE ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.3
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.3. Candidates via the
     inverted shingle index self-join — never an all-pairs cross join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return ngram_jaccard_pairs(docs, "doc_id", threshold=0.3)
 
 
@@ -131,7 +139,7 @@ WHERE a.doc_id < b2.doc_id
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 seeds) + LSH(4 bands of 4): candidate near-dup pairs from
     band-hash collisions — the sub-quadratic dedup path at corpus scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return minhash_lsh_candidate_pairs(docs, "doc_id").select(
         F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b")
     )
@@ -155,7 +163,7 @@ FROM votes GROUP BY doc_id
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(16-bit) document fingerprints from per-bit shingle votes."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return simhash_fingerprints(docs, "doc_id")
 
 
@@ -177,7 +185,7 @@ FROM s QUALIFY rank <= 10
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors: broadcast queries, one
     corpus scan, JVM-side vector math (zip_with/aggregate)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk(queries, emb, "vec_id", "embedding", k=10)
 
@@ -195,7 +203,7 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 def q_ann_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4) — the exact quadratic
     baseline the LSH buckets pre-filter at scale."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return cosine_threshold_pairs(emb, "vec_id", "embedding", 0.4)
 
 
@@ -223,7 +231,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucket assignment (8 deterministic md5-derived planes)
     — the ANN partitioning key that turns similarity search into a
     same-bucket equality join at 100 TB."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return lsh_buckets(emb, "vec_id", "embedding")
 
 
@@ -257,7 +265,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic centroids; each query probes its 2 nearest clusters and
     ranks exactly within them — the partition-pruned scale path next to the
     brute-force `ann_cosine_topk` baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return ivf_topk(emb, "vec_id", "embedding", query_max_id=5, k=10, nprobe=2)
 
 
@@ -275,7 +283,7 @@ FROM documents
 )
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace split + BPE-ish regex pre-tokenizer."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     ws, rx = token_counts()
     return docs.select("doc_id", ws, rx)
 
@@ -300,7 +308,7 @@ FROM documents
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length saturation + stopword ratio + punct penalty
     (C4/Gopher-rule shape)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),
@@ -335,7 +343,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang × predicted confusion matrix. On a real corpus each language gets
     its own marker list and argmax wins; the synthetic fixture shares one
     vocabulary, so the classifier itself is what's under test."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     predicted = F.when(lang_id_score("text", _EN_MARKERS) >= 0.05, "en").otherwise(
         "und"
     )
@@ -357,7 +365,7 @@ FROM documents
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint over normalized text + byte length."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         document_fingerprint().alias("fingerprint"),
@@ -381,5 +389,5 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas feature extraction (decode step deterministically stubbed —
     see pipeline.multimodal). The oracle reproduces the stub's math, so the
     whole binary → batch → schema path is value-checked."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_features(attach_binary_payload(docs), "doc_id")

@@ -36,6 +36,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_parallel(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy per-row work
+    (shingling, hashing, vector math).
+
+    The driver's test tables are single small parquet files — one row group,
+    so Spark scans each with ONE task and every downstream map runs serially
+    no matter how the joins are arranged. At 100 TB the input is thousands of
+    files and this is a no-op (partitions >= cores already); the check makes
+    the repartition a small-input-only cost, never a second shuffle of a big
+    corpus."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for the SQL API path."""
     for name in TABLES:
