@@ -1,0 +1,138 @@
+"""Metrics accumulation + reporter backends (SURVEY §2.1 S12, §2.4 A9,
+§2.10 X2).
+
+Reference: ``cdc_kafka/metric_reporting/`` — an accumulator gathers
+query/produce/latency counters over a 20 s interval and hands a frozen
+``Metrics`` object to each configured reporter (stdout / local file /
+HTTP POST / Kafka), selected by dotted path (``reporter_base.py:13-24``).
+
+Spark restatement: per-batch counters come from ``df.observe`` (computed
+inside the same job — no second scan) or a ``StreamingQueryListener``;
+reporters are the same strategy objects. HTTP/Kafka backends are plumbing
+the environment lacks — the reporter protocol is what matters."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from dataclasses import asdict, dataclass, field
+from typing import TextIO
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+METRICS_REPORTING_INTERVAL_S = 20  # constants.py:8
+
+
+@dataclass
+class BatchMetrics:
+    """The engine's per-interval metrics record (metrics.py:5-53 subset that
+    applies to a batch engine)."""
+
+    interval_start_ts: float
+    batch_id: int
+    rows: int = 0
+    deletes: int = 0
+    inserts: int = 0
+    updates: int = 0
+    snapshots: int = 0
+    max_index: int | None = None
+    batch_seconds: float = 0.0
+
+
+class ReporterBase:
+    """X2 (reporter_base.py:13-24): reporter strategy protocol."""
+
+    def emit(self, metrics: BatchMetrics) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class StdoutReporter(ReporterBase):
+    """stdout_reporter.py:17-21."""
+
+    def __init__(self, stream: TextIO | None = None) -> None:
+        self.stream = stream or sys.stdout
+
+    def emit(self, metrics: BatchMetrics) -> None:
+        json.dump(asdict(metrics), self.stream)
+        self.stream.write("\n")
+
+
+class LocalFileReporter(ReporterBase):
+    """local_file_reporter.py:23-26: overwrite a JSON file per interval."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def emit(self, metrics: BatchMetrics) -> None:
+        with open(self.path, "w") as f:
+            json.dump(asdict(metrics), f)
+
+
+class AccumulatingReporter(ReporterBase):
+    """In-memory sink for tests / programmatic consumers."""
+
+    def __init__(self) -> None:
+        self.emitted: list[BatchMetrics] = []
+
+    def emit(self, metrics: BatchMetrics) -> None:
+        self.emitted.append(metrics)
+
+
+def observed_batch(batch: DataFrame, op_col: str = "__operation", idx_col: str = "change_seq"):
+    """Attach an Observation computing the interval counters INSIDE the
+    batch's own job — the accumulator (accumulator.py:93-181) without a
+    second scan. Returns (observed_df, observation)."""
+    obs = Observation()
+    observed = batch.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.count_if(F.col(op_col) == 1).alias("deletes"),
+        F.count_if(F.col(op_col) == 2).alias("inserts"),
+        F.count_if(F.col(op_col) == 4).alias("updates"),
+        F.count_if(F.col(op_col) == 0).alias("snapshots"),
+        F.max(idx_col).alias("max_index"),
+    )
+    return observed, obs
+
+
+def report_batch(
+    obs_values: dict,
+    batch_id: int,
+    batch_seconds: float,
+    reporters: list[ReporterBase],
+) -> BatchMetrics:
+    m = BatchMetrics(
+        interval_start_ts=time.time(),
+        batch_id=batch_id,
+        rows=obs_values["rows"],
+        deletes=obs_values["deletes"],
+        inserts=obs_values["inserts"],
+        updates=obs_values["updates"],
+        snapshots=obs_values["snapshots"],
+        max_index=obs_values["max_index"],
+        batch_seconds=batch_seconds,
+    )
+    for r in reporters:
+        r.emit(m)
+    return m
+
+
+def load_reporters(spec: str) -> list[ReporterBase]:
+    """X2 config surface: comma-separated reporter names
+    (options.py:295-306's dotted-path loading, with built-in shorthands)."""
+    out: list[ReporterBase] = []
+    for name in filter(None, (s.strip() for s in spec.split(","))):
+        if name == "stdout":
+            out.append(StdoutReporter())
+        elif name.startswith("file:"):
+            out.append(LocalFileReporter(name[5:]))
+        elif name == "memory":
+            out.append(AccumulatingReporter())
+        else:
+            import importlib
+
+            mod, _, cls = name.rpartition(".")
+            out.append(getattr(importlib.import_module(mod), cls)())
+    return out

@@ -1,0 +1,111 @@
+"""Sinks: exactly-once batch commits + tombstone-aware keyed output
+(SURVEY §2.1 S9/S11, §2.9 T2/T6).
+
+Reference behavior: every micro-batch's data messages AND per-topic progress
+records are produced inside ONE Kafka transaction (``main.py:319-350``,
+``kafka.py:134-156``) — a crash never leaves data without progress or
+vice versa. Spark's Kafka sink alone is at-least-once, so the idiomatic
+restatement is ``foreachBatch`` + an idempotent, batch-id-keyed commit
+protocol — which is exactly what Structured Streaming's own file sink does
+with its manifest log, generalized here so any directory-backed format gets
+it.
+
+``TransactionalDirSink`` implements that protocol without external
+dependencies (no Kafka broker in this environment; swapping ``_write_files``
+for a transactional producer keyed by batch id gives the Kafka version):
+
+1. write the batch under ``_staging/batch=<id>/`` (side-effect-free retry);
+2. atomically rename into place;
+3. append the progress record ``(topic, kind, position, batch_id)`` to the
+   manifest — readers only see directories listed in the manifest, so a
+   crash between 2 and 3 is invisible and a replay of the same batch id is
+   idempotent (stage dir overwritten, manifest append deduped by batch id).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sqlserver_cdc_to_kafka_spark.streaming.change_feed import ProgressEntry
+
+
+@dataclass
+class TransactionalDirSink:
+    """Exactly-once directory sink: data files + progress manifest commit
+    together, keyed by batch id (T2)."""
+
+    root: str
+    topic: str
+
+    def __post_init__(self) -> None:
+        os.makedirs(os.path.join(self.root, "_staging"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.jsonl")
+
+    def committed_batches(self) -> dict[int, dict]:
+        out: dict[int, dict] = {}
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    out[rec["batch_id"]] = rec  # last write wins
+        return out
+
+    def last_progress(self):
+        """T2 resume point: highest committed batch's position (the
+        compacted-progress-topic replay, progress_tracking.py:235-258)."""
+        batches = self.committed_batches()
+        if not batches:
+            return None
+        return batches[max(batches)]["position"]
+
+    def commit_batch(self, batch: DataFrame, batch_id: int, position) -> bool:
+        """Idempotent commit: returns False (no-op) if this batch id is
+        already in the manifest — the crash-replay path."""
+        if batch_id in self.committed_batches():
+            return False
+        stage = os.path.join(self.root, "_staging", f"batch={batch_id}")
+        final = os.path.join(self.root, "data", f"batch={batch_id}")
+        if os.path.exists(stage):
+            shutil.rmtree(stage)  # leftover from a crashed attempt
+        batch.write.mode("overwrite").parquet(stage)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(stage, final)
+        with open(self.manifest_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "topic": self.topic,
+                        "kind": "change_rows",
+                        "position": position,
+                        "batch_id": batch_id,
+                    }
+                )
+                + "\n"
+            )
+        return True
+
+    def progress_entries(self) -> list[ProgressEntry]:
+        return [
+            ProgressEntry(r["topic"], r["kind"], r["position"], r["batch_id"])
+            for r in self.committed_batches().values()
+        ]
+
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        """Read ONLY manifest-listed data (uncommitted staging invisible)."""
+        dirs = [
+            os.path.join(self.root, "data", f"batch={b}")
+            for b in sorted(self.committed_batches())
+        ]
+        if not dirs:
+            raise ValueError("no committed batches")
+        return spark.read.parquet(*dirs)

@@ -1,0 +1,84 @@
+"""Exactly-once sink protocol + metrics reporter tests (SURVEY §2.9 T2/T6,
+§2.1 S9/S12, §2.10 X2)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.fixtures.cdc_events import cdc_events
+from sqlserver_cdc_to_kafka_spark.streaming.change_feed import MicroBatcher
+from sqlserver_cdc_to_kafka_spark.streaming.metrics import (
+    AccumulatingReporter,
+    LocalFileReporter,
+    StdoutReporter,
+    load_reporters,
+    observed_batch,
+    report_batch,
+)
+from sqlserver_cdc_to_kafka_spark.streaming.sinks import TransactionalDirSink
+
+
+def test_transactional_sink_exactly_once_and_resume(spark, sf_dir, tmp_path):
+    feed = cdc_events(spark, sf_dir).limit(1000)
+    sink = TransactionalDirSink(str(tmp_path / "out"), "orders")
+
+    def write(batch, batch_id):
+        pos = batch.agg(F.max("change_seq")).collect()[0][0]
+        assert sink.commit_batch(batch, batch_id, pos)
+
+    mb = MicroBatcher(feed, "orders", batch_size=400, sink=write)
+    total = mb.run_to_completion()
+    assert total == 1000
+
+    # committed data readable, equals the feed exactly
+    out = sink.read_committed(spark)
+    assert out.count() == 1000
+    assert out.select(F.sum("change_seq")).collect() == feed.select(
+        F.sum("change_seq")
+    ).collect()
+
+    # crash-replay: committing the same batch id again is a no-op
+    some_batch = out.limit(10)
+    assert not sink.commit_batch(some_batch, 0, position=-1)
+    assert sink.read_committed(spark).count() == 1000
+
+    # resume point = max committed index; a new batcher starting there sees 0
+    resume = sink.last_progress()
+    assert resume == feed.agg(F.max("change_seq")).collect()[0][0]
+    mb2 = MicroBatcher(feed, "orders", batch_size=400)
+    mb2._offset = resume
+    assert mb2.run_once() == 0
+
+
+def test_staged_but_uncommitted_batch_is_invisible(spark, sf_dir, tmp_path):
+    feed = cdc_events(spark, sf_dir).limit(100)
+    sink = TransactionalDirSink(str(tmp_path / "out"), "orders")
+    sink.commit_batch(feed, 0, position=99)
+    # simulate a crash AFTER rename but BEFORE manifest append: write a
+    # directory into data/ with no manifest record
+    feed.limit(5).write.mode("overwrite").parquet(str(tmp_path / "out/data/batch=1"))
+    assert sink.read_committed(spark).count() == 100  # phantom dir ignored
+    assert set(sink.committed_batches()) == {0}
+
+
+def test_observed_metrics_and_reporters(spark, sf_dir, tmp_path):
+    feed = cdc_events(spark, sf_dir).limit(500)
+    observed, obs = observed_batch(feed)
+    observed.write.format("noop").mode("overwrite").save()
+    mem = AccumulatingReporter()
+    fpath = tmp_path / "metrics.json"
+    m = report_batch(obs.get, 7, 0.5, [mem, LocalFileReporter(str(fpath))])
+    assert m.rows == 500
+    assert m.rows == m.deletes + m.inserts + m.updates + m.snapshots
+    assert m.max_index == feed.agg(F.max("change_seq")).collect()[0][0]
+    assert mem.emitted == [m]
+    assert json.loads(fpath.read_text())["batch_id"] == 7
+
+
+def test_load_reporters_spec(tmp_path):
+    rs = load_reporters(f"stdout, file:{tmp_path}/m.json, memory")
+    assert isinstance(rs[0], StdoutReporter)
+    assert isinstance(rs[1], LocalFileReporter)
+    assert isinstance(rs[2], AccumulatingReporter)
