@@ -84,3 +84,43 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms int, frame_hash string"
+FRAME_INTERVAL_MS = 40  # 25 fps stand-in
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Video frame sampling over the opaque payload: one input row expands
+    to N output rows (frames) inside the Arrow batch — the batch-shape
+    change a real ffmpeg/pyav sampler needs. The decode is the deterministic
+    stub: frame count = 1 + n_bytes % 4, frame hash = md5(payload ':' idx),
+    timestamps on a fixed 40 ms cadence."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            ids, idxs, tss, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                n_frames = 1 + len(raw) % 4
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * FRAME_INTERVAL_MS)
+                    hashes.append(
+                        _hashlib.md5(raw + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.array(tss, dtype="int32"),
+                    "frame_hash": hashes,
+                }
+            )
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)

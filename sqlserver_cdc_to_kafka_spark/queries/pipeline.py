@@ -18,6 +18,7 @@ from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
 from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
     attach_binary_payload,
     extract_features,
+    frame_sample,
 )
 from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
     cosine_threshold_pairs,
@@ -391,3 +392,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole binary → batch → schema path is value-checked."""
     docs = _docs(spark, sf_dir)
     return extract_features(attach_binary_payload(docs), "doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(i.i AS INT) AS frame_idx,
+       CAST(i.i * 40 AS INT) AS frame_ts_ms,
+       md5(text || ':' || CAST(i.i AS VARCHAR)) AS frame_hash
+FROM documents
+CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+WHERE i.i < 1 + strlen(text) % 4
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (stubbed decode): each payload expands to its
+    sampled frames inside the Arrow batch — exercises the one-to-many
+    mapInPandas shape a real ffmpeg sampler uses. The oracle reproduces the
+    stub arithmetic, value-checking the whole expansion path."""
+    docs = _docs(spark, sf_dir)
+    return frame_sample(attach_binary_payload(docs), "doc_id")
