@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.9 closing note — the Spark surface for operators the reference
+hand-rolls as in-process dicts).
+
+Sessionization with explicit state: per user, events accumulate into the
+current session; an event ≥ gap after the previous one CLOSES the session
+(emitted downstream) and starts a new one. State = (session_start_us,
+last_us, n_events) per user, carried across micro-batches in the state
+store — the distributed restatement of the reference's per-key dicts
+(e.g. replayer.py:499-525, show_snapshot_history.py:73-77).
+
+The final open session per user stays in state (emitted only on timeout in
+a live stream); bounded tests compare closed sessions against the batch
+gaps-and-islands equivalent."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_GAP_US = 600_000_000  # 10 min
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize_stateful(events: DataFrame, ts_us_col: str = "us") -> DataFrame:
+    """events(user_id, us) stream -> closed sessions stream. State-store
+    backed; each micro-batch folds its (sorted) events into the carried
+    session. Event-time ordering within a user relies on source order per
+    micro-batch (bounded replay); a production stream adds a watermark and
+    timeout-based flush."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple[Any, ...]] = []
+        for pdf in pdfs:
+            for us in sorted(pdf[ts_us_col]):
+                us = int(us)
+                if last is None:
+                    start, last, n = us, us, 1
+                elif us - last >= SESSION_GAP_US:
+                    closed.append((user_id, start, last + SESSION_GAP_US, n))
+                    start, last, n = us, us, 1
+                else:
+                    last = us
+                    n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_closed_sessions(events: DataFrame, ts_us_col: str = "us") -> DataFrame:
+    """Batch gaps-and-islands equivalent: all sessions except each user's
+    last (which a stream would only close on timeout)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(ts_us_col)
+    marked = events.withColumn(
+        "new_sess",
+        (
+            (F.col(ts_us_col) - F.lag(ts_us_col).over(w) >= SESSION_GAP_US)
+            | F.lag(ts_us_col).over(w).isNull()
+        ).cast("int"),
+    )
+    grouped = marked.withColumn(
+        "sess", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sessions = grouped.groupBy("user_id", "sess").agg(
+        F.min(ts_us_col).alias("session_start_us"),
+        (F.max(ts_us_col) + F.lit(SESSION_GAP_US)).alias("session_end_us"),
+        F.count("*").alias("n_events"),
+    )
+    last_sess = sessions.groupBy("user_id").agg(F.max("sess").alias("last_sess"))
+    return (
+        sessions.join(last_sess, "user_id")
+        .filter(F.col("sess") < F.col("last_sess"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )

@@ -1,0 +1,62 @@
+"""applyInPandasWithState sessionization: cross-batch state correctness."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.streaming.stateful import (
+    batch_closed_sessions,
+    sessionize_stateful,
+)
+from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+
+def _events_us(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", F.expr("ts div 1000").alias("us"), "event_id")
+
+
+def test_stateful_sessions_match_batch_across_microbatches(spark, sf_dir, tmp_path):
+    ev = _events_us(spark, sf_dir)
+    # split the log in event-time order into two files -> two micro-batches;
+    # sessions spanning the split exercise the carried state
+    cut = ev.approxQuantile("us", [0.5], 0.001)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, part in enumerate(
+        [ev.filter(F.col("us") <= cut), ev.filter(F.col("us") > cut)]
+    ):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copyfile(
+            next(stage.glob("part-*.parquet")), src / f"{chr(97 + i)}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in batch_closed_sessions(ev).collect()
+    }
+    assert got == want
+    assert len(got) > 0
