@@ -31,7 +31,7 @@ from sqlserver_cdc_to_kafka_spark.model.envelope import (
     OP_INSERT,
     OP_POST_UPDATE,
 )
-from sqlserver_cdc_to_kafka_spark.tables import load_table
+from sqlserver_cdc_to_kafka_spark.tables import ensure_parallel, load_table
 
 ORDERS_PAYLOAD = [
     "o_orderkey",
@@ -53,7 +53,7 @@ LINEITEM_PAYLOAD = [
 
 def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed over ``orders`` (single-column PK ``o_orderkey``)."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = ensure_parallel(load_table(spark, sf_dir, "orders"))
     k = F.col("o_orderkey")
 
     ins = orders.select(
@@ -97,7 +97,7 @@ def cdc_lineitem_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     key surrogate kk = l_orderkey * 8 + l_linenumber (linenumber < 8 in the
     fixture data); same insert/update/delete cadence as the orders feed.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = ensure_parallel(load_table(spark, sf_dir, "lineitem"))
     kk = F.col("l_orderkey") * 8 + F.col("l_linenumber")
 
     ins = li.select(

@@ -141,6 +141,7 @@ SELECT topic,
        COUNT(DISTINCT kind) AS n_kinds
 FROM log GROUP BY topic
 """,
+    bench=True,
 )
 def q_progress_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 (progress_topic_validator.py:56-153): full progress-topic audit in

@@ -287,6 +287,7 @@ def q_snapshot_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {CDC_EVENTS_SQL}
 SELECT COUNT(*) AS n_total, COUNT(*) AS n_exact FROM cdc_events
 """,
+    bench=True,
 )
 def q_serde_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1/§1.4: serializer self-check as a query — every envelope row

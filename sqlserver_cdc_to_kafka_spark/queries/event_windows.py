@@ -85,6 +85,7 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM grouped GROUP BY user_id, sess
 """,
+    bench=True,
 )
 def q_window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window (10 min inactivity gap) per user — Spark's native

@@ -260,6 +260,7 @@ SELECT q_id, c_id, cos,
                                ORDER BY cos DESC, c_id) AS BIGINT) AS rank
 FROM s QUALIFY rank <= 10
 """,
+    bench=True,
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: corpus vectors assigned to their nearest of 8

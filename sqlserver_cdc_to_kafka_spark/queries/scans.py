@@ -37,6 +37,7 @@ JOIN bounds b ON e.user_id % {_N_PARTS} = b.partition
 WHERE e.event_id >= b.start_offset AND e.event_id <= b.hi
 GROUP BY 1, 2
 """,
+    bench=True,
 )
 def q_scan_bounded_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 (kafka.py:264-318): bounded tail consume — each partition starts
