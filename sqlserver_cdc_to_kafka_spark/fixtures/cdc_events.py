@@ -51,43 +51,58 @@ LINEITEM_PAYLOAD = [
 ]
 
 
+def _conditional(struct_col, cond):
+    """[struct] when cond else [] — typed empty via zero-length slice."""
+    return F.slice(F.array(struct_col), 1, F.when(cond, 1).otherwise(0))
+
+
 def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change feed over ``orders`` (single-column PK ``o_orderkey``)."""
+    """Change feed over ``orders`` (single-column PK ``o_orderkey``).
+
+    Generated in ONE scan: each order row expands (explode) to its 1-3
+    change events — no 3-way self-union, so the source is read and
+    repartitioned once however many branches the derivation has."""
     orders = ensure_parallel(load_table(spark, sf_dir, "orders"))
     k = F.col("o_orderkey")
+    et = F.col("o_orderdate")
+    all_fields = F.array(*[F.lit(c) for c in ORDERS_PAYLOAD])
 
-    ins = orders.select(
-        F.lit(OP_INSERT).alias("__operation"),
-        (k * 3).alias("change_seq"),
-        F.col("o_orderdate").alias("__event_time"),
-        F.array([F.lit(c) for c in ORDERS_PAYLOAD]).alias("__updated_fields"),
-        *[F.col(c) for c in ORDERS_PAYLOAD],
+    def ev(op, seq, time, updated, custkey, status, total, odate, prio):
+        return F.struct(
+            F.lit(op).alias("__operation"),
+            seq.cast("bigint").alias("change_seq"),
+            time.alias("__event_time"),
+            updated.alias("__updated_fields"),
+            k.alias("o_orderkey"),
+            custkey.alias("o_custkey"),
+            status.alias("o_orderstatus"),
+            total.alias("o_totalprice"),
+            odate.alias("o_orderdate"),
+            prio.alias("o_orderpriority"),
+        )
+
+    ins = ev(
+        OP_INSERT, k * 3, et, all_fields,
+        F.col("o_custkey"), F.col("o_orderstatus"), F.col("o_totalprice"),
+        F.col("o_orderdate"), F.col("o_orderpriority"),
     )
-    upd = orders.filter(k % 5 == 0).select(
-        F.lit(OP_POST_UPDATE).alias("__operation"),
-        (k * 3 + 1).alias("change_seq"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 1 HOUR")).alias("__event_time"),
-        F.array(F.lit("o_orderstatus")).alias("__updated_fields"),
-        F.col("o_orderkey"),
-        F.col("o_custkey"),
-        F.lit("U").alias("o_orderstatus"),
-        F.col("o_totalprice"),
-        F.col("o_orderdate"),
-        F.col("o_orderpriority"),
+    upd = ev(
+        OP_POST_UPDATE, k * 3 + 1, et + F.expr("INTERVAL 1 HOUR"),
+        F.array(F.lit("o_orderstatus")),
+        F.col("o_custkey"), F.lit("U"), F.col("o_totalprice"),
+        F.col("o_orderdate"), F.col("o_orderpriority"),
     )
-    del_ = orders.filter(k % 17 == 0).select(
-        F.lit(OP_DELETE).alias("__operation"),
-        (k * 3 + 2).alias("change_seq"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 2 HOUR")).alias("__event_time"),
-        F.array([F.lit(c) for c in ORDERS_PAYLOAD]).alias("__updated_fields"),
-        F.col("o_orderkey"),
-        F.lit(None).cast("bigint").alias("o_custkey"),
-        F.lit(None).cast("string").alias("o_orderstatus"),
-        F.lit(None).cast("double").alias("o_totalprice"),
-        F.lit(None).cast(orders.schema["o_orderdate"].dataType).alias("o_orderdate"),
-        F.lit(None).cast("string").alias("o_orderpriority"),
+    dtype_date = orders.schema["o_orderdate"].dataType
+    del_ = ev(
+        OP_DELETE, k * 3 + 2, et + F.expr("INTERVAL 2 HOUR"), all_fields,
+        F.lit(None).cast("bigint"), F.lit(None).cast("string"),
+        F.lit(None).cast("double"), F.lit(None).cast(dtype_date),
+        F.lit(None).cast("string"),
     )
-    return ins.unionByName(upd).unionByName(del_)
+    events = F.concat(
+        F.array(ins), _conditional(upd, k % 5 == 0), _conditional(del_, k % 17 == 0)
+    )
+    return orders.select(F.explode(events).alias("e")).select("e.*")
 
 
 def cdc_lineitem_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,38 +110,37 @@ def cdc_lineitem_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_linenumber)`` — exercises composite-key keyset logic, SURVEY §2 P4/S2).
 
     key surrogate kk = l_orderkey * 8 + l_linenumber (linenumber < 8 in the
-    fixture data); same insert/update/delete cadence as the orders feed.
+    fixture data); same insert/update/delete cadence and same single-scan
+    explode generation as the orders feed.
     """
     li = ensure_parallel(load_table(spark, sf_dir, "lineitem"))
     kk = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    et = F.col("l_shipdate")
 
-    ins = li.select(
-        F.lit(OP_INSERT).alias("__operation"),
-        (kk * 3).alias("change_seq"),
-        F.col("l_shipdate").alias("__event_time"),
-        *[F.col(c) for c in LINEITEM_PAYLOAD],
+    def ev(op, seq, time, qty, price, flag):
+        return F.struct(
+            F.lit(op).alias("__operation"),
+            seq.cast("bigint").alias("change_seq"),
+            time.alias("__event_time"),
+            F.col("l_orderkey").alias("l_orderkey"),
+            F.col("l_linenumber").alias("l_linenumber"),
+            qty.alias("l_quantity"),
+            price.alias("l_extendedprice"),
+            flag.alias("l_returnflag"),
+        )
+
+    ins = ev(OP_INSERT, kk * 3, et, F.col("l_quantity"),
+             F.col("l_extendedprice"), F.col("l_returnflag"))
+    upd = ev(OP_POST_UPDATE, kk * 3 + 1, et + F.expr("INTERVAL 1 HOUR"),
+             F.col("l_quantity") + 1.0, F.col("l_extendedprice"),
+             F.col("l_returnflag"))
+    del_ = ev(OP_DELETE, kk * 3 + 2, et + F.expr("INTERVAL 2 HOUR"),
+              F.lit(None).cast("double"), F.lit(None).cast("double"),
+              F.lit(None).cast("string"))
+    events = F.concat(
+        F.array(ins), _conditional(upd, kk % 5 == 0), _conditional(del_, kk % 17 == 0)
     )
-    upd = li.filter(kk % 5 == 0).select(
-        F.lit(OP_POST_UPDATE).alias("__operation"),
-        (kk * 3 + 1).alias("change_seq"),
-        (F.col("l_shipdate") + F.expr("INTERVAL 1 HOUR")).alias("__event_time"),
-        F.col("l_orderkey"),
-        F.col("l_linenumber"),
-        (F.col("l_quantity") + 1.0).alias("l_quantity"),
-        F.col("l_extendedprice"),
-        F.col("l_returnflag"),
-    )
-    del_ = li.filter(kk % 17 == 0).select(
-        F.lit(OP_DELETE).alias("__operation"),
-        (kk * 3 + 2).alias("change_seq"),
-        (F.col("l_shipdate") + F.expr("INTERVAL 2 HOUR")).alias("__event_time"),
-        F.col("l_orderkey"),
-        F.col("l_linenumber"),
-        F.lit(None).cast("double").alias("l_quantity"),
-        F.lit(None).cast("double").alias("l_extendedprice"),
-        F.lit(None).cast("string").alias("l_returnflag"),
-    )
-    return ins.unionByName(upd).unionByName(del_)
+    return li.select(F.explode(events).alias("e")).select("e.*")
 
 
 def with_cdc_views(spark: SparkSession, sf_dir: str) -> None:
