@@ -304,3 +304,58 @@ def q_serde_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.agg(
         F.count("*").alias("n_total"), F.count_if(ok).alias("n_exact")
     )
+
+
+@query(
+    "cdc_struct_index_order",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+h AS (SELECT o_orderkey % 8 AS bucket, change_seq,
+             '0x' || lpad(lower(hex(change_seq)), 20, '0') AS idx_hex
+      FROM cdc_events),
+lagged AS (SELECT bucket, change_seq, idx_hex,
+                  lag(change_seq) OVER (PARTITION BY bucket ORDER BY idx_hex)
+                    AS prev_seq
+           FROM h)
+SELECT bucket,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE prev_seq > change_seq) AS order_mismatches,
+       MIN(idx_hex) AS min_idx_hex,
+       MAX(idx_hex) AS max_idx_hex
+FROM lagged GROUP BY bucket
+""",
+)
+def q_struct_index_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 (change_index.py:38-72): the full binary ChangeIndex struct
+    <lsn:binary, command_id, seqval:binary, operation> ordered natively by
+    Spark must agree with the scalar sequence order (struct/binary comparison
+    == the reference's lexicographic __lt__). Per bucket: order by the STRUCT,
+    assert the scalar never regresses; the oracle orders by the 0x-hex
+    persistence form (string sort == byte sort for zero-padded lowercase
+    hex). order_mismatches must be 0 everywhere."""
+    from pyspark.sql import Window
+
+    from sqlserver_cdc_to_kafka_spark.model.change_index import (
+        change_index_from_seq,
+        change_index_hex,
+    )
+
+    feed = cdc_events(spark, sf_dir).select(
+        (F.col("o_orderkey") % 8).alias("bucket"),
+        "change_seq",
+        change_index_from_seq(F.col("change_seq")).alias("idx"),
+        change_index_hex(F.col("change_seq")).alias("idx_hex"),
+    )
+    w = Window.partitionBy("bucket").orderBy("idx")  # struct (binary) ordering
+    return (
+        feed.withColumn("prev_seq", F.lag("change_seq").over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(F.col("prev_seq") > F.col("change_seq")).alias(
+                "order_mismatches"
+            ),
+            F.min("idx_hex").alias("min_idx_hex"),
+            F.max("idx_hex").alias("max_idx_hex"),
+        )
+    )

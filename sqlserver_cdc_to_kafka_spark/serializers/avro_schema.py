@@ -62,11 +62,25 @@ def _nullable(avro_type: Any) -> list[Any]:
 
 
 def avro_value_schema(
-    topic: str, schema: T.StructType, updated_fields_enum: list[str] | None = None
+    topic: str,
+    schema: T.StructType,
+    updated_fields_enum: list[str] | None = None,
+    type_overrides: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
-    """Value schema: all fields nullable + null default (drop-tolerant)."""
+    """Value schema: all fields nullable + null default (drop-tolerant).
+
+    ``type_overrides`` (X4, avro.py:254-268 / options.py: JSON map keyed by
+    column name): force a column's Avro wire type regardless of its Spark
+    type — e.g. ``{"o_totalprice": "string"}`` to ship decimals as strings
+    for consumers without decimal-logical-type support."""
+    overrides = type_overrides or {}
     fields = []
     for f in schema.fields:
+        if f.name in overrides:
+            fields.append(
+                {"name": f.name, "type": _nullable(overrides[f.name]), "default": None}
+            )
+            continue
         if f.name == "__updated_fields" and updated_fields_enum is not None:
             ftype: Any = {
                 "type": "array",

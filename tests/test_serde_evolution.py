@@ -57,6 +57,14 @@ def test_avro_key_schema_nonnull_in_key_order():
     assert subject_names("t") == ("t-key", "t-value")
 
 
+def test_type_overrides():
+    s = _schema(("id", T.LongType(), False), ("price", T.DecimalType(15, 2), True))
+    v = avro_value_schema("t", s, type_overrides={"price": "string"})
+    by_name = {f["name"]: f for f in v["fields"]}
+    assert by_name["price"]["type"] == ["null", "string"]
+    assert by_name["id"]["type"] == ["null", "long"]
+
+
 def test_updated_fields_enum():
     s = _schema(("__updated_fields", T.ArrayType(T.StringType()), True))
     v = avro_value_schema("t", s, updated_fields_enum=["c1", "c2"])
