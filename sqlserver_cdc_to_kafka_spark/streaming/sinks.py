@@ -61,11 +61,14 @@ class TransactionalDirSink:
 
     def last_progress(self):
         """T2 resume point: highest committed batch's position (the
-        compacted-progress-topic replay, progress_tracking.py:235-258)."""
+        compacted-progress-topic replay, progress_tracking.py:235-258).
+        Batches without a position (snapshot pages) are skipped — snapshot
+        progress is tracked by key, not index (constants.py:38-39)."""
         batches = self.committed_batches()
-        if not batches:
-            return None
-        return batches[max(batches)]["position"]
+        for b in sorted(batches, reverse=True):
+            if batches[b]["position"] is not None:
+                return batches[b]["position"]
+        return None
 
     def commit_batch(self, batch: DataFrame, batch_id: int, position) -> bool:
         """Idempotent commit: returns False (no-op) if this batch id is

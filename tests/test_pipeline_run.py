@@ -1,0 +1,91 @@
+"""End-to-end pipeline integration (§3.1 hot loop): snapshot + changes +
+tombstones + metrics -> transactional sink, then self-validation over the
+committed output with the engine's own validators (§5 as product)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.fixtures.cdc_events import cdc_events
+from sqlserver_cdc_to_kafka_spark.model.envelope import OP_DELETE
+from sqlserver_cdc_to_kafka_spark.operators.compaction import last_value_per_key
+from sqlserver_cdc_to_kafka_spark.operators.validation import topic_summary
+from sqlserver_cdc_to_kafka_spark.streaming.metrics import AccumulatingReporter
+from sqlserver_cdc_to_kafka_spark.streaming.pipeline_run import PipelineRun
+from sqlserver_cdc_to_kafka_spark.streaming.sinks import TransactionalDirSink
+from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+
+def _setup(spark, sf_dir, tmp_path, batch_size=700):
+    orders = load_table(spark, sf_dir, "orders")
+    feed = cdc_events(spark, sf_dir)
+    sink = TransactionalDirSink(str(tmp_path / "out"), "orders")
+    rep = AccumulatingReporter()
+    run = PipelineRun(
+        spark, orders, feed, ["o_orderkey"], sink, [rep], batch_size=batch_size
+    )
+    return orders, feed, sink, rep, run
+
+
+def test_pipeline_end_to_end_with_self_validation(spark, sf_dir, tmp_path):
+    orders, feed, sink, rep, run = _setup(spark, sf_dir, tmp_path)
+    total = run.run()
+    n_orders = orders.count()
+    n_changes = feed.count()
+    n_deletes = feed.filter(F.col("__operation") == OP_DELETE).count()
+    assert total == n_orders + n_changes + n_deletes  # snapshots+changes+tombstones
+
+    out = sink.read_committed(spark)
+    assert out.count() == total
+
+    # --- §5 validator 1 over our own output: counts by kind reconcile
+    summary = topic_summary(
+        out.filter(~F.col("__tombstone")).withColumn("t", F.lit("orders")),
+        ["t"],
+        ["o_orderkey"],
+    ).collect()[0]
+    assert summary["n_snapshots"] == n_orders
+    assert summary["n_total"] == n_orders + n_changes
+    assert summary["n_deletes"] == n_deletes
+
+    # --- compaction over snapshot+changes+tombstones == replaying the feed
+    live = last_value_per_key(
+        out.withColumn(
+            "order_in_batch",
+            F.when(F.col("__tombstone"), F.lit(1)).otherwise(F.lit(0)),
+        ).withColumn(
+            # tombstones carry NULL change_seq (payload nulled); they sort
+            # AFTER everything for their key (emitted right after the delete)
+            "ordk",
+            F.struct(
+                F.coalesce("change_seq", F.lit(2**62)).alias("seq"),
+                "order_in_batch",
+            ),
+        ),
+        ["o_orderkey"],
+        "ordk",
+        drop_deleted=False,
+    )
+    # keys whose last record is a tombstone are gone after compaction
+    gone = live.filter(F.col("__tombstone"))
+    assert gone.count() == feed.filter(F.col("__operation") == OP_DELETE).count()
+
+    # --- metrics reported for every committed batch
+    assert len(rep.emitted) == run.batches_committed
+    assert sum(m.rows for m in rep.emitted) == total
+
+
+def test_pipeline_resume_after_crash(spark, sf_dir, tmp_path):
+    orders, feed, sink, rep, run = _setup(spark, sf_dir, tmp_path, batch_size=500)
+    total_first = run.run()
+
+    # "restart": a new PipelineRun against the same sink must commit NOTHING
+    # new for changes (progress replay) — only the snapshot re-pages (the
+    # reference re-snapshots only on instance change; our harness always
+    # pages, so count only change rows).
+    orders2, feed2, sink2, rep2, run2 = _setup(spark, sf_dir, tmp_path, batch_size=500)
+    run2.run()
+    change_rows_second = sum(
+        m.rows for m in rep2.emitted if m.snapshots == 0 and m.rows > 0
+    )
+    assert change_rows_second == 0  # no change row re-emitted after resume
