@@ -30,14 +30,20 @@ def main() -> None:
     # warm the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # best-of-2 per query: the second run reuses compiled codegen, so the
+    # pair separates steady-state query cost from one-time JIT/compile and
+    # damps scheduler noise on a shared box
     timings: dict[str, float] = {}
     for name, fn in sorted(bench_queries().items()):
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
