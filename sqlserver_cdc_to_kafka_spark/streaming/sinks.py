@@ -30,6 +30,7 @@ import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sqlserver_cdc_to_kafka_spark.streaming.change_feed import ProgressEntry
 
@@ -112,3 +113,69 @@ class TransactionalDirSink:
         if not dirs:
             raise ValueError("no committed batches")
         return spark.read.parquet(*dirs)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        order_col: str = "change_seq",
+        tombstone_col: str = "__tombstone",
+    ) -> int:
+        """Log compaction (the background process a compacted Kafka topic
+        gets from the broker): collapse all committed batches to the last
+        record per key, dropping keys whose final record is a tombstone, and
+        atomically replace the batch directories with one compacted batch.
+
+        Progress is preserved: the compacted batch takes the max committed
+        batch id and position, so resume semantics are unchanged. Returns
+        surviving row count. At scale this is the same one-shuffle
+        ``max_by`` with the output range-partitioned by key."""
+        from sqlserver_cdc_to_kafka_spark.operators.compaction import (
+            last_value_per_key,
+        )
+
+        batches = self.committed_batches()
+        if not batches:
+            return 0
+        df = self.read_committed(spark)
+        # NULL order values are either snapshot rows (base state — oldest for
+        # their key: every change logically follows the backfill, T7) or
+        # tombstones (emitted right after their delete — newest for the key)
+        ordk = F.struct(
+            F.when(F.col(tombstone_col), F.lit(2**62))
+            .otherwise(F.coalesce(F.col(order_col), F.lit(-1)))
+            .alias("o"),
+            F.col(tombstone_col).cast("int").alias("t"),
+        )
+        last = last_value_per_key(
+            df.withColumn("__ordk", ordk), key_cols, "__ordk", drop_deleted=False
+        )
+        live = last.filter(~F.col(tombstone_col)).drop("__ordk")
+
+        max_id = max(batches)
+        position = self.last_progress()  # capture BEFORE rewriting manifest
+        stage = os.path.join(self.root, "_staging", "compacted")
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        live.write.mode("overwrite").parquet(stage)
+        n = spark.read.parquet(stage).count()
+        # swap: remove old batch dirs, install compacted as batch=<max_id>,
+        # rewrite the manifest with a single entry at the preserved position
+        for b in batches:
+            d = os.path.join(self.root, "data", f"batch={b}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        os.rename(stage, os.path.join(self.root, "data", f"batch={max_id}"))
+        with open(self.manifest_path, "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "topic": self.topic,
+                        "kind": "change_rows",
+                        "position": position,
+                        "batch_id": max_id,
+                    }
+                )
+                + "\n"
+            )
+        return n

@@ -89,3 +89,32 @@ def test_pipeline_resume_after_crash(spark, sf_dir, tmp_path):
         m.rows for m in rep2.emitted if m.snapshots == 0 and m.rows > 0
     )
     assert change_rows_second == 0  # no change row re-emitted after resume
+
+
+def test_sink_log_compaction(spark, sf_dir, tmp_path):
+    orders, feed, sink, rep, run = _setup(spark, sf_dir, tmp_path)
+    run.run()
+    resume_before = sink.last_progress()
+    n_batches_before = len(sink.committed_batches())
+    assert n_batches_before > 1
+
+    n_live = sink.compact(spark, ["o_orderkey"])
+
+    # surviving keys = all orders minus deleted ones (fixture: delete ⊂ insert)
+    n_deleted = feed.filter(F.col("__operation") == OP_DELETE).count()
+    assert n_live == orders.count() - n_deleted
+
+    out = sink.read_committed(spark)
+    assert out.count() == n_live
+    assert out.select("o_orderkey").distinct().count() == n_live
+    # compaction must not move the resume point
+    assert sink.last_progress() == resume_before
+    assert len(sink.committed_batches()) == 1
+
+    # deleted keys are really gone; updated keys carry the updated status
+    deleted_keys = {r[0] for r in feed.filter(F.col("__operation") == 1)
+                    .select("o_orderkey").collect()}
+    live_keys = {r[0] for r in out.select("o_orderkey").collect()}
+    assert not (deleted_keys & live_keys)
+    updated = out.filter((F.col("o_orderkey") % 5 == 0))
+    assert updated.filter(F.col("o_orderstatus") != "U").count() == 0
