@@ -117,3 +117,23 @@ def schema_checksum(schema: T.StructType) -> str:
         for f in schema.fields
     ]
     return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
+SMALL_TABLE_PROBE_THRESHOLD = 5_000_000  # constants.py:15
+
+
+def make_column_probe(df, max_rows: int = SMALL_TABLE_PROBE_THRESHOLD):
+    """A3 + the probe scan (build_startup_state.py:326-360) over a DataFrame:
+    returns a ``probe_has_nonnull_data(col)`` callable for
+    ``ddl_change_requires_new_snapshot``. Only probes tables small enough to
+    scan cheaply (bounded count first — ``limit(n).count()`` never scans more
+    than n rows); big tables conservatively report True (re-snapshot) since
+    an unscanned column may hold data."""
+    from pyspark.sql import functions as F
+
+    def probe(col_name: str) -> bool:
+        if df.limit(max_rows).count() >= max_rows:
+            return True  # too big to probe — assume data exists
+        return df.filter(F.col(col_name).isNotNull()).limit(1).count() > 0
+
+    return probe

@@ -179,3 +179,17 @@ class TransactionalDirSink:
                 + "\n"
             )
         return n
+
+
+def reset_progress(sink: TransactionalDirSink) -> None:
+    """The reference's progress_reset_tool (progress_reset_tool.py:12):
+    wipe a topic's progress AND its committed data so the next run
+    re-snapshots from scratch. Destructive by design; staging is cleared
+    too so no phantom batch can resurrect."""
+    for sub in ("data", "_staging"):
+        d = os.path.join(sink.root, sub)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+    if os.path.exists(sink.manifest_path):
+        os.remove(sink.manifest_path)

@@ -109,3 +109,19 @@ def test_global_order_via_range_partitioning(spark, sf_dir):
     # ranges must be non-overlapping and increasing with partition id
     for prev, cur in zip(stats, stats[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF (nprobe=2 of 8 clusters) must recover most of the exact top-10 —
+    the recall/throughput trade the scale path buys."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import cosine_topk, ivf_topk
+    from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(queries, emb, "vec_id", "embedding", k=10).collect()
+    approx = ivf_topk(emb, "vec_id", "embedding", query_max_id=5, k=10).collect()
+    exact_set = {(r["q_id"], r["c_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["c_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"

@@ -118,3 +118,19 @@ def test_sink_log_compaction(spark, sf_dir, tmp_path):
     assert not (deleted_keys & live_keys)
     updated = out.filter((F.col("o_orderkey") % 5 == 0))
     assert updated.filter(F.col("o_orderstatus") != "U").count() == 0
+
+
+def test_reset_progress_wipes_everything(spark, sf_dir, tmp_path):
+    from sqlserver_cdc_to_kafka_spark.streaming.sinks import reset_progress
+
+    orders, feed, sink, rep, run = _setup(spark, sf_dir, tmp_path)
+    run.run()
+    assert sink.last_progress() is not None
+    reset_progress(sink)
+    assert sink.last_progress() is None
+    assert sink.committed_batches() == {}
+    # a fresh run re-snapshots and re-tails from scratch
+    orders2, feed2, sink2, rep2, run2 = _setup(spark, sf_dir, tmp_path)
+    total = run2.run()
+    assert total > 0
+    assert sink2.read_committed(spark).count() == total

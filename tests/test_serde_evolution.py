@@ -179,3 +179,18 @@ def test_schema_checksum_detects_change():
     # nullability flips the checksum too (sql_queries.py:20-25 columns)
     flipped = _schema(("id", T.LongType(), True), ("v", T.IntegerType(), True))
     assert schema_checksum(OLD) != schema_checksum(flipped)
+
+
+def test_make_column_probe(spark, sf_dir):
+    from sqlserver_cdc_to_kafka_spark.plans.evolution import make_column_probe
+    from sqlserver_cdc_to_kafka_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "new_col", F.lit(None).cast("string")
+    )
+    probe = make_column_probe(orders)
+    assert not probe("new_col")  # all-null fresh column -> no re-snapshot
+    assert probe("o_orderkey")  # carries data -> re-snapshot
+    tiny_threshold = make_column_probe(orders, max_rows=10)
+    assert tiny_threshold("new_col")  # "too big to probe" -> conservative True
