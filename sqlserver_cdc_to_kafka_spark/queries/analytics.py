@@ -1,0 +1,189 @@
+"""General OLAP analytics over the test tables — the query surface a
+downstream consumer of the engine's materialized tables runs (TPC-H-shaped:
+pricing summary, shipping priority, local-supplier volume), plus the
+multi-table unified-topic merge (SURVEY §1.1 #4 'unified topics').
+
+These exercise Catalyst end-to-end: multi-way joins with broadcast dims,
+group-by aggregation with map-side partials, predicate pushdown into parquet
+scans, and decimal-stable aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.fixtures.cdc_events import (
+    CDC_EVENTS_SQL,
+    CDC_LINEITEM_SQL,
+    cdc_events,
+    cdc_lineitem_events,
+)
+from sqlserver_cdc_to_kafka_spark.registry import query
+from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+
+@query(
+    "olap_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    bench=True,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-table scan + group-by rollup. The shipdate
+    predicate reaches the parquet scan (PushedFilters); decimal sums keep
+    float determinism vs the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "olap_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → top-10 by
+    aggregated revenue. customer is the small side (broadcast); both date
+    predicates push into the scans."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "olap_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a region filter walking down the dim
+    chain — region/nation/supplier/customer broadcast; only the two fact
+    tables shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "cdc_unified_topics",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}, {CDC_LINEITEM_SQL},
+u AS (
+  SELECT 'orders' AS source_table, change_seq * 2 AS unified_seq,
+         __operation, CAST(o_orderkey AS VARCHAR) AS key_text
+  FROM cdc_events
+  UNION ALL
+  SELECT 'lineitem', change_seq * 2 + 1, __operation,
+         l_orderkey || '|' || l_linenumber
+  FROM cdc_lineitem)
+SELECT source_table, unified_seq, __operation, key_text
+FROM u
+""",
+)
+def q_unified_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified topic (main.py:99-124): many tables' change feeds merged into
+    one stream in a single global order. Each feed keeps its identity
+    (source_table) and its key serialized to a common text form; the unified
+    sequence interleaves deterministically (2k / 2k+1 — the fixture stand-in
+    for global LSN order). Downstream, orderBy(unified_seq) or
+    repartitionByRange gives the total order; the hash gate checks content,
+    the ordering operators are covered by cdc_ordered_merge."""
+    ev = cdc_events(spark, sf_dir).select(
+        F.lit("orders").alias("source_table"),
+        (F.col("change_seq") * 2).alias("unified_seq"),
+        "__operation",
+        F.col("o_orderkey").cast("string").alias("key_text"),
+    )
+    lev = cdc_lineitem_events(spark, sf_dir).select(
+        F.lit("lineitem").alias("source_table"),
+        (F.col("change_seq") * 2 + 1).alias("unified_seq"),
+        "__operation",
+        F.concat_ws("|", "l_orderkey", "l_linenumber").alias("key_text"),
+    )
+    return ev.unionByName(lev)
