@@ -1,0 +1,78 @@
+"""Row-by-row DB↔topic comparator (§5 validator 2,
+``cdc_kafka/row_comparison_validator.py:183-347``).
+
+The reference replays the change table and the Kafka topic side-by-side in
+change-index order, reporting blocks of mismatched rows and missing delete
+tombstones. Distributed restatement: a full outer join on the change index —
+each side scanned once, mismatches detected by column comparison, no
+sequential replay. Consecutive mismatches group into blocks with the
+standard gaps-and-islands trick on the index order."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def row_diff(
+    expected: DataFrame,
+    actual: DataFrame,
+    idx_col: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Per-row comparison result keyed by the change index: status ∈
+    {match, mismatch, missing_in_actual, missing_in_expected} plus the first
+    differing column (diagnostic, as the reference prints)."""
+    e = expected.select(
+        F.col(idx_col).alias("idx"),
+        *[F.col(c).alias(f"e_{c}") for c in compare_cols],
+        F.lit(True).alias("in_e"),
+    )
+    a = actual.select(
+        F.col(idx_col).alias("idx"),
+        *[F.col(c).alias(f"a_{c}") for c in compare_cols],
+        F.lit(True).alias("in_a"),
+    )
+    joined = e.join(a, "idx", "full_outer")
+    first_diff = F.lit(None).cast("string")
+    any_diff = F.lit(False)
+    for c in reversed(compare_cols):
+        neq = ~F.col(f"e_{c}").eqNullSafe(F.col(f"a_{c}"))
+        first_diff = F.when(neq, F.lit(c)).otherwise(first_diff)
+        any_diff = any_diff | neq
+    status = (
+        F.when(F.col("in_e").isNull(), "missing_in_expected")
+        .when(F.col("in_a").isNull(), "missing_in_actual")
+        .when(any_diff, "mismatch")
+        .otherwise("match")
+    )
+    return joined.select(
+        "idx", status.alias("status"), first_diff.alias("first_diff_col")
+    )
+
+
+def mismatch_blocks(diff: DataFrame) -> DataFrame:
+    """Group consecutive non-matching indexes into blocks
+    (row_comparison_validator.py:148-180's report shape): block start/end
+    index + row count per block. Gaps-and-islands: island id = rank over all
+    non-matches minus rank within the ordered sequence."""
+    # NB: global windows — fine for a *report* of failures (bounded output);
+    # at scale pre-filter by table/partition before blocking. Two rows are
+    # consecutive when no matching row sits between them, so the island id is
+    # rank-in-full-sequence minus rank-among-failures.
+    all_ranked = diff.withColumn("rn_all", F.row_number().over(Window.orderBy("idx")))
+    bad_ranked = all_ranked.filter(F.col("status") != "match").withColumn(
+        "rn_bad", F.row_number().over(Window.orderBy("idx"))
+    )
+    return (
+        bad_ranked.withColumn("island", F.col("rn_all") - F.col("rn_bad"))
+        .groupBy("island")
+        .agg(
+            F.min("idx").alias("block_start"),
+            F.max("idx").alias("block_end"),
+            F.count("*").alias("n_rows"),
+        )
+        .drop("island")
+    )

@@ -263,3 +263,43 @@ def q_topic_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(topic, pat, 2).alias("schema_part"),
         F.regexp_extract(topic, pat, 3).alias("table_part"),
     )
+
+
+@query(
+    "val_row_comparison",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+actual AS (
+  SELECT change_seq,
+         CASE WHEN change_seq % 97 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM cdc_events WHERE change_seq % 101 <> 0),
+d AS (
+  SELECT COALESCE(e.change_seq, a.change_seq) AS idx,
+         CASE WHEN e.change_seq IS NULL THEN 'missing_in_expected'
+              WHEN a.change_seq IS NULL THEN 'missing_in_actual'
+              WHEN NOT (e.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus)
+                OR NOT (e.o_totalprice IS NOT DISTINCT FROM a.o_totalprice)
+              THEN 'mismatch' ELSE 'match' END AS status
+  FROM cdc_events e FULL OUTER JOIN actual a ON e.change_seq = a.change_seq)
+SELECT status, COUNT(*) AS n FROM d GROUP BY status
+""",
+)
+def q_row_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§5 validator 2 (row_comparison_validator.py:183-347): row-by-row
+    comparison of the expected change feed against a perturbed 'topic' copy
+    (every 97th row's status corrupted, every 101st row dropped) — the
+    sequential two-cursor replay becomes ONE full-outer join on the change
+    index with column-wise null-safe comparison."""
+    from sqlserver_cdc_to_kafka_spark.operators.row_compare import row_diff
+
+    expected = cdc_events(spark, sf_dir)
+    actual = expected.filter(F.col("change_seq") % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("change_seq") % 97 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    diff = row_diff(
+        expected, actual, "change_seq", ["o_orderstatus", "o_totalprice"]
+    )
+    return diff.groupBy("status").agg(F.count("*").alias("n"))

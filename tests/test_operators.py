@@ -125,3 +125,27 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     approx_set = {(r["q_id"], r["c_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+
+
+def test_mismatch_blocks_groups_consecutive_failures(spark):
+    from sqlserver_cdc_to_kafka_spark.operators.row_compare import (
+        mismatch_blocks,
+        row_diff,
+    )
+
+    e = spark.createDataFrame(
+        [(i, "v" if i not in (3, 4, 5, 9) else "bad") for i in range(12)],
+        "idx bigint, v string",
+    )
+    a = spark.createDataFrame(
+        [(i, "v") for i in range(12) if i != 9], "idx bigint, v string"
+    )
+    diff = row_diff(e, a, "idx", ["v"])
+    by_status = {r["status"]: r["n"] for r in
+                 diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert by_status == {"match": 8, "mismatch": 3, "missing_in_actual": 1}
+    blocks = sorted(
+        (r["block_start"], r["block_end"], r["n_rows"])
+        for r in mismatch_blocks(diff).collect()
+    )
+    assert blocks == [(3, 5, 3), (9, 9, 1)]
