@@ -8,5 +8,6 @@ from sqlserver_cdc_to_kafka_spark.queries import event_windows  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import functions  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import joins  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import pipeline  # noqa: F401
+from sqlserver_cdc_to_kafka_spark.queries import pipeline2  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import scans  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import validation  # noqa: F401

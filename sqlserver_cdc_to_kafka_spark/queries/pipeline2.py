@@ -1,0 +1,132 @@
+"""Training-data pipeline operators, part 2: deterministic dataset splits,
+sequence packing, embedding hygiene — the remaining everyday ops of a
+100 TB corpus build, each hash-checked against DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.queries.pipeline import _docs, _emb
+from sqlserver_cdc_to_kafka_spark.registry import query
+
+_CTX_WINDOW = 512  # tokens per packed sequence (fixture-scaled)
+
+
+@query(
+    "pipeline_split_train_eval",
+    oracle="""
+SELECT source,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 % 100 < 95
+            THEN 'train' ELSE 'eval' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS n_tokens
+FROM documents GROUP BY 1, 2
+""",
+)
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 95/5 train/eval split by content-independent id hash —
+    NEVER rand(): the same doc lands in the same split on every run, any
+    engine, any partitioning (md5 of the id, mod 100). Grouped counts per
+    (source, split) audit the split balance."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    return (
+        docs.withColumn("split", F.when(bucket < 95, "train").otherwise("eval"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // {_CTX_WINDOW} AS BIGINT) AS pack_id
+  FROM toks)
+SELECT source, pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed GROUP BY 1, 2
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (per source, in id order)
+    into fixed context windows — pack id = exclusive-prefix token count div
+    window size. One window function per source partition; at 100 TB each
+    source packs independently in parallel and no document is split across
+    engines differently (deterministic order, no rand)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = docs.withColumn(
+        "pack_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _CTX_WINDOW).cast("bigint"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "pipeline_embedding_stats",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(len(v) AS INT) AS dim,
+       ROUND(AVG(sqrt(list_dot_product(v, v))), 6) AS avg_norm,
+       ROUND(MIN(sqrt(list_dot_product(v, v))), 6) AS min_norm,
+       ROUND(MAX(sqrt(list_dot_product(v, v))), 6) AS max_norm,
+       COUNT(*) FILTER (WHERE sqrt(list_dot_product(v, v)) < 1e-9)
+         AS n_zero_vectors
+FROM e GROUP BY label, len(v)
+""",
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: per-label norm distribution, dimension check,
+    zero-vector detection — the sanity pass before any ANN index build.
+    All JVM-side array math (aggregate/sqrt), one scan."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import as_double_array, l2_norm
+
+    emb = _emb(spark, sf_dir)
+    norm = l2_norm(as_double_array("embedding"))
+    return (
+        emb.select("label", F.size("embedding").alias("dim"), norm.alias("norm"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+            F.count_if(F.col("norm") < 1e-9).alias("n_zero_vectors"),
+        )
+        .select(
+            "label", "n_vecs", "dim", "avg_norm", "min_norm", "max_norm",
+            "n_zero_vectors",
+        )
+    )
