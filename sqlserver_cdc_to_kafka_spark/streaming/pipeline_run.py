@@ -99,3 +99,19 @@ class PipelineRun:
         self.batches_committed += 1
         self.rows_committed += m.rows
         return m.rows
+
+
+def foreach_batch_writer(sink: TransactionalDirSink, idx_col: str = "change_seq"):
+    """The production binding (§3.1 Spark restatement): a foreachBatch
+    function committing every micro-batch through the transactional sink.
+    Spark's checkpoint provides replay; the sink's batch-id idempotence makes
+    the replay exactly-once (T2) — the pair is the reference's
+    data+progress Kafka transaction."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pos = batch.agg(F.max(idx_col)).collect()[0][0]
+        sink.commit_batch(batch, batch_id, pos)
+
+    return write

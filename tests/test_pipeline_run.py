@@ -134,3 +134,47 @@ def test_reset_progress_wipes_everything(spark, sf_dir, tmp_path):
     total = run2.run()
     assert total > 0
     assert sink2.read_committed(spark).count() == total
+
+
+def test_foreachbatch_binding_with_readstream(spark, sf_dir, tmp_path):
+    """readStream → foreachBatch(TransactionalDirSink) → exactly-once across
+    a restart: Spark checkpoint replays the epoch, the sink dedupes it."""
+    import shutil
+
+    from sqlserver_cdc_to_kafka_spark.streaming.pipeline_run import (
+        foreach_batch_writer,
+    )
+    from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("event_id").alias("change_seq"),
+    )
+    src = tmp_path / "src"; src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    for i, part in enumerate([ev.filter(F.col("event_id") < 500),
+                              ev.filter(F.col("event_id") >= 500)]):
+        stage = tmp_path / f"s{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copyfile(next(stage.glob("part-*.parquet")), src / f"{i}.parquet")
+
+    sink = TransactionalDirSink(str(tmp_path / "out"), "events")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(foreach_batch_writer(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = sink.read_committed(spark).count()
+    assert n1 == ev.count()
+    run_once()  # restart with nothing new: no dupes
+    assert sink.read_committed(spark).count() == n1
+    assert sink.last_progress() == ev.agg(F.max("event_id")).collect()[0][0]
