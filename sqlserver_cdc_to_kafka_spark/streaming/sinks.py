@@ -105,10 +105,12 @@ class TransactionalDirSink:
         ]
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
-        """Read ONLY manifest-listed data (uncommitted staging invisible)."""
+        """Read ONLY manifest-listed data (uncommitted staging invisible).
+        Records may carry an explicit ``path`` (compacted generations)."""
+        batches = self.committed_batches()
         dirs = [
-            os.path.join(self.root, "data", f"batch={b}")
-            for b in sorted(self.committed_batches())
+            os.path.join(self.root, "data", batches[b].get("path", f"batch={b}"))
+            for b in sorted(batches)
         ]
         if not dirs:
             raise ValueError("no committed batches")
@@ -154,19 +156,23 @@ class TransactionalDirSink:
 
         max_id = max(batches)
         position = self.last_progress()  # capture BEFORE rewriting manifest
-        stage = os.path.join(self.root, "_staging", "compacted")
+        # crash-safe ordering: (1) write the compacted generation under a
+        # fresh directory name, (2) atomically replace the manifest — THE
+        # commit point: readers switch from the old dirs to the new one in
+        # one rename, (3) only then delete the superseded dirs (a crash
+        # leaves invisible orphans, never missing data).
+        gen_dir = f"compacted={max_id}"
+        stage = os.path.join(self.root, "_staging", gen_dir)
+        final = os.path.join(self.root, "data", gen_dir)
         if os.path.exists(stage):
             shutil.rmtree(stage)
         live.write.mode("overwrite").parquet(stage)
         n = spark.read.parquet(stage).count()
-        # swap: remove old batch dirs, install compacted as batch=<max_id>,
-        # rewrite the manifest with a single entry at the preserved position
-        for b in batches:
-            d = os.path.join(self.root, "data", f"batch={b}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        os.rename(stage, os.path.join(self.root, "data", f"batch={max_id}"))
-        with open(self.manifest_path, "w") as f:
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(stage, final)
+        tmp_manifest = self.manifest_path + ".tmp"
+        with open(tmp_manifest, "w") as f:
             f.write(
                 json.dumps(
                     {
@@ -174,10 +180,16 @@ class TransactionalDirSink:
                         "kind": "change_rows",
                         "position": position,
                         "batch_id": max_id,
+                        "path": gen_dir,
                     }
                 )
                 + "\n"
             )
+        os.replace(tmp_manifest, self.manifest_path)  # commit point
+        for b, rec in batches.items():
+            d = os.path.join(self.root, "data", rec.get("path", f"batch={b}"))
+            if rec.get("path") != gen_dir and os.path.exists(d):
+                shutil.rmtree(d)
         return n
 
 
