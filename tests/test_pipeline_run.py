@@ -178,3 +178,22 @@ def test_foreachbatch_binding_with_readstream(spark, sf_dir, tmp_path):
     run_once()  # restart with nothing new: no dupes
     assert sink.read_committed(spark).count() == n1
     assert sink.last_progress() == ev.agg(F.max("event_id")).collect()[0][0]
+
+
+def test_compaction_twice_with_new_batches_between(spark, sf_dir, tmp_path):
+    """Second compaction over (compacted generation + fresh batches)."""
+    orders, feed, sink, rep, run = _setup(spark, sf_dir, tmp_path)
+    run.run()
+    n1 = sink.compact(spark, ["o_orderkey"])
+    # new change batch arrives after compaction: re-insert 5 deleted keys
+    deleted = feed.filter(F.col("__operation") == 1).limit(5)
+    revived = deleted.withColumn("__operation", F.lit(2)).withColumn(
+        "change_seq", F.col("change_seq") + 1_000_000
+    ).withColumn("__tombstone", F.lit(False))
+    next_id = max(sink.committed_batches()) + 1
+    assert sink.commit_batch(revived, next_id, 99_999_999)
+    n2 = sink.compact(spark, ["o_orderkey"])
+    assert n2 == n1 + 5
+    assert sink.last_progress() == 99_999_999
+    out = sink.read_committed(spark)
+    assert out.count() == n2
