@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -72,3 +73,57 @@ def test_hex_form_orders_like_integers(seqs):
     assert sorted(hexes) == [
         "0x" + format(s, "020x") for s in sorted(seqs)
     ]
+
+
+# ---- F7/F8: Avro wire primitives ----
+
+import decimal as _decimal
+
+from sqlserver_cdc_to_kafka_spark.serializers.avro_wire import (
+    bytes_to_decimal,
+    decimal_to_bytes,
+    read_varint,
+    write_varint,
+)
+
+
+@given(
+    st.decimals(
+        min_value=-(10**15), max_value=10**15, places=2, allow_nan=False,
+        allow_infinity=False,
+    )
+)
+def test_decimal_wire_roundtrip(d):
+    raw = decimal_to_bytes(d, scale=2)
+    assert bytes_to_decimal(raw, scale=2) == d
+    # minimality: dropping the leading byte changes the value (no padding)
+    if len(raw) > 1:
+        assert bytes_to_decimal(raw[1:], 2) != d or raw[0] in (0, 0xFF)
+
+
+def test_decimal_scale_overflow_raises():
+    with pytest.raises(ValueError):
+        decimal_to_bytes(_decimal.Decimal("1.234"), scale=2)
+
+
+def test_decimal_known_vectors():
+    # Avro spec examples: unscaled two's complement, big endian
+    assert decimal_to_bytes(_decimal.Decimal("1.00"), 2) == b"\x64"
+    assert decimal_to_bytes(_decimal.Decimal("-1.00"), 2) == b"\x9c"
+    assert decimal_to_bytes(_decimal.Decimal("0"), 2) == b"\x00"
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_varint_roundtrip(n):
+    raw = write_varint(n)
+    got, pos = read_varint(raw)
+    assert got == n and pos == len(raw)
+
+
+def test_varint_known_vectors():
+    # zigzag: 0->0, -1->1, 1->2, -2->3 (Avro spec)
+    assert write_varint(0) == b"\x00"
+    assert write_varint(-1) == b"\x01"
+    assert write_varint(1) == b"\x02"
+    assert write_varint(-64) == b"\x7f"
+    assert write_varint(64) == b"\x80\x01"
