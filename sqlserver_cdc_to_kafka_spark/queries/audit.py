@@ -188,3 +188,33 @@ def q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("iso_date"),
         ((us % _DAY_US) / F.lit(1000)).cast("bigint").alias("ms_since_midnight"),
     )
+
+
+@query(
+    "val_truncation_report",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE strlen(text) > 256) AS n_over_budget,
+       MAX(strlen(text)) AS max_bytes,
+       CAST(SUM(CASE WHEN strlen(text) > 256
+                     THEN strlen(text) - 256 ELSE 0 END) AS BIGINT)
+         AS reclaimable_bytes
+FROM documents GROUP BY source
+""",
+)
+def q_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find_truncation_opportunities (the reference's ops tool,
+    find_truncation_opportunities.py:12): per source, how many values exceed
+    a byte budget and how many bytes a truncation config would reclaim —
+    the sizing input for F1's per-column truncation settings."""
+    docs = load_table(spark, sf_dir, "documents")
+    over = F.octet_length("text") > 256
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(over).alias("n_over_budget"),
+        F.max(F.octet_length("text")).cast("bigint").alias("max_bytes"),
+        F.sum(
+            F.when(over, F.octet_length("text") - 256).otherwise(0)
+        ).cast("bigint").alias("reclaimable_bytes"),
+    )

@@ -136,3 +136,36 @@ def load_reporters(spec: str) -> list[ReporterBase]:
             mod, _, cls = name.rpartition(".")
             out.append(getattr(importlib.import_module(mod), cls)())
     return out
+
+
+def make_progress_listener(collected: list):
+    """X2 as a true StreamingQueryListener: capture per-batch progress events
+    (rows/sec, batch duration, sink description) from live streaming
+    queries — the deployment-mode reporter transport. Append-only into
+    ``collected`` (or adapt to any ReporterBase)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            collected.append(("started", event.id))
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            collected.append(
+                (
+                    "progress",
+                    {
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "duration_ms": p.batchDuration,
+                    },
+                )
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            collected.append(("terminated", event.id))
+
+    return _Listener()

@@ -86,3 +86,37 @@ def test_load_reporters_spec(tmp_path):
     assert isinstance(rs[0], StdoutReporter)
     assert isinstance(rs[1], LocalFileReporter)
     assert isinstance(rs[2], AccumulatingReporter)
+
+
+def test_streaming_query_listener_captures_progress(spark, sf_dir, tmp_path):
+    import shutil as _sh
+
+    from sqlserver_cdc_to_kafka_spark.streaming.metrics import make_progress_listener
+    from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tmp_path / "src"; src.mkdir()
+    stage = tmp_path / "stage"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    _sh.copyfile(next(stage.glob("part-*.parquet")), src / "a.parquet")
+
+    events: list = []
+    listener = make_progress_listener(events)
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.schema(ev.schema).parquet(str(src))
+            .writeStream.format("noop").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        import time as _t
+        for _ in range(50):  # listener delivery is async
+            if any(k == "progress" for k, _v in events):
+                break
+            _t.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    kinds = {k for k, _v in events}
+    assert "started" in kinds and "progress" in kinds
+    prog = [v for k, v in events if k == "progress"]
+    assert sum(p["num_input_rows"] for p in prog) == ev.count()
