@@ -187,3 +187,34 @@ def q_unified_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "l_orderkey", "l_linenumber").alias("key_text"),
     )
     return ev.unionByName(lev)
+
+
+@query(
+    "olap_value_histogram",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value < 0 THEN 0
+              WHEN value >= 1000 THEN 21
+              ELSE CAST(FLOOR(value / 50) AS INT) + 1 END AS bucket
+  FROM events)
+SELECT event_type, bucket, COUNT(*) AS n
+FROM b GROUP BY event_type, bucket
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width_bucket) of event values per type — the
+    distribution-profiling primitive (data-quality dashboards, skew
+    detection before a join). Pure map-side binning + one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "bucket",
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(1000.0), F.lit(20)).cast(
+                "int"
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
