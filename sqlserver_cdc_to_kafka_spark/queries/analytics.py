@@ -218,3 +218,47 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "join_asof_order_state",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us,
+       o_orderstatus AS status_at_ship, change_seq AS version_seq
+FROM (SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem) li
+ASOF JOIN cdc_events ce
+  ON li.l_orderkey = ce.o_orderkey AND li.l_shipdate >= ce.__event_time
+""",
+)
+def q_asof_order_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the canonical missing-in-Spark operator): for every line
+    item, the ORDER'S STATE AS OF ITS SHIP DATE — the latest change event at
+    or before l_shipdate per order key. Implemented with the union-and-carry
+    pattern (operators/asof.py): one shuffle, no range explosion; the oracle
+    is DuckDB's native ASOF JOIN."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+    from sqlserver_cdc_to_kafka_spark.operators.asof import asof_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_shipdate"
+    )
+    versions = cdc_events(spark, sf_dir).select(
+        "o_orderkey", "__event_time", "o_orderstatus", "change_seq"
+    )
+    out = asof_join(
+        li,
+        versions,
+        on=["o_orderkey"],
+        left_time="l_shipdate",
+        right_time="__event_time",
+        right_payload=["o_orderstatus", "change_seq"],
+    )
+    ship_us = epoch_micros(load_table(spark, sf_dir, "lineitem"), "l_shipdate")
+    return out.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "l_linenumber",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', __t)").alias("ship_us"),
+        F.col("o_orderstatus").alias("status_at_ship"),
+        F.col("change_seq").alias("version_seq"),
+    )

@@ -149,3 +149,29 @@ def test_mismatch_blocks_groups_consecutive_failures(spark):
         for r in mismatch_blocks(diff).collect()
     )
     assert blocks == [(3, 5, 3), (9, 9, 1)]
+
+
+def test_asof_join_left_semantics(spark):
+    from sqlserver_cdc_to_kafka_spark.operators.asof import asof_join
+
+    versions = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, None)],
+        "k int, vt int, state string",
+    )
+    probes = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 25), (2, 16), (3, 99)], "k int, pt int"
+    )
+    out = asof_join(
+        probes, versions, ["k"], "pt", "vt", ["state"], how="left"
+    ).collect()
+    got = {(r["k"], r["__t"]): r["state"] for r in out}
+    assert got == {
+        (1, 5): None,    # before any version
+        (1, 10): "a",    # ties match (>=)
+        (1, 25): "b",    # latest at-or-before
+        (2, 16): None,   # matched row carries a NULL field (delete-style)
+        (3, 99): None,   # key never versioned
+    }
+    assert len(out) == 5  # left keeps all probes
+    inner = asof_join(probes, versions, ["k"], "pt", "vt", ["state"])
+    assert inner.count() == 3  # (1,10), (1,25), (2,16): matched rows only
