@@ -130,3 +130,37 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_zero_vectors",
         )
     )
+
+
+def _clusters_oracle() -> str:
+    from sqlserver_cdc_to_kafka_spark.queries.pipeline import _minhash_oracle
+
+    pairs = _minhash_oracle().strip()
+    return f"""
+WITH pairs AS ({pairs}),
+und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+verts AS (SELECT DISTINCT src AS doc_id FROM und),
+reach(root, node) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT r.root, u.dst FROM reach r JOIN und u ON r.node = u.src)
+SELECT root AS doc_id, MIN(node) AS component
+FROM reach GROUP BY root
+"""
+
+
+@query("dedup_clusters", oracle="WITH RECURSIVE " + _clusters_oracle().split("WITH ", 1)[1])
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    candidate graph (iterative min-label propagation; the oracle is a
+    recursive-CTE reachability closure). component = min doc_id in the
+    cluster = the canonical survivor of the dedup."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.components import connected_components
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
+        minhash_lsh_candidate_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidate_pairs(docs, "doc_id")
+    return connected_components(pairs)
