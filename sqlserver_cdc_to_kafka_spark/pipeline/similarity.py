@@ -192,3 +192,56 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cos", "rank")
     )
+
+
+def cosine_topk_vectorized(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Same result as ``cosine_topk``, different physical path: the query
+    block is collected (small by definition) and closed over by an
+    Arrow-batched ``mapInPandas`` that scores each candidate batch with ONE
+    numpy matmul — the high-throughput variant when candidate volume makes
+    per-pair expression folds the bottleneck. Each batch emits only its
+    local top-k per query; a cheap global re-rank merges the partials
+    (partials ≈ batches × queries × k rows — tiny)."""
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.array([list(map(float, r[vec_col])) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cn = np.linalg.norm(C, axis=1)
+            sims = np.round((C @ Q.T) / (cn[:, None] * qn[None, :]), 6)
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                # batch-local top-k under the FINAL comparator (cos desc,
+                # then candidate id asc) so no global winner is dropped
+                order = np.lexsort((c_ids, -col))[:k]
+                out_q.extend([q_ids[j]] * len(order))
+                out_c.extend(c_ids[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cos": out_s})
+
+    partials = candidates.select(id_col, vec_col).mapInPandas(
+        score, "q_id bigint, c_id bigint, cos double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )

@@ -164,3 +164,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_candidate_pairs(docs, "doc_id")
     return connected_components(pairs)
+
+
+_ANN_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT q_id, c_id,
+             ROUND(list_cosine_similarity(qv, cv), 6) AS cos
+      FROM q, c)
+SELECT q_id, c_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+@query("ann_cosine_topk_vectorized", oracle=_ANN_TOPK_ORACLE, bench=True)
+def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/numpy physical variant of `ann_cosine_topk`: one matmul per
+    candidate batch inside mapInPandas, batch-local top-k, global re-rank.
+    Same oracle as the expression-fold version — two physical strategies,
+    one semantic contract."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_vectorized(queries, emb, "vec_id", "embedding", k=10)
