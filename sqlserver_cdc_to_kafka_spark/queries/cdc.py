@@ -359,3 +359,52 @@ def q_struct_index_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("idx_hex").alias("max_idx_hex"),
         )
     )
+
+
+@query(
+    "cdc_incremental_agg",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+wp AS (SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_orderkey
+                                          ORDER BY change_seq) AS prev_dim
+       FROM cdc_events),
+deltas AS (
+  SELECT o_orderstatus AS dim, 1 AS delta FROM wp WHERE __operation IN (2, 4)
+  UNION ALL
+  SELECT prev_dim, -1 FROM wp WHERE __operation IN (4, 1)),
+maintained AS (
+  SELECT dim, SUM(delta) AS maintained_count
+  FROM deltas GROUP BY dim HAVING SUM(delta) <> 0),
+recomputed AS (
+  SELECT o_orderstatus AS dim, COUNT(*) AS recomputed_count
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY change_seq DESC) AS rn
+        FROM cdc_events) WHERE rn = 1 AND __operation <> 1
+  GROUP BY dim)
+SELECT m.dim, maintained_count, recomputed_count,
+       maintained_count = recomputed_count AS is_match
+FROM maintained m JOIN recomputed r ON m.dim = r.dim
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a grouped count maintained purely from
+    CDC deltas (insert +1 / update move / delete −1, previous values via
+    lag) must equal the recompute from compacted state — the equivalence is
+    asserted per group INSIDE the result (is_match)."""
+    from sqlserver_cdc_to_kafka_spark.operators.incremental import (
+        incremental_count_by,
+    )
+
+    feed = cdc_events(spark, sf_dir)
+    maintained = incremental_count_by(feed, ["o_orderkey"], "o_orderstatus")
+    recomputed = (
+        last_value_per_key(feed, ["o_orderkey"], "change_seq")
+        .groupBy(F.col("o_orderstatus").alias("dim"))
+        .agg(F.count("*").alias("recomputed_count"))
+    )
+    return maintained.join(recomputed, "dim").select(
+        "dim",
+        "maintained_count",
+        "recomputed_count",
+        (F.col("maintained_count") == F.col("recomputed_count")).alias("is_match"),
+    )
