@@ -262,3 +262,28 @@ def q_asof_order_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status_at_ship"),
         F.col("change_seq").alias("version_seq"),
     )
+
+
+@query(
+    "olap_value_percentiles",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the latency-SLO shape of
+    the reference's metrics, accumulator.py:231-243). Spark's percentile()
+    is exact-with-interpolation like DuckDB's quantile_cont; at 100 TB swap
+    for approx_percentile (t-digest) — same call shape, bounded memory."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
