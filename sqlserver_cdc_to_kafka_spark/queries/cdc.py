@@ -408,3 +408,51 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recomputed_count",
         (F.col("maintained_count") == F.col("recomputed_count")).alias("is_match"),
     )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT o_orderkey,
+       o_orderstatus,
+       change_seq AS version_seq,
+       epoch_us(__event_time) AS valid_from_us,
+       lead(epoch_us(__event_time)) OVER (PARTITION BY o_orderkey
+                                          ORDER BY change_seq) AS valid_to_us,
+       lead(change_seq) OVER (PARTITION BY o_orderkey ORDER BY change_seq)
+         IS NULL AND __operation <> 1 AS is_current
+FROM cdc_events
+WHERE __operation <> 1
+   OR __operation = 1  -- deletes close the last version; emit them too
+""",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 materialization from the change feed: every key version
+    becomes a row with [valid_from, valid_to) and an is_current flag —
+    the warehouse-side history table a CDC pipeline feeds. One window per
+    key; deletes close the final interval (their own row carries
+    is_current=false)."""
+    from pyspark.sql import Window
+
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+
+    feed = cdc_events(spark, sf_dir)
+    us = epoch_micros(feed, "__event_time")
+    w = Window.partitionBy("o_orderkey").orderBy("version_seq")
+    return feed.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("change_seq").alias("version_seq"),
+        us.alias("valid_from_us"),
+        "__operation",
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "version_seq",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w).alias("valid_to_us"),
+        (
+            F.lead("version_seq").over(w).isNull() & (F.col("__operation") != 1)
+        ).alias("is_current"),
+    )

@@ -192,3 +192,49 @@ def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk_vectorized(queries, emb, "vec_id", "embedding", k=10)
+
+
+_STRATA_RATES = {"wiki": 90, "web": 40, "code": 75}  # per-source keep %
+
+
+def _strata_case(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in _STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE 60 END"
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents)
+SELECT source,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE bucket < {_strata_case('source')}) AS n_sampled
+FROM s GROUP BY source
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-source rates (domain reweighting — the
+    standard corpus-mixing step). Hash-bucketed (md5 of id, chars 9-16 so
+    the split and sample buckets are independent), never rand(): the sample
+    is stable across runs, engines and partitionings."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("bigint") % 100
+    rate = F.lit(60)
+    for s, r in _STRATA_RATES.items():
+        rate = F.when(F.col("source") == s, r).otherwise(rate)
+    return (
+        docs.select("source", bucket.alias("bucket"), rate.alias("rate"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(F.col("bucket") < F.col("rate")).alias("n_sampled"),
+        )
+    )

@@ -104,16 +104,22 @@ class TransactionalDirSink:
             for r in self.committed_batches().values()
         ]
 
-    def read_committed(self, spark: SparkSession) -> DataFrame:
+    def read_committed(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """Read ONLY manifest-listed data (uncommitted staging invisible).
-        Records may carry an explicit ``path`` (compacted generations)."""
+        Records may carry an explicit ``path`` (compacted generations).
+
+        ``as_of``: time travel — read the table as it was after batch id
+        ``as_of`` committed (later batches invisible). Compaction collapses
+        history, so travel only reaches past the last compacted generation."""
         batches = self.committed_batches()
+        if as_of is not None:
+            batches = {b: r for b, r in batches.items() if b <= as_of}
         dirs = [
             os.path.join(self.root, "data", batches[b].get("path", f"batch={b}"))
             for b in sorted(batches)
         ]
         if not dirs:
-            raise ValueError("no committed batches")
+            raise ValueError("no committed batches" + (f" at or before {as_of}" if as_of is not None else ""))
         return spark.read.parquet(*dirs)
 
     def compact(

@@ -120,3 +120,20 @@ def test_streaming_query_listener_captures_progress(spark, sf_dir, tmp_path):
     assert "started" in kinds and "progress" in kinds
     prog = [v for k, v in events if k == "progress"]
     assert sum(p["num_input_rows"] for p in prog) == ev.count()
+
+
+def test_time_travel_read(spark, sf_dir, tmp_path):
+    feed = cdc_events(spark, sf_dir).filter(F.col("change_seq") < 3000)
+    sink = TransactionalDirSink(str(tmp_path / "out"), "orders")
+    mb = MicroBatcher(
+        feed, "orders", batch_size=400,
+        sink=lambda b, i: sink.commit_batch(b, i, b.agg(F.max("change_seq")).collect()[0][0]),
+    )
+    mb.run_to_completion()
+    n_all = sink.read_committed(spark).count()
+    n_b0 = sink.read_committed(spark, as_of=0).count()
+    n_b1 = sink.read_committed(spark, as_of=1).count()
+    assert n_b0 == 400 and n_b1 == 800 and n_all == feed.count()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sink.read_committed(spark, as_of=-1)
