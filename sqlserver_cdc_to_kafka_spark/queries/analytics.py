@@ -287,3 +287,138 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@query(
+    "join_range_version_intervals",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+iv AS (
+  SELECT o_orderkey, o_orderstatus, change_seq,
+         epoch_us(__event_time) AS lo,
+         lead(epoch_us(__event_time)) OVER (PARTITION BY o_orderkey
+                                            ORDER BY change_seq) AS hi
+  FROM cdc_events),
+pts AS (SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS p
+        FROM lineitem)
+SELECT l_orderkey, l_linenumber, p AS ship_us,
+       o_orderstatus AS status_in_interval, change_seq AS version_seq
+FROM pts JOIN iv ON l_orderkey = o_orderkey
+WHERE p >= lo AND p < COALESCE(hi, 4611686018427387904)
+""",
+)
+def q_range_version_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval): each line item matched to the order
+    VERSION INTERVAL containing its ship date (intervals = the SCD2 windows
+    of the change feed). Banded implementation — equi-join on (key, band)
+    then exact containment; never a nested-loop range join. Equivalent
+    result to the as-of join, via interval semantics."""
+    from pyspark.sql import Window
+
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+    from sqlserver_cdc_to_kafka_spark.operators.rangejoin import banded_range_join
+
+    feed = cdc_events(spark, sf_dir)
+    us = epoch_micros(feed, "__event_time")
+    w = Window.partitionBy("o_orderkey").orderBy("change_seq")
+    intervals = feed.select(
+        "o_orderkey", "o_orderstatus", "change_seq", us.alias("lo")
+    ).withColumn("hi", F.lead("lo").over(w))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ship_us = epoch_micros(li, "l_shipdate")
+    points = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        ship_us.alias("p"),
+    )
+    max_p = points.agg(F.max("p")).collect()[0][0]
+    out = banded_range_join(
+        points,
+        intervals,
+        on=["o_orderkey"],
+        point_col="p",
+        lo_col="lo",
+        hi_col="hi",
+        band_width=30 * 86_400_000_000,  # 30-day bands ~ version spacing
+        max_point=max_p,
+    )
+    return out.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "l_linenumber",
+        F.col("p").alias("ship_us"),
+        F.col("o_orderstatus").alias("status_in_interval"),
+        F.col("change_seq").alias("version_seq"),
+    )
+
+
+_HOUR_US2 = 3_600_000_000
+_DAY_US2 = 86_400_000_000
+
+
+@query(
+    "window_hierarchical_rollup",
+    oracle=f"""
+WITH hourly AS (
+  SELECT (epoch_us(ts) // {_HOUR_US2}) * {_HOUR_US2} AS hour_us,
+         event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2),
+daily_from_hourly AS (
+  SELECT (hour_us // {_DAY_US2}) * {_DAY_US2} AS day_us, event_type,
+         SUM(n) AS n, SUM(v) AS v
+  FROM hourly GROUP BY 1, 2),
+daily_direct AS (
+  SELECT (epoch_us(ts) // {_DAY_US2}) * {_DAY_US2} AS day_us, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2)
+SELECT h.day_us, h.event_type,
+       h.n AS n_rolled, d.n AS n_direct,
+       ROUND(CAST(h.v AS DOUBLE), 4) AS v_rolled,
+       ROUND(CAST(d.v AS DOUBLE), 4) AS v_direct,
+       h.n = d.n AS is_match
+FROM daily_from_hourly h JOIN daily_direct d
+  ON h.day_us = d.day_us AND h.event_type = d.event_type
+""",
+)
+def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the DAILY rollup is computed
+    FROM THE HOURLY one (sums re-aggregate losslessly; decimal keeps it
+    exact), and the query itself proves it equals the direct daily
+    aggregation. At 100 TB each level materializes incrementally (only new
+    hours touch the daily table) — this is the algebra that makes that
+    valid."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_micros(ev, "ts")
+    hourly = (
+        ev.withColumn("hour_us", us - us % _HOUR_US2)
+        .groupBy("hour_us", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+    )
+    daily_rolled = (
+        hourly.withColumn("day_us", F.col("hour_us") - F.col("hour_us") % _DAY_US2)
+        .groupBy("day_us", "event_type")
+        .agg(F.sum("n").alias("n_rolled"), F.sum("v").alias("v_rolled"))
+    )
+    daily_direct = (
+        ev.withColumn("day_us", us - us % _DAY_US2)
+        .groupBy("day_us", "event_type")
+        .agg(
+            F.count("*").alias("n_direct"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v_direct"),
+        )
+    )
+    return daily_rolled.join(daily_direct, ["day_us", "event_type"]).select(
+        "day_us",
+        "event_type",
+        "n_rolled",
+        "n_direct",
+        F.round(F.col("v_rolled").cast("double"), 4).alias("v_rolled"),
+        F.round(F.col("v_direct").cast("double"), 4).alias("v_direct"),
+        (F.col("n_rolled") == F.col("n_direct")).alias("is_match"),
+    )
