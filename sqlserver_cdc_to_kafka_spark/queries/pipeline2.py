@@ -238,3 +238,115 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("bucket") < F.col("rate")).alias("n_sampled"),
         )
     )
+
+
+def _two_stage_oracle() -> str:
+    from sqlserver_cdc_to_kafka_spark.queries.pipeline import (
+        _DUCK_SHINGLES,
+        _minhash_oracle,
+    )
+
+    pairs = _minhash_oracle().strip()
+    return f"""
+WITH cand AS ({pairs}),
+{_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.inter / CAST(za.sz + zb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE ROUND(i.inter / CAST(za.sz + zb.sz - i.inter AS DOUBLE), 6) >= 0.3
+"""
+
+
+@query("dedup_two_stage", oracle=_two_stage_oracle())
+def q_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup composition: sub-quadratic LSH candidate
+    generation, then EXACT Jaccard verification only on candidates — the
+    two stages the sf-scale queries exercise separately, composed. At
+    100 TB the verify stage touches |candidates| pairs, never |docs|²."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
+        minhash_lsh_candidate_pairs,
+        shingle_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_candidate_pairs(docs, "doc_id")
+    idx = shingle_index(docs, "doc_id")
+    sizes = docs.select(
+        "doc_id",
+        F.size(F.expr(
+            "transform(array(split(text, ' ')), ws -> CASE WHEN size(ws) >= 3 "
+            "THEN array_distinct(transform(sequence(0, size(ws) - 3), "
+            "i -> concat_ws(' ', slice(ws, i + 1, 3)))) ELSE array() END)[0]"
+        )).alias("sz"),
+    )
+    ia = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    ib = idx.select(
+        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cand.join(ia, "doc_a")
+        .join(
+            ib,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+@query(
+    "text_bigram_stats",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bigrams AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM words WHERE len(ws) >= 2)
+SELECT bigram, COUNT(*) AS n
+FROM bigrams GROUP BY bigram
+HAVING COUNT(*) >= 50
+""",
+)
+def q_text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics (the language-model / contamination-check
+    primitive): bigram frequencies above a support threshold. Same
+    let-binding shingle trick as word_shingles (split evaluated once per
+    row); one explode + one hash aggregation — linear in corpus size."""
+    docs = _docs(spark, sf_dir)
+    bigrams = F.expr(
+        "transform(array(split(text, ' ')), ws -> CASE WHEN size(ws) >= 2 "
+        "THEN transform(sequence(0, size(ws) - 2), "
+        "i -> concat_ws(' ', slice(ws, i + 1, 2))) "
+        "ELSE array() END)[0]"
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+    )
