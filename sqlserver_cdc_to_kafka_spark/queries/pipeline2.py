@@ -350,3 +350,64 @@ def q_text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 50)
     )
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_NUM_RE = "[0-9]{6,}"
+
+
+@query(
+    "text_pii_scan",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE regexp_matches(text, '{_EMAIL_RE}'))
+         AS n_with_email,
+       COUNT(*) FILTER (WHERE regexp_matches(text, '{_NUM_RE}'))
+         AS n_with_long_number,
+       SUM(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS n_emails
+FROM documents GROUP BY source
+""",
+)
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/PII scan: per source, documents containing email addresses or
+    long digit runs (id/phone shaped), plus total email hits — the filter
+    stage every training corpus runs before release. Pure regexp built-ins,
+    one scan."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("text").rlike(_EMAIL_RE)).alias("n_with_email"),
+        F.count_if(F.col("text").rlike(_NUM_RE)).alias("n_with_long_number"),
+        F.sum(F.regexp_count("text", F.lit(_EMAIL_RE))).alias("n_emails"),
+    )
+
+
+@query(
+    "pipeline_shuffle_order",
+    oracle="""
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || ':shuffle:42') AS shuffle_key,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle:42')) AS BIGINT)
+         AS position
+FROM documents
+QUALIFY position <= 200
+""",
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: training order = rank of a seeded id
+    hash — reproducible on any engine/partitioning (no rand()), re-seedable
+    per epoch by changing the salt. First 200 positions shown; at scale the
+    full order materializes via repartitionByRange(shuffle_key) + in-
+    partition sort, never a global window."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle:42")))
+    w = Window.orderBy("shuffle_key")
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("position", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("position") <= 200)
+    )
