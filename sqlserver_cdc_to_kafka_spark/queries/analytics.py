@@ -365,8 +365,9 @@ WITH hourly AS (
          SUM(CAST(value AS DECIMAL(18,6))) AS v
   FROM events GROUP BY 1, 2),
 daily_from_hourly AS (
+  -- CAST: DuckDB SUM(BIGINT) is HUGEINT (hashes as float64); Spark is BIGINT
   SELECT (hour_us // {_DAY_US2}) * {_DAY_US2} AS day_us, event_type,
-         SUM(n) AS n, SUM(v) AS v
+         CAST(SUM(n) AS BIGINT) AS n, SUM(v) AS v
   FROM hourly GROUP BY 1, 2),
 daily_direct AS (
   SELECT (epoch_us(ts) // {_DAY_US2}) * {_DAY_US2} AS day_us, event_type,
@@ -374,8 +375,10 @@ daily_direct AS (
   FROM events GROUP BY 1, 2)
 SELECT h.day_us, h.event_type,
        h.n AS n_rolled, d.n AS n_direct,
-       ROUND(CAST(h.v AS DOUBLE), 4) AS v_rolled,
-       ROUND(CAST(d.v AS DOUBLE), 4) AS v_direct,
+       -- exact decimal scaled to integer micro-units: no engine-specific
+       -- double rounding in the hash
+       CAST(h.v * 1000000 AS BIGINT) AS v_rolled_micros,
+       CAST(d.v * 1000000 AS BIGINT) AS v_direct_micros,
        h.n = d.n AS is_match
 FROM daily_from_hourly h JOIN daily_direct d
   ON h.day_us = d.day_us AND h.event_type = d.event_type
@@ -418,7 +421,7 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_rolled",
         "n_direct",
-        F.round(F.col("v_rolled").cast("double"), 4).alias("v_rolled"),
-        F.round(F.col("v_direct").cast("double"), 4).alias("v_direct"),
+        (F.col("v_rolled") * 1_000_000).cast("bigint").alias("v_rolled_micros"),
+        (F.col("v_direct") * 1_000_000).cast("bigint").alias("v_direct_micros"),
         (F.col("n_rolled") == F.col("n_direct")).alias("is_match"),
     )

@@ -135,7 +135,9 @@ SELECT topic,
        COUNT(*) AS n_entries,
        COUNT(*) FILTER (WHERE prev > idx) AS regressions,
        COUNT(*) FILTER (WHERE prev = idx) AS duplicates,
-       COALESCE(SUM(gap), 0) AS missing_offsets,
+       -- DuckDB SUM(INT) yields HUGEINT (float64 via pandas); Spark yields
+       -- BIGINT — cast so the driver's value hash sees the same dtype
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS missing_offsets,
        MIN(idx) AS min_idx,
        MAX(idx) AS max_idx,
        COUNT(DISTINCT kind) AS n_kinds

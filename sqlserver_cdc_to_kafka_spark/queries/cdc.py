@@ -373,7 +373,8 @@ deltas AS (
   UNION ALL
   SELECT prev_dim, -1 FROM wp WHERE __operation IN (4, 1)),
 maintained AS (
-  SELECT dim, SUM(delta) AS maintained_count
+  -- CAST: DuckDB SUM(INT) is HUGEINT (hashes as float64); Spark is BIGINT
+  SELECT dim, CAST(SUM(delta) AS BIGINT) AS maintained_count
   FROM deltas GROUP BY dim HAVING SUM(delta) <> 0),
 recomputed AS (
   SELECT o_orderstatus AS dim, COUNT(*) AS recomputed_count

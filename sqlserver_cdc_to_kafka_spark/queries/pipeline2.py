@@ -21,7 +21,7 @@ SELECT source,
                  % 100 < 95
             THEN 'train' ELSE 'eval' END AS split,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS n_tokens
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM documents GROUP BY 1, 2
 """,
 )
@@ -58,7 +58,7 @@ packed AS (
   FROM toks)
 SELECT source, pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS n_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM packed GROUP BY 1, 2
@@ -365,7 +365,8 @@ SELECT source,
          AS n_with_email,
        COUNT(*) FILTER (WHERE regexp_matches(text, '{_NUM_RE}'))
          AS n_with_long_number,
-       SUM(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS n_emails
+       CAST(SUM(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT)
+         AS n_emails
 FROM documents GROUP BY source
 """,
 )

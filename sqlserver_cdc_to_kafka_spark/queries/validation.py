@@ -79,7 +79,7 @@ def q_lag_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "val_missing_offsets",
     oracle="""
 SELECT bucket,
-       COALESCE(SUM(gap), 0) AS missing,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS missing,
        COUNT(*) AS n_rows
 FROM (SELECT user_id % 8 AS bucket,
              event_id - lag(event_id) OVER (PARTITION BY user_id % 8

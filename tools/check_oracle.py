@@ -94,6 +94,21 @@ def main() -> int:
         else:
             for c in got.columns:
                 g, w = got[c], want[c]
+                # The driver's value hash is dtype-sensitive: a DuckDB HUGEINT
+                # (SUM over integers) arrives as float64 while Spark emits
+                # int64 — numerically equal, hash-different. Flag it here.
+                g_int = np.issubdtype(g.dtype, np.integer)
+                w_int = np.issubdtype(w.dtype, np.integer)
+                g_flt = np.issubdtype(g.dtype, np.floating)
+                w_flt = np.issubdtype(w.dtype, np.floating)
+                if (g_int and w_flt) or (g_flt and w_int):
+                    print(
+                        f"FAIL {name}: column {c} dtype skew "
+                        f"spark={g.dtype} duckdb={w.dtype} "
+                        "(driver hash would mismatch — CAST the oracle)"
+                    )
+                    ok = False
+                    break
                 if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
                     eq = np.isclose(
                         g.astype(float), w.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True
