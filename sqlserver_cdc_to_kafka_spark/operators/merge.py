@@ -61,6 +61,7 @@ def global_order_rank(
     idx_col: str,
     buckets: int | None = None,
     bounds: tuple | None = None,
+    numeric_col: str | None = None,
 ) -> DataFrame:
     """Dense global rank along ``idx_col`` WITHOUT a single-partition sort.
 
@@ -73,19 +74,25 @@ def global_order_rank(
 
     Pass ``bounds=(lo, hi)`` when the caller already knows the index range
     (e.g. from the frontier computation) to skip one extra pass over the
-    data."""
+    data.
+
+    ``numeric_col``: bucketing key when ``idx_col`` itself is not numeric
+    (e.g. a hex-string sort key whose fixed-width numeric prefix is monotone
+    in the string order). Bucket boundaries come from ``numeric_col``;
+    ordering within buckets stays on ``idx_col``."""
     spark = df.sparkSession
+    bucket_key = numeric_col or idx_col
     if buckets is None:
         buckets = max(spark.sparkContext.defaultParallelism, 16)
     if bounds is not None:
         lo, hi = bounds
     else:
-        lo, hi = df.agg(F.min(idx_col), F.max(idx_col)).collect()[0]
+        lo, hi = df.agg(F.min(bucket_key), F.max(bucket_key)).collect()[0]
     if lo is None:
         return df.withColumn("global_rank", F.lit(None).cast("bigint"))
     bucketed = df.withColumn(
         "__bucket",
-        F.width_bucket(F.col(idx_col), F.lit(lo), F.lit(hi) + 1, F.lit(buckets)),
+        F.width_bucket(F.col(bucket_key), F.lit(lo), F.lit(hi) + 1, F.lit(buckets)),
     )
     counts = sorted(
         (r["__bucket"], r["n"])

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,14 +57,19 @@ def mismatch_blocks(diff: DataFrame) -> DataFrame:
     """Group consecutive non-matching indexes into blocks
     (row_comparison_validator.py:148-180's report shape): block start/end
     index + row count per block. Gaps-and-islands: island id = rank over all
-    non-matches minus rank within the ordered sequence."""
-    # NB: global windows — fine for a *report* of failures (bounded output);
-    # at scale pre-filter by table/partition before blocking. Two rows are
-    # consecutive when no matching row sits between them, so the island id is
-    # rank-in-full-sequence minus rank-among-failures.
-    all_ranked = diff.withColumn("rn_all", F.row_number().over(Window.orderBy("idx")))
-    bad_ranked = all_ranked.filter(F.col("status") != "match").withColumn(
-        "rn_bad", F.row_number().over(Window.orderBy("idx"))
+    non-matches minus rank within the ordered sequence.
+
+    Both ranks are bucketed range ranks (``global_order_rank``), never a
+    single-partition ``row_number`` window — the full diff is specced at
+    1 M+ rows per topic and must rank in parallel."""
+    from sqlserver_cdc_to_kafka_spark.operators.merge import global_order_rank
+
+    all_ranked = global_order_rank(diff, "idx").withColumnRenamed(
+        "global_rank", "rn_all"
+    )
+    bad = all_ranked.filter(F.col("status") != "match")
+    bad_ranked = global_order_rank(bad, "idx").withColumnRenamed(
+        "global_rank", "rn_bad"
     )
     return (
         bad_ranked.withColumn("island", F.col("rn_all") - F.col("rn_bad"))

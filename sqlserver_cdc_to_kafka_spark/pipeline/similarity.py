@@ -95,6 +95,81 @@ def cosine_threshold_pairs(
     )
 
 
+def cosine_threshold_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    planes: int = LSH_PLANES,
+    band_size: int = 2,
+) -> DataFrame:
+    """Scale path for threshold pairs: banded hyperplane-LSH candidate
+    generation (OR-amplified — a pair is a candidate if ANY band's hash
+    collides), then the EXACT cosine verify on candidates only. Candidates
+    come from an equality self-join on (band, band_hash) — never a corpus ×
+    corpus cross join; at 100 TB the join shuffles on the band hash and skew
+    is bounded by bucket population, not N².
+
+    Recall < 1.0 by construction (sign-random-projection misses some
+    above-threshold pairs); precision is exact (every emitted pair passed
+    the true cosine test). The quadratic ``cosine_threshold_pairs`` is the
+    recall baseline, kept for tests."""
+    signs = hyperplane_signs(planes)
+    e = df.select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    bits = e.select(
+        "vid",
+        *[
+            (dot(F.col("v"), F.array([F.lit(s) for s in plane])) > 0)
+            .cast("int")
+            .alias(f"bit_{p}")
+            for p, plane in enumerate(signs)
+        ],
+    )
+    n_bands = planes // band_size
+    band_structs = []
+    for b in range(n_bands):
+        bh = F.lit(0)
+        for i in range(band_size):
+            bh = bh + (F.col(f"bit_{b * band_size + i}") * (1 << i))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bh.cast("int").alias("bh"))
+        )
+    bands = bits.select(
+        "vid", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    eb = e.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def hyperplane_signs(planes: int = LSH_PLANES, dim: int = EMBEDDING_DIM) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: sign(p, d) = −1 iff the first hex digit
     of md5('p,d') ≥ 8. Reproducible in any engine/runtime (used verbatim by

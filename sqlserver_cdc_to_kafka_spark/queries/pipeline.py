@@ -21,7 +21,7 @@ from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
     frame_sample,
 )
 from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
-    cosine_threshold_pairs,
+    cosine_threshold_pairs_lsh,
     cosine_topk,
     hyperplane_signs,
     ivf_topk,
@@ -191,21 +191,40 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, "vec_id", "embedding", k=10)
 
 
-@query(
-    "ann_cosine_threshold_pairs",
-    oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
-""",
-)
+def _threshold_pairs_lsh_oracle() -> str:
+    """DuckDB replica of the banded-LSH candidate generation + exact verify
+    (same deterministic hyperplanes, so both engines test the SAME candidate
+    set — the hash gate checks the full composition, not just the verify)."""
+    return f"""
+WITH planes AS ({_planes_sql()}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (SELECT vec_id, p,
+                CASE WHEN list_dot_product(v, plane) > 0 THEN 1 ELSE 0 END AS bit
+         FROM e, planes),
+bands AS (SELECT vec_id, p // 2 AS band,
+                 CAST(SUM(bit << (p % 2)) AS INT) AS bh
+          FROM bits GROUP BY vec_id, p // 2),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+FROM cand
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+"""
+
+
+@query("ann_cosine_threshold_pairs", oracle=_threshold_pairs_lsh_oracle())
 def q_ann_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.4) — the exact quadratic
-    baseline the LSH buckets pre-filter at scale."""
+    """Embedding near-dup pairs (cosine ≥ 0.4), production shape: banded
+    hyperplane-LSH candidates (equality join on (band, hash) — sub-quadratic)
+    then the exact cosine verify on candidates only. The all-pairs crossJoin
+    (``cosine_threshold_pairs``) stays as the recall baseline in tests; this
+    plan contains no corpus×corpus cartesian."""
     emb = _emb(spark, sf_dir)
-    return cosine_threshold_pairs(emb, "vec_id", "embedding", 0.4)
+    return cosine_threshold_pairs_lsh(emb, "vec_id", "embedding", 0.4)
 
 
 def _planes_sql() -> str:

@@ -399,16 +399,25 @@ QUALIFY position <= 200
 def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle: training order = rank of a seeded id
     hash — reproducible on any engine/partitioning (no rand()), re-seedable
-    per epoch by changing the salt. First 200 positions shown; at scale the
-    full order materializes via repartitionByRange(shuffle_key) + in-
-    partition sort, never a global window."""
-    from pyspark.sql import Window
+    per epoch by changing the salt. The rank is the bucketed range rank
+    (``global_order_rank``): the md5 key's fixed-width numeric prefix range-
+    buckets the rows (monotone in the string order), each bucket ranks in
+    parallel — no single-partition window at any scale. First 200 positions
+    shown."""
+    from sqlserver_cdc_to_kafka_spark.operators.merge import global_order_rank
 
     docs = _docs(spark, sf_dir)
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle:42")))
-    w = Window.orderBy("shuffle_key")
+    keyed = docs.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "__prefix",
+        F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint"),
+    )
+    ranked = global_order_rank(keyed, "shuffle_key", numeric_col="__prefix")
     return (
-        docs.select("doc_id", key.alias("shuffle_key"))
-        .withColumn("position", F.row_number().over(w).cast("bigint"))
+        ranked.select(
+            "doc_id",
+            "shuffle_key",
+            F.col("global_rank").cast("bigint").alias("position"),
+        )
         .filter(F.col("position") <= 200)
     )

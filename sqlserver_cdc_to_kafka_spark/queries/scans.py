@@ -88,12 +88,15 @@ GROUP BY 1
 def q_scan_timestamp_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (row_comparison_validator.py:111-126): offsets_for_times seek —
     per partition, the first offset at/after (target time − 30 s clock-skew
-    buffer). Target here = 1 h past the log start (deterministic)."""
+    buffer). Target here = 1 h past the log start (deterministic). The target
+    is a 1-row aggregate broadcast onto the scan — one job, no driver-side
+    scalar pre-pass."""
     ev = load_table(spark, sf_dir, "events")
     us = epoch_micros(ev, "ts")
-    t_us = ev.agg((F.min(us) + F.lit(3_600_000_000)).alias("t")).collect()[0]["t"]
+    target = ev.agg((F.min(us) + F.lit(3_600_000_000)).alias("t_us"))
     return (
-        ev.filter(us >= F.lit(t_us - _SKEW_BUFFER_US))
+        ev.crossJoin(F.broadcast(target))
+        .filter(us >= F.col("t_us") - F.lit(_SKEW_BUFFER_US))
         .withColumn("partition", F.col("user_id") % _N_PARTS)
         .groupBy("partition")
         .agg(F.min("event_id").alias("start_offset"), F.count("*").alias("n_after"))

@@ -36,20 +36,29 @@ class SnapshotStream:
 
     def next_page(self) -> DataFrame | None:
         """None once the table is exhausted (snapshot-completed sentinel,
-        constants.py:35)."""
+        constants.py:35).
+
+        The resume key is a one-row aggregate (``min(struct(key_cols))`` —
+        the page scans high→low, so its minimum key is the last row emitted);
+        the page itself never leaves the executors. Collecting the whole
+        2,000-row page to read one key would be a driver-memory risk with
+        wide/blob rows."""
         if self.completed:
             return None
         page = snapshot_page(
             self.source, self.key_cols, self.last_key, self.batch_size
         ).cache()
-        rows = page.collect()
-        if not rows:
+        summary = page.agg(
+            F.count("*").alias("n"),
+            F.min(F.struct(*self.key_cols)).alias("low_key"),
+        ).collect()[0]
+        if summary["n"] == 0:
             page.unpersist()
             self.completed = True
             return None
-        self.last_key = tuple(rows[-1][c] for c in self.key_cols)
+        self.last_key = tuple(summary["low_key"][c] for c in self.key_cols)
         self.pages_emitted += 1
-        if len(rows) < self.batch_size:
+        if summary["n"] < self.batch_size:
             self.completed = True
         return page
 
