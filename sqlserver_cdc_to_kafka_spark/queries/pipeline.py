@@ -191,6 +191,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, "vec_id", "embedding", k=10)
 
 
+def _planes_sql() -> str:
+    rows = []
+    for p, signs in enumerate(hyperplane_signs()):
+        arr = "[" + ", ".join(str(s) for s in signs) + "]"
+        rows.append(f"SELECT {p} AS p, {arr}::DOUBLE[] AS plane")
+    return " UNION ALL ".join(rows)
+
+
 def _threshold_pairs_lsh_oracle() -> str:
     """DuckDB replica of the banded-LSH candidate generation + exact verify
     (same deterministic hyperplanes, so both engines test the SAME candidate
@@ -225,14 +233,6 @@ def q_ann_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan contains no corpus×corpus cartesian."""
     emb = _emb(spark, sf_dir)
     return cosine_threshold_pairs_lsh(emb, "vec_id", "embedding", 0.4)
-
-
-def _planes_sql() -> str:
-    rows = []
-    for p, signs in enumerate(hyperplane_signs()):
-        arr = "[" + ", ".join(str(s) for s in signs) + "]"
-        rows.append(f"SELECT {p} AS p, {arr}::DOUBLE[] AS plane")
-    return " UNION ALL ".join(rows)
 
 
 @query(
