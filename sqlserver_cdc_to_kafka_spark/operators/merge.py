@@ -115,6 +115,67 @@ def global_order_rank(
     )
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Running ``SUM(value) OVER (PARTITION BY group ORDER BY order ROWS
+    UNBOUNDED PRECEDING)`` WITHOUT one window partition per group value.
+
+    A plain window is fine when groups are numerous and small, but with few
+    large groups (e.g. 3 corpus sources over 100 TB) each group's entire data
+    funnels through a single task. Same two-phase trick as
+    ``global_order_rank``: (1) range-bucket rows on the numeric ``order_col``
+    so each (group, bucket) is a bounded slice; (2) window-sum within each
+    slice in parallel and add the exclusive prefix total of the group's
+    earlier buckets (a per-(group, bucket) SUM collected to the driver —
+    bounded by groups x buckets, not data size)."""
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = max(spark.sparkContext.defaultParallelism, 16)
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).collect()[0]
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    bucketed = df.withColumn(
+        "__bucket",
+        F.width_bucket(F.col(order_col), F.lit(lo), F.lit(hi) + 1, F.lit(buckets)),
+    )
+    totals = sorted(
+        (r[group_col], r["__bucket"], r["t"])
+        for r in bucketed.groupBy(group_col, "__bucket")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    )
+    offsets, acc = {}, {}
+    for g, b, t in totals:
+        offsets[(g, b)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + t
+    offset_map = F.create_map(
+        *[
+            x
+            for (g, b), off in offsets.items()
+            for x in (F.concat_ws("\x00", F.lit(g), F.lit(b)), F.lit(off))
+        ]
+    )
+    w = (
+        Window.partitionBy(group_col, "__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    key = F.concat_ws("\x00", F.col(group_col), F.col("__bucket"))
+    return (
+        bucketed.withColumn(
+            out_col,
+            (F.sum(value_col).over(w) + offset_map[key]).cast("bigint"),
+        )
+        .drop("__bucket")
+    )
+
+
 def order_regression_check(
     df: DataFrame,
     partition_cols: Sequence[str],

@@ -29,17 +29,27 @@ def banded_range_join(
     lo_col: str,
     hi_col: str,
     band_width: int,
-    max_point: int,
+    max_point: int | None = None,
     open_ended_hi: bool = True,
 ) -> DataFrame:
     """Rows of ``points ⋈ intervals`` where ``lo <= point < hi`` (or
     ``<= hi`` with ``open_ended_hi=False``), equi-keyed by ``on`` + band.
     A NULL ``hi`` means unbounded (current interval); band generation caps
-    at ``max_point`` (the probe side's max — one tiny pre-aggregate) so an
-    open interval explodes to finitely many bands without losing matches."""
+    at the probe side's max point so an open interval explodes to finitely
+    many bands without losing matches. By default that cap is folded into
+    the plan as a broadcast 1-row aggregate of ``points`` — no driver-side
+    scalar pre-pass, one job. Pass ``max_point`` only when the caller
+    already holds the bound."""
+    if max_point is not None:
+        banded_src = intervals.withColumn("__max_p", F.lit(max_point))
+    else:
+        mp = points.agg(F.max(point_col).alias("__max_p"))
+        banded_src = intervals.crossJoin(F.broadcast(mp))
     hi_filled = F.coalesce(F.col(hi_col), F.lit(2**62))
-    band_cap = F.least(hi_filled, F.lit(max_point))
-    banded = intervals.withColumn(
+    # empty probe side => NULL cap; fall back to lo so each open interval
+    # keeps exactly one band instead of exploding to 2^62 / band_width
+    band_cap = F.least(hi_filled, F.coalesce(F.col("__max_p"), F.col(lo_col)))
+    banded = banded_src.withColumn(
         "__band",
         F.explode(
             F.sequence(
@@ -50,7 +60,7 @@ def banded_range_join(
                 ),
             )
         ),
-    )
+    ).drop("__max_p")
     pts = points.withColumn("__band", (F.col(point_col) / band_width).cast("bigint"))
     joined = pts.join(banded, [*on, "__band"])
     upper = (

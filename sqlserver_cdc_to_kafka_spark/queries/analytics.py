@@ -332,7 +332,6 @@ def q_range_version_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         ship_us.alias("p"),
     )
-    max_p = points.agg(F.max("p")).collect()[0][0]
     out = banded_range_join(
         points,
         intervals,
@@ -341,7 +340,6 @@ def q_range_version_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo_col="lo",
         hi_col="hi",
         band_width=30 * 86_400_000_000,  # 30-day bands ~ version spacing
-        max_point=max_p,
     )
     return out.select(
         F.col("o_orderkey").alias("l_orderkey"),

@@ -67,23 +67,23 @@ FROM packed GROUP BY 1, 2
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concatenate documents (per source, in id order)
     into fixed context windows — pack id = exclusive-prefix token count div
-    window size. One window function per source partition; at 100 TB each
-    source packs independently in parallel and no document is split across
-    engines differently (deterministic order, no rand)."""
-    from pyspark.sql import Window
+    window size. The running token sum uses the bucketed two-pass prefix sum
+    (``grouped_prefix_sum``): with only a handful of source values, a plain
+    ``PARTITION BY source`` window would funnel each source's entire corpus
+    through one task at 100 TB; range-bucketing on doc_id keeps every slice
+    parallel while producing the identical deterministic order (no rand)."""
+    from sqlserver_cdc_to_kafka_spark.operators.merge import grouped_prefix_sum
 
     docs = _docs(spark, sf_dir).select(
         "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    summed = grouped_prefix_sum(
+        docs, "source", "doc_id", "n_tokens", out_col="__run_tokens"
     )
-    packed = docs.withColumn(
+    packed = summed.withColumn(
         "pack_id",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _CTX_WINDOW).cast("bigint"),
-    )
+        ((F.col("__run_tokens") - F.col("n_tokens")) / _CTX_WINDOW).cast("bigint"),
+    ).drop("__run_tokens")
     return packed.groupBy("source", "pack_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
@@ -329,14 +329,17 @@ bigrams AS (
   FROM words WHERE len(ws) >= 2)
 SELECT bigram, COUNT(*) AS n
 FROM bigrams GROUP BY bigram
-HAVING COUNT(*) >= 50
+HAVING COUNT(*) >= (SELECT COUNT(*) FROM documents) / 50.0
 """,
 )
 def q_text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics (the language-model / contamination-check
-    primitive): bigram frequencies above a support threshold. Same
-    let-binding shingle trick as word_shingles (split evaluated once per
-    row); one explode + one hash aggregation — linear in corpus size."""
+    primitive): bigram frequencies above a support threshold. The threshold
+    scales with corpus size (|docs| / 50) so the query is non-degenerate at
+    every SF; the scalar is folded in via a broadcast 1-row cross join, not a
+    driver collect. Same let-binding shingle trick as word_shingles (split
+    evaluated once per row); one explode + one hash aggregation — linear in
+    corpus size."""
     docs = _docs(spark, sf_dir)
     bigrams = F.expr(
         "transform(array(split(text, ' ')), ws -> CASE WHEN size(ws) >= 2 "
@@ -344,11 +347,14 @@ def q_text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> concat_ws(' ', slice(ws, i + 1, 2))) "
         "ELSE array() END)[0]"
     )
+    support = docs.agg((F.count("*") / F.lit(50.0)).alias("_min_n"))
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 50)
+        .join(F.broadcast(support))
+        .filter(F.col("n") >= F.col("_min_n"))
+        .drop("_min_n")
     )
 
 

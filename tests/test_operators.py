@@ -175,3 +175,33 @@ def test_asof_join_left_semantics(spark):
     assert len(out) == 5  # left keeps all probes
     inner = asof_join(probes, versions, ["k"], "pt", "vt", ["state"])
     assert inner.count() == 3  # (1,10), (1,25), (2,16): matched rows only
+
+
+def test_grouped_prefix_sum_matches_plain_window(spark):
+    from pyspark.sql import Window
+
+    from sqlserver_cdc_to_kafka_spark.operators.merge import grouped_prefix_sum
+
+    rows = [(f"s{i % 3}", i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, ord long, v long")
+    got = {
+        (r["g"], r["ord"]): r["prefix_sum"]
+        for r in grouped_prefix_sum(df, "g", "ord", "v", buckets=8).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["g"], r["ord"]): r["ps"]
+        for r in df.withColumn("ps", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_prefix_sum_empty_input(spark):
+    from sqlserver_cdc_to_kafka_spark.operators.merge import grouped_prefix_sum
+
+    df = spark.createDataFrame([], "g string, ord long, v long")
+    assert grouped_prefix_sum(df, "g", "ord", "v").count() == 0
