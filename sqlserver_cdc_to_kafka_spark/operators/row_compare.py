@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -53,6 +53,23 @@ def row_diff(
     )
 
 
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "date",
+    "timestamp", "timestamp_ntz",
+}
+
+
+def _order_prefix_num(idx: Column) -> Column:
+    """Monotone numeric prefix of a string/binary index: the first 6 bytes
+    read as a big-endian integer (< 2^48 — width_bucket computes bounds in
+    DOUBLE, so the key must stay inside double's exact-integer range 2^53).
+    Spark compares strings by UTF-8 byte order, so the prefix never inverts
+    the idx ordering — exactly what a range-bucketing key needs (ties within
+    a shared prefix just share a bucket; in-bucket ordering stays on idx)."""
+    raw = F.substring(F.encode(idx.cast("string"), "UTF-8"), 1, 6)
+    return F.coalesce(F.conv(F.hex(raw), 16, 10).cast("bigint"), F.lit(0))
+
+
 def mismatch_blocks(diff: DataFrame) -> DataFrame:
     """Group consecutive non-matching indexes into blocks
     (row_comparison_validator.py:148-180's report shape): block start/end
@@ -61,16 +78,29 @@ def mismatch_blocks(diff: DataFrame) -> DataFrame:
 
     Both ranks are bucketed range ranks (``global_order_rank``), never a
     single-partition ``row_number`` window — the full diff is specced at
-    1 M+ rows per topic and must rank in parallel."""
+    1 M+ rows per topic and must rank in parallel. Non-numeric change
+    indexes (e.g. hex LSN strings) are bucketed on a monotone 7-byte numeric
+    prefix; ordering within buckets stays on the index itself. The diff is
+    cached and its range computed once, shared by both rank passes, so the
+    upstream comparison join is not re-run per rank action."""
     from sqlserver_cdc_to_kafka_spark.operators.merge import global_order_rank
 
-    all_ranked = global_order_rank(diff, "idx").withColumnRenamed(
-        "global_rank", "rn_all"
-    )
+    numeric = dict(diff.dtypes).get("idx") in _NUMERIC_TYPES
+    num_col = None
+    if not numeric:
+        diff = diff.withColumn("__idx_num", _order_prefix_num(F.col("idx")))
+        num_col = "__idx_num"
+    diff = diff.persist()
+    key = num_col or "idx"
+    lo, hi = diff.agg(F.min(key), F.max(key)).collect()[0]
+    bounds = (lo, hi)
+    all_ranked = global_order_rank(
+        diff, "idx", bounds=bounds, numeric_col=num_col
+    ).withColumnRenamed("global_rank", "rn_all")
     bad = all_ranked.filter(F.col("status") != "match")
-    bad_ranked = global_order_rank(bad, "idx").withColumnRenamed(
-        "global_rank", "rn_bad"
-    )
+    bad_ranked = global_order_rank(
+        bad, "idx", bounds=bounds, numeric_col=num_col
+    ).withColumnRenamed("global_rank", "rn_bad")
     return (
         bad_ranked.withColumn("island", F.col("rn_all") - F.col("rn_bad"))
         .groupBy("island")

@@ -26,6 +26,7 @@ from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
     hyperplane_signs,
     ivf_topk,
     lsh_buckets,
+    lsh_params_for_threshold,
 )
 from sqlserver_cdc_to_kafka_spark.pipeline.text import (
     DEFAULT_STOPWORDS,
@@ -191,12 +192,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, "vec_id", "embedding", k=10)
 
 
-def _planes_sql() -> str:
+def _planes_sql(planes: int | None = None) -> str:
     rows = []
-    for p, signs in enumerate(hyperplane_signs()):
+    for p, signs in enumerate(hyperplane_signs(planes) if planes else hyperplane_signs()):
         arr = "[" + ", ".join(str(s) for s in signs) + "]"
         rows.append(f"SELECT {p} AS p, {arr}::DOUBLE[] AS plane")
     return " UNION ALL ".join(rows)
+
+
+# tuned for the 0.4 threshold: 10 bands of 4 bits (40 planes) — see
+# lsh_params_for_threshold's docstring for the recall/selectivity theory
+_TP_BAND_SIZE, _TP_N_BANDS = lsh_params_for_threshold(0.4)
+_TP_PLANES = _TP_BAND_SIZE * _TP_N_BANDS
 
 
 def _threshold_pairs_lsh_oracle() -> str:
@@ -204,14 +211,14 @@ def _threshold_pairs_lsh_oracle() -> str:
     (same deterministic hyperplanes, so both engines test the SAME candidate
     set — the hash gate checks the full composition, not just the verify)."""
     return f"""
-WITH planes AS ({_planes_sql()}),
+WITH planes AS ({_planes_sql(_TP_PLANES)}),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bits AS (SELECT vec_id, p,
                 CASE WHEN list_dot_product(v, plane) > 0 THEN 1 ELSE 0 END AS bit
          FROM e, planes),
-bands AS (SELECT vec_id, p // 2 AS band,
-                 CAST(SUM(bit << (p % 2)) AS INT) AS bh
-          FROM bits GROUP BY vec_id, p // 2),
+bands AS (SELECT vec_id, p // {_TP_BAND_SIZE} AS band,
+                 CAST(SUM(bit << (p % {_TP_BAND_SIZE})) AS INT) AS bh
+          FROM bits GROUP BY vec_id, p // {_TP_BAND_SIZE}),
 cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
@@ -226,13 +233,20 @@ WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
 
 @query("ann_cosine_threshold_pairs", oracle=_threshold_pairs_lsh_oracle())
 def q_ann_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.4), production shape: banded
-    hyperplane-LSH candidates (equality join on (band, hash) — sub-quadratic)
-    then the exact cosine verify on candidates only. The all-pairs crossJoin
-    (``cosine_threshold_pairs``) stays as the recall baseline in tests; this
-    plan contains no corpus×corpus cartesian."""
+    """Embedding near-dup pairs via banded hyperplane-LSH candidates
+    (equality join on (band, hash), no corpus×corpus cartesian) then the
+    exact cosine verify on candidates only. NOTE the semantics: this is the
+    LSH-RECALL SUBSET of "all pairs with cos ≥ 0.4", not the exhaustive set —
+    params from ``lsh_params_for_threshold(0.4)`` (10 bands × 4 bits),
+    measured recall ≈ 0.80 vs the quadratic ``cosine_threshold_pairs``
+    baseline, pinned by ``test_threshold_pairs_lsh_recall``. Precision is
+    exact. The oracle replicates the same deterministic construction, so the
+    hash gate proves Spark⇄SQL parity of the full composition; the recall
+    test is what pins fidelity to the exhaustive spec."""
     emb = _emb(spark, sf_dir)
-    return cosine_threshold_pairs_lsh(emb, "vec_id", "embedding", 0.4)
+    return cosine_threshold_pairs_lsh(
+        emb, "vec_id", "embedding", 0.4, planes=_TP_PLANES, band_size=_TP_BAND_SIZE
+    )
 
 
 @query(

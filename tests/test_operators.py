@@ -127,6 +127,46 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
 
 
+def test_threshold_pairs_lsh_recall(spark, sf_dir):
+    """The LSH threshold-pairs query is the LSH-recall SUBSET of the exact
+    quadratic spec — pin both directions of that trade: precision must be
+    exact (every emitted pair truly ≥ threshold) and recall vs the
+    brute-force baseline must clear the tuned floor (params from
+    lsh_params_for_threshold(0.4) measure ≈ 0.80 on this corpus)."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
+        cosine_threshold_pairs,
+        cosine_threshold_pairs_lsh,
+    )
+    from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_threshold_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_threshold_pairs_lsh(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    assert approx <= exact, "LSH emitted a pair below the exact threshold"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.75, f"LSH threshold-pairs recall too low: {recall}"
+
+
+def test_lsh_params_for_threshold_tuning():
+    """The parameter chooser must widen bands as the threshold rises (higher
+    p1 → selectivity is cheap) and respect the plane budget."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
+        lsh_params_for_threshold,
+    )
+
+    b04, l04 = lsh_params_for_threshold(0.4)
+    assert (b04, l04) == (4, 10)  # the tuned default the query/oracle embed
+    b09, l09 = lsh_params_for_threshold(0.9)
+    assert b09 > b04  # near-dup threshold affords much wider bands
+    assert b09 * l09 <= 64
+
+
 def test_mismatch_blocks_groups_consecutive_failures(spark):
     from sqlserver_cdc_to_kafka_spark.operators.row_compare import (
         mismatch_blocks,
@@ -149,6 +189,32 @@ def test_mismatch_blocks_groups_consecutive_failures(spark):
         for r in mismatch_blocks(diff).collect()
     )
     assert blocks == [(3, 5, 3), (9, 9, 1)]
+
+
+def test_mismatch_blocks_string_hex_index(spark):
+    """The row_diff contract allows non-numeric change indexes (hex LSN
+    strings); blocks must still group on the string order via the monotone
+    byte-prefix bucketing key."""
+    from sqlserver_cdc_to_kafka_spark.operators.row_compare import (
+        mismatch_blocks,
+        row_diff,
+    )
+
+    def lsn(i):
+        return f"00000a{i:02x}:000000{i:02x}:0001"
+
+    e = spark.createDataFrame(
+        [(lsn(i), "v" if i not in (3, 4, 9) else "bad") for i in range(12)],
+        "idx string, v string",
+    )
+    a = spark.createDataFrame(
+        [(lsn(i), "v") for i in range(12) if i != 9], "idx string, v string"
+    )
+    blocks = sorted(
+        (r["block_start"], r["block_end"], r["n_rows"])
+        for r in mismatch_blocks(row_diff(e, a, "idx", ["v"])).collect()
+    )
+    assert blocks == [(lsn(3), lsn(4), 2), (lsn(9), lsn(9), 1)]
 
 
 def test_asof_join_left_semantics(spark):
