@@ -73,3 +73,116 @@ def pack_float(v: float) -> bytes:
 
 def pack_double(v: float) -> bytes:
     return struct.pack("<d", v)
+
+
+# ---------------------------------------------------------------------------
+# Envelope-level encoding: the full CDC message layout the reference
+# hand-rolls in ``cdc_kafka/serializers/avro.py:505-545`` (value) and
+# :553-557 (key), with the ``__updated_fields`` enum-array from
+# ``avro.py:229-236`` (all-columns case) and ``avro.py:534-543``
+# (update-mask case). Pure-Python spec implementation — the Spark path
+# produces the same envelope via avro_serde; these bytes pin the wire
+# format against golden vectors in tests.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_OPERATION_ID = 0
+DELETE_OPERATION_ID = 1
+INSERT_OPERATION_ID = 2
+PRE_UPDATE_OPERATION_ID = 3
+POST_UPDATE_OPERATION_ID = 4
+
+_ALL_COLS_OPS = (SNAPSHOT_OPERATION_ID, INSERT_OPERATION_ID, DELETE_OPERATION_ID)
+
+
+def confluent_header(schema_id: int) -> bytes:
+    """Confluent wire-format prefix: magic 0 + 4-byte big-endian schema id
+    (avro.py:514,516 ``struct.pack('>bI', 0, schema_id)``)."""
+    return struct.pack(">bI", 0, schema_id)
+
+
+def avro_string(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return write_varint(len(raw)) + raw
+
+
+def avro_bytes(b: bytes) -> bytes:
+    return write_varint(len(b)) + b
+
+
+def avro_decimal(value: decimal.Decimal, scale: int) -> bytes:
+    return avro_bytes(decimal_to_bytes(value, scale))
+
+
+def avro_bool(v: bool) -> bytes:
+    return bytes([1 if v else 0])
+
+
+def updated_fields_array(col_count: int, update_mask: bytes | None = None) -> bytes:
+    """``__updated_fields``: an Avro array of enum indices (block count,
+    items, 0 terminator). Enum symbol 0 is the UNKNOWN_COL default, so
+    source columns are 1-based. ``update_mask=None`` = the all-columns form
+    (snapshot/insert/delete, avro.py:229-236); otherwise the mask's set bits
+    select columns — bit i of the mask read as a big-endian integer is
+    column ordinal i+1 (the bitarray reverse() dance at avro.py:536-543)."""
+    out = bytearray()
+    if update_mask is None:
+        out += write_varint(col_count)
+        for ordinal in range(1, col_count + 1):
+            out += write_varint(ordinal)
+    else:
+        m = int.from_bytes(update_mask, "big")
+        set_bits = [i for i in range(8 * len(update_mask)) if (m >> i) & 1]
+        out += write_varint(len(set_bits))
+        for i in set_bits:
+            out += write_varint(i + 1)
+    out += b"\x00"
+    return bytes(out)
+
+
+def encode_envelope_value(
+    value_schema_id: int,
+    operation_id: int,
+    event_time_iso: str,
+    lsn: bytes | None,
+    command_id: int | None,
+    seqval: bytes | None,
+    field_datums: list[bytes | None],
+    update_mask: bytes | None = None,
+) -> bytes:
+    """The full CDC value message (avro.py:513-548). ``field_datums`` are
+    the per-column Avro-encoded values (``avro_string``/``write_varint``/…)
+    or None for SQL NULL — every data field is a ["null", T] union, tag
+    0x00 for null, 0x02 then the datum otherwise.
+
+    The LSN/seqval metadata strings are ``'0x' + hex`` (22 chars for a
+    10-byte LSN); the reference encodes them with a leading ',' because
+    0x2C is precisely the zigzag varint for length 22 — ``avro_string``
+    emits the identical bytes without the pun (avro.py:525-531)."""
+    out = bytearray(confluent_header(value_schema_id))
+    out += write_varint(operation_id)
+    out += avro_string(event_time_iso)
+    if lsn is None or operation_id == SNAPSHOT_OPERATION_ID:
+        out += b"\x00\x00\x00"
+    else:
+        out += b"\x02" + avro_string(f"0x{lsn.hex()}")
+        out += b"\x02" + write_varint(command_id if command_id is not None else 0)
+        out += b"\x02" + avro_string(f"0x{(seqval or b'').hex()}")
+    if operation_id in _ALL_COLS_OPS:
+        out += updated_fields_array(len(field_datums))
+    else:
+        out += updated_fields_array(len(field_datums), update_mask or b"")
+    for datum in field_datums:
+        if datum is None:
+            out += b"\x00"
+        else:
+            out += b"\x02" + datum
+    return bytes(out)
+
+
+def encode_envelope_key(key_schema_id: int, key_datums: list[bytes]) -> bytes:
+    """The key message: header + key columns in key-field ordinal order,
+    NOT union-wrapped (keys are non-nullable; avro.py:553-557)."""
+    out = bytearray(confluent_header(key_schema_id))
+    for datum in key_datums:
+        out += datum
+    return bytes(out)
