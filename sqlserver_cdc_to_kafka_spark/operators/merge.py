@@ -154,25 +154,27 @@ def grouped_prefix_sum(
     for g, b, t in totals:
         offsets[(g, b)] = acc.get(g, 0)
         acc[g] = acc.get(g, 0) + t
-    offset_map = F.create_map(
-        *[
-            x
-            for (g, b), off in offsets.items()
-            for x in (F.concat_ws("\x00", F.lit(g), F.lit(b)), F.lit(off))
-        ]
+    # offsets ship as a broadcast-joined table, not a create_map literal —
+    # groups x buckets entries inlined into the plan make Catalyst analysis
+    # cost scale with the offset count (measured: whole seconds at ~640)
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(g, b, off) for (g, b), off in offsets.items()],
+            [group_col, "__bucket", "__offset"],
+        )
     )
     w = (
         Window.partitionBy(group_col, "__bucket")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    key = F.concat_ws("\x00", F.col(group_col), F.col("__bucket"))
     return (
-        bucketed.withColumn(
+        bucketed.join(off_df, [group_col, "__bucket"])
+        .withColumn(
             out_col,
-            (F.sum(value_col).over(w) + offset_map[key]).cast("bigint"),
+            (F.sum(value_col).over(w) + F.col("__offset")).cast("bigint"),
         )
-        .drop("__bucket")
+        .drop("__bucket", "__offset")
     )
 
 

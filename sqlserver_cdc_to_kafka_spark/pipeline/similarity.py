@@ -166,27 +166,9 @@ def cosine_threshold_pairs_lsh(
     e = df.select(
         F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
     ).withColumn("n", l2_norm(F.col("v")))
-    bits = e.select(
-        "vid",
-        *[
-            (dot(F.col("v"), F.array([F.lit(s) for s in plane])) > 0)
-            .cast("int")
-            .alias(f"bit_{p}")
-            for p, plane in enumerate(signs)
-        ],
-    )
-    n_bands = planes // band_size
-    band_structs = []
-    for b in range(n_bands):
-        bh = F.lit(0)
-        for i in range(band_size):
-            bh = bh + (F.col(f"bit_{b * band_size + i}") * (1 << i))
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bh.cast("int").alias("bh"))
-        )
-    bands = bits.select(
-        "vid", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # persist: the self-join consumes the signatures twice; without this the
+    # Arrow/python signature pass runs once per side
+    bands = _band_signatures(e, signs, band_size).persist()
     cand = (
         bands.alias("a")
         .join(
@@ -216,6 +198,41 @@ def cosine_threshold_pairs_lsh(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def _band_signatures(e: DataFrame, signs: list[list[float]], band_size: int) -> DataFrame:
+    """(vid, band, bh) for every vector — the banded sign-LSH signature.
+
+    Physical path note: expressing each of N planes as a JVM
+    ``aggregate(zip_with(v, array<64 literals>))`` makes Catalyst
+    analyze/codegen an expression tree that grows with planes x dim —
+    measured ~4 s of pure PLAN time at 40 planes before a single row moved.
+    One Arrow-batched ``mapInPandas`` computing all plane dots as a single
+    numpy matmul per batch replaces that: constant-size plan, vectorized
+    math, same deterministic output (the DuckDB oracle replicates it)."""
+    import numpy as np
+
+    P = np.array(signs, dtype=np.float64)  # planes x dim
+    n_bands = P.shape[0] // band_size
+    weights = 1 << np.arange(band_size, dtype=np.int64)
+
+    def sig(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            bits = (V @ P.T > 0).astype(np.int64)  # rows x planes
+            out_vid, out_band, out_bh = [], [], []
+            for b in range(n_bands):
+                bh = bits[:, b * band_size : (b + 1) * band_size] @ weights
+                out_vid.extend(pdf["vid"])
+                out_band.extend([b] * len(pdf))
+                out_bh.extend(bh)
+            yield pd.DataFrame({"vid": out_vid, "band": out_band, "bh": out_bh})
+
+    return e.select("vid", "v").mapInPandas(sig, "vid bigint, band int, bh int")
 
 
 def hyperplane_signs(planes: int = LSH_PLANES, dim: int = EMBEDDING_DIM) -> list[list[float]]:

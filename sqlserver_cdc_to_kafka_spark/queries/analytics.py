@@ -306,6 +306,7 @@ SELECT l_orderkey, l_linenumber, p AS ship_us,
 FROM pts JOIN iv ON l_orderkey = o_orderkey
 WHERE p >= lo AND p < COALESCE(hi, 4611686018427387904)
 """,
+    bench=True,
 )
 def q_range_version_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (point-in-interval): each line item matched to the order

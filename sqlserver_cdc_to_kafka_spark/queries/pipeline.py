@@ -231,7 +231,7 @@ WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
 """
 
 
-@query("ann_cosine_threshold_pairs", oracle=_threshold_pairs_lsh_oracle())
+@query("ann_cosine_threshold_pairs", oracle=_threshold_pairs_lsh_oracle(), bench=True)
 def q_ann_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via banded hyperplane-LSH candidates
     (equality join on (band, hash), no corpus×corpus cartesian) then the

@@ -63,6 +63,7 @@ SELECT source, pack_id,
        MAX(doc_id) AS last_doc
 FROM packed GROUP BY 1, 2
 """,
+    bench=True,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concatenate documents (per source, in id order)
@@ -266,7 +267,7 @@ WHERE ROUND(i.inter / CAST(za.sz + zb.sz - i.inter AS DOUBLE), 6) >= 0.3
 """
 
 
-@query("dedup_two_stage", oracle=_two_stage_oracle())
+@query("dedup_two_stage", oracle=_two_stage_oracle(), bench=True)
 def q_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup composition: sub-quadratic LSH candidate
     generation, then EXACT Jaccard verification only on candidates — the
