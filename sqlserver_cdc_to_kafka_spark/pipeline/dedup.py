@@ -208,3 +208,36 @@ def simhash_fingerprints(
         term = F.when(F.col(f"vote_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return votes.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    k: int = 4,
+) -> DataFrame:
+    """Eval-set decontamination: for every eval document, count the distinct
+    word k-gram shingles it shares with ANY train document, and how many
+    train documents it collides with. Mirrors the reference pipeline concern
+    of never training on eval text (beyond-reference scope; the classic
+    13-gram decontamination check, k scaled to the fixture corpus).
+
+    Scale shape: one inverted-index equality join on the shingle — identical
+    candidate-generation backbone as n-gram Jaccard dedup, never an
+    eval x train cross join. The train side is the big one (95%); the eval
+    side is the natural broadcast/bloom candidate at production scale, which
+    AQE picks up from size stats rather than a hint (correct at any ratio)."""
+    sh = df.select(
+        F.col(id_col),
+        F.col(split_col),
+        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    )
+    train = sh.filter(F.col(split_col) == "train").select(
+        F.col("shingle"), F.col(id_col).alias("__train_doc")
+    )
+    ev = sh.filter(F.col(split_col) == "eval").select(F.col(id_col), "shingle")
+    return ev.join(train, "shingle").groupBy(id_col).agg(
+        F.count_distinct(F.col("shingle")).alias("n_overlap_shingles"),
+        F.count_distinct(F.col("__train_doc")).alias("n_train_docs"),
+    )

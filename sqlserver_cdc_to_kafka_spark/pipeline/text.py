@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to")
@@ -76,6 +76,49 @@ def lang_id_score(text_col: str, markers: Sequence[str]) -> Column:
     return F.expr(
         f"size(filter(split({text_col}, ' '), x -> x IN ({quoted}))) "
         f"/ CAST(size(split({text_col}, ' ')) AS DOUBLE)"
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_frac_max: float = 0.12,
+    distinct_ratio_min: float = 0.35,
+) -> DataFrame:
+    """Gopher-style per-document repetition signals: token count, distinct
+    token count, the most-frequent-token fraction, and the distinct-token
+    ratio, plus a repetitiveness flag (top fraction too high OR diversity
+    too low) — the standard filter for loop/spam/boilerplate documents in a
+    training-data pipeline.
+
+    Scale shape: explode tokens, then two key-partitioned aggregations
+    ((doc, token) term frequency → per-doc rollup), both with map-side
+    partials. Shuffles only compact (id, token, count) triples — linear at
+    corpus scale, no per-document serialization point. The flag compares
+    ROUNDED fractions so any engine computing the same rounding agrees
+    exactly on the boundary."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    agg = tf.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").alias("__top"),
+    )
+    top_frac = F.round(F.col("__top") / F.col("n_tokens"), 6)
+    distinct_ratio = F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        top_frac.alias("top_token_frac"),
+        distinct_ratio.alias("distinct_ratio"),
+        (
+            (top_frac > F.lit(top_frac_max))
+            | (distinct_ratio < F.lit(distinct_ratio_min))
+        ).alias("flagged_repetitive"),
     )
 
 

@@ -428,3 +428,75 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("position") <= 200)
     )
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               MAX(c) AS top
+        FROM tf GROUP BY 1)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(top / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac,
+       ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio,
+       (ROUND(top / CAST(n_tokens AS DOUBLE), 6) > 0.12 OR
+        ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 6) < 0.35)
+         AS flagged_repetitive
+FROM agg
+""",
+)
+def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity signals per document with a
+    repetitiveness flag — filters loop/spam/boilerplate docs from a training
+    corpus. Two map-side-combined aggregations; linear at corpus scale."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+@query(
+    "pipeline_decontaminate_eval",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 < 95
+              THEN 'train' ELSE 'eval' END AS split,
+         string_split(text, ' ') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id, split, unnest(CASE WHEN len(words) >= 4 THEN
+           list_distinct(list_transform(range(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+3], ' ')))
+           ELSE [] END) AS shingle
+  FROM base)
+SELECT e.doc_id,
+       CAST(COUNT(DISTINCT e.shingle) AS BIGINT) AS n_overlap_shingles,
+       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs
+FROM sh e JOIN sh t ON e.shingle = t.shingle
+WHERE e.split = 'eval' AND t.split = 'train'
+GROUP BY 1
+""",
+)
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: eval documents sharing any word-4-gram with
+    a train document (same deterministic 95/5 hash split as
+    pipeline_split_train_eval), with overlap counts. Candidates via the
+    inverted shingle index — one equality join, never eval x train."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
+        cross_split_contamination,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    with_split = docs.withColumn(
+        "split", F.when(bucket < 95, "train").otherwise("eval")
+    )
+    return cross_split_contamination(with_split, "doc_id", "text", "split", k=4)
