@@ -69,3 +69,34 @@ def banded_range_join(
         else F.col(point_col) <= hi_filled
     )
     return joined.filter((F.col(point_col) >= F.col(lo_col)) & upper).drop("__band")
+
+
+def asof_join_banded(
+    points: DataFrame,
+    versions: DataFrame,
+    on: Sequence[str],
+    point_col: str,
+    time_col: str,
+    band_width: int,
+) -> DataFrame:
+    """As-of join, SECOND physical strategy (the first is the union-and-
+    carry ``operators/asof.asof_join``): each point row matched to the
+    LATEST version row of its key with ``version_time <= point``.
+
+    Versions become validity intervals ``[t, next_t)`` via ``lead`` over
+    (key, time) — a per-key window, which parallelizes across keys — then
+    the banded range join matches points to the one containing interval as
+    an equi-join on (key…, band). Inner semantics: points before their
+    key's first version drop out. Prefer this over union-and-carry when the
+    version side is far smaller than the probe side (intervals build once,
+    probes never co-shuffle with versions under AQE broadcast); pick
+    ``band_width`` near the typical version spacing — open final intervals
+    cap at the probe-side max, so width only trades candidate count against
+    band explosion of the open tail."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*on).orderBy(time_col)
+    iv = versions.withColumn("__asof_hi", F.lead(time_col).over(w))
+    return banded_range_join(
+        points, iv, on, point_col, time_col, "__asof_hi", band_width
+    ).drop("__asof_hi")

@@ -163,3 +163,81 @@ def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "join_asof_version",
+    oracle="""
+WITH cdc_lineitem AS (
+  SELECT 2 AS __operation, (l_orderkey*8+l_linenumber)*3 AS change_seq,
+         l_shipdate AS __event_time, l_orderkey, l_linenumber
+  FROM lineitem
+  UNION ALL
+  SELECT 4, (l_orderkey*8+l_linenumber)*3+1, l_shipdate + INTERVAL 1 HOUR,
+         l_orderkey, l_linenumber
+  FROM lineitem WHERE (l_orderkey*8+l_linenumber) % 5 = 0
+  UNION ALL
+  SELECT 1, (l_orderkey*8+l_linenumber)*3+2, l_shipdate + INTERVAL 2 HOUR,
+         l_orderkey, l_linenumber
+  FROM lineitem WHERE (l_orderkey*8+l_linenumber) % 17 = 0),
+v AS (SELECT l_orderkey, l_linenumber, change_seq, __operation,
+             epoch_us(__event_time) AS vt FROM cdc_lineitem),
+p AS (SELECT l_orderkey, l_linenumber,
+             epoch_us(l_shipdate) + 5400000000 AS probe_us FROM lineitem)
+SELECT p.l_orderkey, p.l_linenumber, p.probe_us,
+       v.change_seq AS asof_seq,
+       CAST(v.__operation AS INT) AS asof_operation
+FROM p ASOF JOIN v
+  ON p.l_orderkey = v.l_orderkey AND p.l_linenumber = v.l_linenumber
+ AND p.probe_us >= v.vt
+""",
+)
+def q_join_asof_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on a COMPOSITE key: every line item probed 90 minutes
+    after shipment against its own change feed — which change event was
+    current then? (kk%5 rows see their update, others their insert.)
+
+    Second PHYSICAL strategy for as-of (join_asof_order_state is the
+    union-and-carry one): lead() validity intervals + the banded equi-join
+    (operators/rangejoin.asof_join_banded). The oracle is DuckDB's native
+    ASOF JOIN — an independent spec of the semantics, not a replica of
+    either implementation."""
+    from sqlserver_cdc_to_kafka_spark.fixtures.cdc_events import (
+        cdc_lineitem_events,
+    )
+    from sqlserver_cdc_to_kafka_spark.operators.rangejoin import (
+        asof_join_banded,
+    )
+
+    feed = cdc_lineitem_events(spark, sf_dir)
+    versions = feed.select(
+        "l_orderkey",
+        "l_linenumber",
+        "change_seq",
+        F.col("__operation").cast("int").alias("asof_operation"),
+        epoch_micros(feed, "__event_time").alias("vt"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    points = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (epoch_micros(li, "l_shipdate") + 90 * 60 * 1_000_000).alias("probe_us"),
+    )
+    out = asof_join_banded(
+        points,
+        versions,
+        on=["l_orderkey", "l_linenumber"],
+        point_col="probe_us",
+        time_col="vt",
+        band_width=365 * _DAY_US,
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "probe_us",
+        F.col("change_seq").alias("asof_seq"),
+        "asof_operation",
+    )

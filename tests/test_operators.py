@@ -271,3 +271,23 @@ def test_grouped_prefix_sum_empty_input(spark):
 
     df = spark.createDataFrame([], "g string, ord long, v long")
     assert grouped_prefix_sum(df, "g", "ord", "v").count() == 0
+
+
+def test_asof_join_banded_matches_union_carry(spark):
+    from sqlserver_cdc_to_kafka_spark.operators.rangejoin import asof_join_banded
+
+    versions = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")],
+        "k int, vt long, state string",
+    )
+    probes = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 25), (2, 16), (3, 99)], "k int, pt long"
+    )
+    out = asof_join_banded(probes, versions, ["k"], "pt", "vt", band_width=8)
+    got = {(r["k"], r["pt"]): (r["state"], r["vt"]) for r in out.collect()}
+    # inner semantics: (1,5) before first version and (3,99) unversioned drop
+    assert got == {
+        (1, 10): ("a", 10),  # ties match (>=)
+        (1, 25): ("b", 20),  # latest at-or-before, across a band boundary
+        (2, 16): ("c", 15),
+    }
