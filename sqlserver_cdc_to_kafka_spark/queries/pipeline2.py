@@ -500,3 +500,55 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split", F.when(bucket < 95, "train").otherwise("eval")
     )
     return cross_split_contamination(with_split, "doc_id", "text", "split", k=4)
+
+
+def _reduction_oracle() -> str:
+    # the clusters oracle's CTE chain (everything before its final SELECT),
+    # extended with a `comp` CTE materializing the per-doc component
+    ctes = _clusters_oracle().split("WITH ", 1)[1].rsplit("SELECT root", 1)[0]
+    return f"""
+WITH RECURSIVE {ctes.strip().rstrip(',').strip()}
+, comp AS (SELECT root AS doc_id, MIN(node) AS component
+           FROM reach GROUP BY root)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE c.component IS NULL
+                                OR c.component = d.doc_id) AS BIGINT)
+         AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE c.component IS NOT NULL
+                               AND c.component <> d.doc_id) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+                     THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+GROUP BY d.source
+"""
+
+
+@query("dedup_reduction_report", oracle=_reduction_oracle())
+def q_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's SHIPPED artifact: per source, how many documents
+    (and tokens) survive near-dup clustering — canonical cluster members
+    (component == own id) and untouched singletons are kept, the rest drop.
+    Composes MinHash-LSH candidates → connected components → left join back
+    to the corpus; the left join is key-equi on doc_id, the cluster table is
+    orders of magnitude smaller than the corpus (broadcast under AQE)."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.components import (
+        connected_components,
+    )
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
+        minhash_lsh_candidate_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    comp = connected_components(minhash_lsh_candidate_pairs(docs, "doc_id"))
+    joined = docs.join(comp, "doc_id", "left")
+    kept = F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    n_tok = F.size(F.split("text", " "))
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(kept).alias("n_kept"),
+        F.count_if(~kept).alias("n_dropped"),
+        F.sum(F.when(kept, n_tok).otherwise(F.lit(0))).cast("bigint").alias("tokens_kept"),
+    )
