@@ -552,3 +552,67 @@ def q_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(~kept).alias("n_dropped"),
         F.sum(F.when(kept, n_tok).otherwise(F.lit(0))).cast("bigint").alias("tokens_kept"),
     )
+
+
+@query(
+    "sketch_count_min",
+    oracle=f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+inst AS (SELECT item, depth,
+                CAST('0x' || substr(md5(CAST(depth AS VARCHAR) || ':' || item),
+                                    1, 8) AS BIGINT) % 256 AS bucket
+         FROM toks, ds),
+counters AS (SELECT depth, bucket, COUNT(*) AS c FROM inst GROUP BY 1, 2),
+exact AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM toks GROUP BY 1),
+probes AS (SELECT e.item, e.exact_count, d.depth,
+                  CAST('0x' || substr(md5(CAST(d.depth AS VARCHAR) || ':' ||
+                                          e.item), 1, 8) AS BIGINT) % 256
+                    AS bucket
+           FROM exact e, ds d)
+SELECT p.item, p.exact_count, CAST(MIN(c.c) AS BIGINT) AS cms_estimate
+FROM probes p JOIN counters c ON p.depth = c.depth AND p.bucket = c.bucket
+GROUP BY 1, 2
+""",
+)
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, every distinct
+    token's exact count next to its CMS estimate — a hash-exact gate over
+    an APPROXIMATE structure (deterministic md5 row hashes make both
+    engines build the identical sketch). estimate >= exact by construction."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.sketch import (
+        count_min_estimates,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("item")
+    )
+    return count_min_estimates(toks, "item")
+
+
+@query(
+    "sketch_hll_registers",
+    oracle="""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+h AS (SELECT CAST('0x' || substr(md5(item), 1, 15) AS BIGINT) AS hv
+      FROM toks),
+r AS (SELECT hv % 64 AS bucket, hv // 64 AS v FROM h)
+SELECT bucket,
+       CAST(MAX(CASE WHEN v = 0 THEN 55
+                     ELSE bit_count((v & -v) - 1) + 1 END) AS INT) AS register
+FROM r GROUP BY 1
+""",
+)
+def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table for corpus token cardinality —
+    deterministic md5 hashing and the integer-exact trailing-zeros rank
+    (bit_count identity, no float log2), so the approximate sketch is
+    byte-identical across engines. Registers merge with MAX per bucket:
+    the distributable cardinality sketch at 100 TB."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.sketch import hll_registers
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("item")
+    )
+    return hll_registers(toks, "item")

@@ -291,3 +291,36 @@ def test_asof_join_banded_matches_union_carry(spark):
         (1, 25): ("b", 20),  # latest at-or-before, across a band boundary
         (2, 16): ("c", 15),
     }
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from sqlserver_cdc_to_kafka_spark.pipeline.sketch import count_min_estimates
+    from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F2.explode(F2.split("text", " ")).alias("item")
+    )
+    est = count_min_estimates(toks, "item").collect()
+    assert len(est) > 0
+    for r in est:
+        assert r["cms_estimate"] >= r["exact_count"], r
+
+
+def test_hll_estimate_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from sqlserver_cdc_to_kafka_spark.pipeline.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F2.explode(F2.split("text", " ")).alias("item")
+    )
+    exact = toks.distinct().count()
+    est = hll_estimate(hll_registers(toks, "item").collect())
+    # 64 buckets => ~1.04/sqrt(64) = 13% standard error; allow 3 sigma
+    assert abs(est - exact) / exact < 0.4, (est, exact)
