@@ -616,3 +616,75 @@ def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("item")
     )
     return hll_registers(toks, "item")
+
+
+_QH_WIDTH = 1.0  # bin width over the events value domain [0, 500)
+_QH_BINS = 500
+
+
+@query(
+    "sketch_quantile_histogram",
+    oracle=f"""
+WITH hist AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / {_QH_WIDTH}) AS BIGINT), {_QH_BINS - 1})
+           AS bin,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist),
+tot AS (SELECT event_type, SUM(c) AS n FROM hist GROUP BY 1),
+qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+SELECT c.event_type, q.q AS quantile,
+       ROUND(c.bin * {_QH_WIDTH} +
+             {_QH_WIDTH} * (q.q * t.n - (c.cum - c.c)) / c.c, 6) AS est_value
+FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs q
+WHERE c.cum >= q.q * t.n AND (c.cum - c.c) < q.q * t.n
+""",
+)
+def q_sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles: p50/p95/p99 per event type estimated by
+    linear interpolation inside a fixed equal-width histogram — the
+    mergeable, bounded-memory quantile path at 100 TB (exact percentile()
+    needs a per-group sort of ALL values; the histogram is one map-side-
+    combined aggregation, and the window/interpolation run over at most
+    bins x types rows). Deterministic bin and float arithmetic, written
+    identically in both engines."""
+    from pyspark.sql import Window
+
+    from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _QH_WIDTH).cast("bigint"),
+            F.lit(_QH_BINS - 1),
+        ).alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+    qs = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "q double")
+    j = cum.join(tot, "event_type").crossJoin(F.broadcast(qs))
+    target = F.col("q") * F.col("n")
+    cum_before = F.col("cum") - F.col("c")
+    return (
+        j.filter((F.col("cum") >= target) & (cum_before < target))
+        .select(
+            "event_type",
+            F.col("q").alias("quantile"),
+            F.round(
+                F.col("bin") * _QH_WIDTH
+                + _QH_WIDTH * (target - cum_before) / F.col("c"),
+                6,
+            ).alias("est_value"),
+        )
+    )

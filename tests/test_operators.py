@@ -324,3 +324,31 @@ def test_hll_estimate_close_to_exact(spark, sf_dir):
     est = hll_estimate(hll_registers(toks, "item").collect())
     # 64 buckets => ~1.04/sqrt(64) = 13% standard error; allow 3 sigma
     assert abs(est - exact) / exact < 0.4, (est, exact)
+
+
+def test_quantile_histogram_close_to_exact(spark, sf_dir):
+    from sqlserver_cdc_to_kafka_spark.registry import load_all
+    from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+    est = {
+        (r["event_type"], r["quantile"]): r["est_value"]
+        for r in load_all()["sketch_quantile_histogram"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    by_type = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert est
+    for etype, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for q in (0.5, 0.95, 0.99):
+            e = est[(etype, q)]
+            # the histogram targets rank q*n (inverse CDF); its estimate
+            # interpolates inside that element's 1.0-wide bin
+            import math
+
+            elem = vals[min(max(math.ceil(q * n) - 1, 0), n - 1)]
+            assert abs(e - elem) <= 1.0, (etype, q, e, elem)
