@@ -432,6 +432,7 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_repetition_signals",
+    bench=True,
     oracle="""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -461,6 +462,7 @@ def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_decontaminate_eval",
+    bench=True,
     oracle="""
 WITH base AS (
   SELECT doc_id,
@@ -556,6 +558,7 @@ def q_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_count_min",
+    bench=True,
     oracle=f"""
 WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
 ds AS (SELECT unnest([0, 1, 2, 3]) AS depth),
@@ -624,6 +627,7 @@ _QH_BINS = 500
 
 @query(
     "sketch_quantile_histogram",
+    bench=True,
     oracle=f"""
 WITH hist AS (
   SELECT event_type,
