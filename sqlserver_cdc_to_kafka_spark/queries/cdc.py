@@ -457,3 +457,60 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("version_seq").over(w).isNull() & (F.col("__operation") != 1)
         ).alias("is_current"),
     )
+
+
+@query(
+    "stream_drain_change_feed",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT __operation, change_seq, epoch_us(__event_time) AS event_us,
+       o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM cdc_events
+""",
+)
+def q_stream_drain_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END STREAMING witness: the custom ChangeFeedDataSource
+    (struct-offset micro-batch source, T1/T3) drains the whole change feed
+    through Structured Streaming into a memory sink, and the drained rows
+    must hash-match the BATCH oracle — the streaming path and the batch
+    path are the same data, proved, not asserted. Rate-limited micro-batch
+    windows (batchSize) exercise offset planning + parallel range reads."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import uuid
+
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+    from sqlserver_cdc_to_kafka_spark.sources.cdc_datasource import (
+        ChangeFeedDataSource,
+    )
+
+    feed = cdc_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc_drain_")
+    stage = f"{tmp}/stage"
+    feed.coalesce(1).write.mode("overwrite").parquet(stage)
+    path = f"{tmp}/feed.parquet"
+    shutil.copyfile(_glob.glob(f"{stage}/part-*.parquet")[0], path)
+    spark.dataSource.register(ChangeFeedDataSource)
+    stream = (
+        spark.readStream.format("cdc_change_feed")
+        .option("path", path)
+        .option("batchSize", 5000)
+        .option("seqColumn", "change_seq")
+        .load()
+    )
+    qname = f"drain_{uuid.uuid4().hex[:8]}"  # fresh sink table per call
+    sq = stream.writeStream.format("memory").queryName(qname).start()
+    sq.processAllAvailable()
+    sq.stop()
+    out = spark.table(qname)
+    return out.select(
+        "__operation",
+        "change_seq",
+        epoch_micros(out, "__event_time").alias("event_us"),
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
