@@ -514,3 +514,39 @@ def q_stream_drain_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderpriority",
     )
+
+
+@query(
+    "stream_snapshot_unified_drain",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT __operation, change_seq, o_orderkey, o_orderstatus, o_totalprice
+FROM cdc_events
+UNION ALL
+SELECT 0, CAST(NULL AS BIGINT), o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+""",
+)
+def q_stream_snapshot_unified_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 witness: drive the resumable reverse-keyset SnapshotStream to
+    COMPLETION (every order exactly once across pages — the no-dupe/no-gap
+    pagination contract) and unify the pages with the change feed on the
+    envelope schema. The drained union must hash-match snapshot ∪ changes
+    built directly in SQL. Snapshot rows carry op=0 and NULL change_seq;
+    wall-clock snapshot read times are projected out (timezone/run
+    independence)."""
+    from sqlserver_cdc_to_kafka_spark.streaming.snapshot_stream import (
+        SnapshotStream,
+        unified_feed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    pager = SnapshotStream(orders, ["o_orderkey"], batch_size=5000)
+    pages = []
+    while (p := pager.next_page()) is not None:
+        pages.append(p)
+    feed = cdc_events(spark, sf_dir)
+    out = unified_feed(pages, feed)
+    return out.select(
+        "__operation", "change_seq", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
