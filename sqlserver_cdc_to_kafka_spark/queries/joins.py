@@ -241,3 +241,43 @@ def q_join_asof_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("change_seq").alias("asof_seq"),
         "asof_operation",
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+WITH dim AS (
+  SELECT * FROM (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+                        ('4-NOT SPECIFIED', 4), ('5-LOW', 5))
+           AS t(o_orderpriority, priority_rank))
+SELECT d.priority_rank,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+GROUP BY 1
+""",
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-join result-equivalence witness: the 5-value o_orderpriority key
+    is the classic hot-key shape; the salted join spreads each hot key over
+    salt_factor sub-partitions (content-derived xxhash64 salt — no rand(),
+    replay-stable) and must produce EXACTLY the plain join's result, proved
+    against the unsalted SQL. The deterministic salting path is the no-AQE
+    fallback; with AQE on, skewJoin handles this at runtime instead."""
+    from sqlserver_cdc_to_kafka_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [(p, r) for r, p in enumerate(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], 1
+        )],
+        "o_orderpriority string, priority_rank int",
+    )
+    out = salted_join(orders, dim, on=["o_orderpriority"], salt_factor=8)
+    return out.groupBy("priority_rank").agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )
