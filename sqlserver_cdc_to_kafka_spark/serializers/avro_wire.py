@@ -186,3 +186,92 @@ def encode_envelope_key(key_schema_id: int, key_datums: list[bytes]) -> bytes:
     for datum in key_datums:
         out += datum
     return bytes(out)
+
+
+def _read_string(raw: bytes, pos: int) -> tuple[str, int]:
+    n, pos = read_varint(raw, pos)
+    return raw[pos : pos + n].decode("utf-8"), pos + n
+
+
+def decode_envelope_value(
+    raw: bytes, field_types: list
+) -> dict:
+    """Inverse of ``encode_envelope_value`` — parses the full CDC value
+    message back to python values given the per-column Avro types
+    (``'string' | 'long' | 'double' | 'float' | 'boolean' | 'bytes' |
+    ('decimal', scale)``). Validates full consumption of the buffer, so a
+    mis-specified schema cannot silently mis-frame trailing fields (the
+    failure mode the reference's serializer self-check guards against,
+    avro.py:559-562)."""
+    magic, schema_id = struct.unpack(">bI", raw[:5])
+    if magic != 0:
+        raise ValueError(f"bad confluent magic byte {magic}")
+    pos = 5
+    operation_id, pos = read_varint(raw, pos)
+    event_time_iso, pos = _read_string(raw, pos)
+    tag, pos = read_varint(raw, pos)
+    if tag == 0:
+        lsn = command_id = seqval = None
+        _, pos = read_varint(raw, pos)
+        _, pos = read_varint(raw, pos)
+    else:
+        s, pos = _read_string(raw, pos)
+        lsn = bytes.fromhex(s[2:])
+        _, pos = read_varint(raw, pos)
+        command_id, pos = read_varint(raw, pos)
+        _, pos = read_varint(raw, pos)
+        s, pos = _read_string(raw, pos)
+        seqval = bytes.fromhex(s[2:])
+    updated_fields: list[int] = []
+    while True:
+        n, pos = read_varint(raw, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative block count precedes a byte size
+            _, pos = read_varint(raw, pos)
+            n = -n
+        for _ in range(n):
+            v, pos = read_varint(raw, pos)
+            updated_fields.append(v)
+    values: list = []
+    for ft in field_types:
+        tag, pos = read_varint(raw, pos)
+        if tag == 0:
+            values.append(None)
+            continue
+        if ft == "string":
+            v, pos = _read_string(raw, pos)
+        elif ft == "long":
+            v, pos = read_varint(raw, pos)
+        elif ft == "double":
+            v = struct.unpack("<d", raw[pos : pos + 8])[0]
+            pos += 8
+        elif ft == "float":
+            v = struct.unpack("<f", raw[pos : pos + 4])[0]
+            pos += 4
+        elif ft == "boolean":
+            v = raw[pos] == 1
+            pos += 1
+        elif ft == "bytes":
+            n, pos = read_varint(raw, pos)
+            v = raw[pos : pos + n]
+            pos += n
+        elif isinstance(ft, tuple) and ft[0] == "decimal":
+            n, pos = read_varint(raw, pos)
+            v = bytes_to_decimal(raw[pos : pos + n], ft[1])
+            pos += n
+        else:
+            raise ValueError(f"unsupported field type {ft!r}")
+        values.append(v)
+    if pos != len(raw):
+        raise ValueError(f"trailing bytes: consumed {pos} of {len(raw)}")
+    return {
+        "schema_id": schema_id,
+        "operation_id": operation_id,
+        "event_time_iso": event_time_iso,
+        "lsn": lsn,
+        "command_id": command_id,
+        "seqval": seqval,
+        "updated_fields": updated_fields,
+        "values": values,
+    }

@@ -151,3 +151,74 @@ def test_key_envelope_golden():
 def test_negative_decimal_golden():
     # -1.50 at scale 2: unscaled -150, minimal two's complement 0xFF6A
     assert avro_decimal(decimal.Decimal("-1.50"), 2) == b"\x04\xff\x6a"
+
+
+# --- decode: the envelope round-trip ---------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sqlserver_cdc_to_kafka_spark.serializers.avro_wire import (
+    avro_bool,
+    avro_bytes,
+    decode_envelope_value,
+    pack_double,
+)
+
+_FIELD_KINDS = [
+    ("string", lambda d: avro_string(d), st.text(max_size=40)),
+    ("long", lambda d: write_varint(d), st.integers(-(2**62), 2**62)),
+    ("double", lambda d: pack_double(d),
+     st.floats(allow_nan=False, allow_infinity=False, width=64)),
+    ("boolean", lambda d: avro_bool(d), st.booleans()),
+    ("bytes", lambda d: avro_bytes(d), st.binary(max_size=32)),
+    (("decimal", 4), lambda d: avro_decimal(d, 4),
+     st.decimals(min_value=-10**9, max_value=10**9, places=4,
+                 allow_nan=False, allow_infinity=False)),
+]
+
+
+@st.composite
+def _envelopes(draw):
+    n_fields = draw(st.integers(1, 6))
+    kinds = [draw(st.sampled_from(_FIELD_KINDS)) for _ in range(n_fields)]
+    values = [
+        None if draw(st.booleans()) and i > 0 else draw(kinds[i][2])
+        for i in range(n_fields)
+    ]
+    op = draw(st.sampled_from([0, 1, 2, 4]))
+    if op == 0:
+        lsn = command_id = seqval = None
+        mask = None
+    else:
+        lsn = draw(st.binary(min_size=10, max_size=10))
+        command_id = draw(st.integers(0, 2**31))
+        seqval = draw(st.binary(min_size=10, max_size=10))
+        mask = draw(st.binary(min_size=1, max_size=2)) if op == 4 else None
+    return op, lsn, command_id, seqval, mask, kinds, values
+
+
+@given(_envelopes())
+@settings(max_examples=200, deadline=None)
+def test_envelope_value_roundtrip(env):
+    op, lsn, command_id, seqval, mask, kinds, values = env
+    datums = [
+        None if v is None else k[1](v) for k, v in zip(kinds, values)
+    ]
+    raw = encode_envelope_value(
+        1234, op, "2024-01-01T00:00:00Z", lsn, command_id, seqval,
+        datums, update_mask=mask,
+    )
+    got = decode_envelope_value(raw, [k[0] for k in kinds])
+    assert got["schema_id"] == 1234
+    assert got["operation_id"] == op
+    assert got["event_time_iso"] == "2024-01-01T00:00:00Z"
+    if op == 0:
+        assert got["lsn"] is None and got["seqval"] is None
+    else:
+        assert got["lsn"] == lsn
+        assert got["command_id"] == command_id
+        assert got["seqval"] == seqval
+    assert got["values"] == values
+    if op in (0, 1, 2):
+        assert got["updated_fields"] == list(range(1, len(values) + 1))
