@@ -29,46 +29,47 @@ def banded_range_join(
     lo_col: str,
     hi_col: str,
     band_width: int,
-    max_point: int | None = None,
     open_ended_hi: bool = True,
 ) -> DataFrame:
     """Rows of ``points ⋈ intervals`` where ``lo <= point < hi`` (or
     ``<= hi`` with ``open_ended_hi=False``), equi-keyed by ``on`` + band.
-    A NULL ``hi`` means unbounded (current interval); band generation caps
-    at the probe side's max point so an open interval explodes to finitely
-    many bands without losing matches. By default that cap is folded into
-    the plan as a broadcast 1-row aggregate of ``points`` — no driver-side
-    scalar pre-pass, one job. Pass ``max_point`` only when the caller
-    already holds the bound."""
-    if max_point is not None:
-        banded_src = intervals.withColumn("__max_p", F.lit(max_point))
-    else:
-        mp = points.agg(F.max(point_col).alias("__max_p"))
-        banded_src = intervals.crossJoin(F.broadcast(mp))
-    hi_filled = F.coalesce(F.col(hi_col), F.lit(2**62))
-    # empty probe side => NULL cap; fall back to lo so each open interval
-    # keeps exactly one band instead of exploding to 2^62 / band_width
-    band_cap = F.least(hi_filled, F.coalesce(F.col("__max_p"), F.col(lo_col)))
-    banded = banded_src.withColumn(
+
+    CLOSED intervals band from ``lo`` to their own ``hi`` — short intervals
+    touch few bands regardless of corpus time span. OPEN intervals (NULL
+    ``hi``, the "current version" tail — at most a handful per key) skip
+    banding entirely and equi-join on the key alone with ``point >= lo``.
+    This keeps band counts bounded by interval length, not by how far the
+    probe side's clock has advanced: no global max-point aggregate, no
+    per-open-interval explosion that grows with data age."""
+    closed = intervals.filter(F.col(hi_col).isNotNull())
+    open_iv = intervals.filter(F.col(hi_col).isNull())
+    banded = closed.withColumn(
         "__band",
         F.explode(
             F.sequence(
                 (F.col(lo_col) / band_width).cast("bigint"),
                 F.greatest(
-                    (band_cap / band_width).cast("bigint"),
+                    (F.col(hi_col) / band_width).cast("bigint"),
                     (F.col(lo_col) / band_width).cast("bigint"),
                 ),
             )
         ),
-    ).drop("__max_p")
-    pts = points.withColumn("__band", (F.col(point_col) / band_width).cast("bigint"))
-    joined = pts.join(banded, [*on, "__band"])
-    upper = (
-        F.col(point_col) < hi_filled
-        if open_ended_hi
-        else F.col(point_col) <= hi_filled
     )
-    return joined.filter((F.col(point_col) >= F.col(lo_col)) & upper).drop("__band")
+    pts = points.withColumn("__band", (F.col(point_col) / band_width).cast("bigint"))
+    upper = (
+        F.col(point_col) < F.col(hi_col)
+        if open_ended_hi
+        else F.col(point_col) <= F.col(hi_col)
+    )
+    closed_hits = (
+        pts.join(banded, [*on, "__band"])
+        .filter((F.col(point_col) >= F.col(lo_col)) & upper)
+        .drop("__band")
+    )
+    open_hits = points.join(open_iv, list(on)).filter(
+        F.col(point_col) >= F.col(lo_col)
+    )
+    return closed_hits.unionByName(open_hits)
 
 
 def asof_join_banded(
@@ -90,9 +91,9 @@ def asof_join_banded(
     key's first version drop out. Prefer this over union-and-carry when the
     version side is far smaller than the probe side (intervals build once,
     probes never co-shuffle with versions under AQE broadcast); pick
-    ``band_width`` near the typical version spacing — open final intervals
-    cap at the probe-side max, so width only trades candidate count against
-    band explosion of the open tail."""
+    ``band_width`` near the typical version spacing — each key's open final
+    interval bypasses banding via the key-only equi-join path, so width only
+    trades candidate count against band count of the CLOSED intervals."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*on).orderBy(time_col)
