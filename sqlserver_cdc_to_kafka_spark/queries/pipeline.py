@@ -206,12 +206,13 @@ _TP_BAND_SIZE, _TP_N_BANDS = lsh_params_for_threshold(0.4)
 _TP_PLANES = _TP_BAND_SIZE * _TP_N_BANDS
 
 
-def _threshold_pairs_lsh_oracle() -> str:
-    """DuckDB replica of the banded-LSH candidate generation + exact verify
-    (same deterministic hyperplanes, so both engines test the SAME candidate
-    set — the hash gate checks the full composition, not just the verify)."""
-    return f"""
-WITH planes AS ({_planes_sql(_TP_PLANES)}),
+def _tp_candidate_ctes() -> str:
+    """Shared DuckDB CTE chain replicating the banded-LSH candidate
+    generation: deterministic hyperplane bits → band hashes → candidate
+    pairs (``a.vec_id < b.vec_id``). Used by the threshold-pairs oracle and
+    the embedding-dedup oracle so both hash gates check the SAME candidate
+    construction the Spark side uses."""
+    return f"""planes AS ({_planes_sql(_TP_PLANES)}),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bits AS (SELECT vec_id, p,
                 CASE WHEN list_dot_product(v, plane) > 0 THEN 1 ELSE 0 END AS bit
@@ -221,7 +222,15 @@ bands AS (SELECT vec_id, p // {_TP_BAND_SIZE} AS band,
           FROM bits GROUP BY vec_id, p // {_TP_BAND_SIZE}),
 cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          FROM bands a JOIN bands b
-           ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
+           ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)"""
+
+
+def _threshold_pairs_lsh_oracle() -> str:
+    """DuckDB replica of the banded-LSH candidate generation + exact verify
+    (same deterministic hyperplanes, so both engines test the SAME candidate
+    set — the hash gate checks the full composition, not just the verify)."""
+    return f"""
+WITH {_tp_candidate_ctes()}
 SELECT vec_a, vec_b,
        ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
 FROM cand
@@ -246,6 +255,64 @@ def q_ann_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return cosine_threshold_pairs_lsh(
         emb, "vec_id", "embedding", 0.4, planes=_TP_PLANES, band_size=_TP_BAND_SIZE
+    )
+
+
+def _embedding_dedup_oracle() -> str:
+    """Threshold pairs (same LSH construction) → recursive reachability
+    closure → per-vector survivor assignment, singletons included."""
+    return f"""
+WITH RECURSIVE {_tp_candidate_ctes()},
+pairs AS (SELECT vec_a, vec_b
+          FROM cand
+          JOIN e ea ON ea.vec_id = vec_a
+          JOIN e eb ON eb.vec_id = vec_b
+          WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4),
+und AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION SELECT vec_b, vec_a FROM pairs),
+verts AS (SELECT DISTINCT src AS vec_id FROM und),
+reach(root, node) AS (
+  SELECT vec_id, vec_id FROM verts
+  UNION
+  SELECT r.root, u.dst FROM reach r JOIN und u ON r.node = u.src),
+comp AS (SELECT root AS vec_id, MIN(node) AS component
+         FROM reach GROUP BY root)
+SELECT emb.vec_id,
+       COALESCE(c.component, emb.vec_id) AS survivor_id,
+       COALESCE(c.component, emb.vec_id) <> emb.vec_id AS is_dup
+FROM embeddings emb LEFT JOIN comp c ON c.vec_id = emb.vec_id
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_embedding_dedup_oracle())
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP (the full pipeline op, not just
+    pair listing): banded hyperplane-LSH candidates → exact cosine ≥ 0.4
+    verify → connected components over the near-dup graph → every vector
+    mapped to its cluster's canonical survivor (min vec_id), singletons to
+    themselves. The semantic dedup a training pipeline runs on embeddings —
+    drop rows where ``is_dup``. Candidate generation is the equality join on
+    (band, hash); components are iterative min-label propagation — no
+    corpus×corpus stage anywhere."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.components import (
+        connected_components,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_threshold_pairs_lsh(
+        emb, "vec_id", "embedding", 0.4, planes=_TP_PLANES, band_size=_TP_BAND_SIZE
+    )
+    comp = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    return (
+        emb.select("vec_id")
+        .join(comp.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("survivor_id"),
+            (F.coalesce("component", F.col("vec_id")) != F.col("vec_id")).alias(
+                "is_dup"
+            ),
+        )
     )
 
 
