@@ -26,9 +26,17 @@ def connected_components(
     """-> (doc_id, component) for every vertex in `edges`; component = the
     minimum vertex id reachable. Deterministic, engine-portable."""
     fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    adj = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # cache: every iteration joins against adj — without this, each round
+    # re-executes the whole upstream candidate-generation DAG (for near-dup
+    # inputs, the full LSH pipeline) instead of reading a materialized edge
+    # list
+    adj = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
     labels = (
         adj.select(F.col("src").alias("doc_id"))
         .distinct()
