@@ -210,6 +210,59 @@ def simhash_fingerprints(
     return votes.select(id_col, fp.cast("bigint").alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints: candidates share at least
+    one of ``n_bands`` equal-width bit-bands of the fingerprint (equality
+    self-join on (band, band_value) — never all-pairs), verified by
+    ``bit_count(a XOR b) <= max_hamming``.
+
+    Unlike cosine-LSH this banding is EXACT for its radius, not
+    probabilistic: by pigeonhole, any pair within hamming distance
+    ``n_bands - 1`` differs in at most ``n_bands - 1`` bands, so at least
+    one band matches and the pair is always a candidate. With the defaults
+    (16 bits, 4 bands, radius 3) recall is 1.0 by construction; precision is
+    exact via the verify. Returns (doc_a, doc_b, hamming)."""
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming <= n_bands - 1"
+        )
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    bands = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(n_bands)])
+        ).alias("band"),
+    ).withColumn(
+        "bv",
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "bv"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def cross_split_contamination(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -170,6 +170,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+hashed AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(shingle), 1, 4) AS INT) AS hv
+           FROM shingled),
+votes AS (SELECT doc_id, b.bit,
+                 SUM(CASE WHEN ((hv >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+          FROM hashed, (SELECT unnest(range(0, 16)) AS bit) b
+          GROUP BY doc_id, b.bit),
+fp AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+                AS simhash
+       FROM votes GROUP BY doc_id),
+bands AS (SELECT doc_id, simhash, b.band,
+                 (simhash >> (b.band * 4)) & 15 AS bv
+          FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS fa, b.simhash AS fb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+""",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via hamming-band blocking: equality self-join
+    on one of 4 fingerprint bit-bands, then bit_count-XOR verify at radius 3.
+    Pigeonhole makes the banding EXACT for that radius (recall 1.0 — any
+    pair within hamming 3 leaves at least one of 4 bands untouched), unlike
+    the probabilistic cosine-LSH family. All JVM-side bit arithmetic."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import simhash_hamming_pairs
+
+    docs = _docs(spark, sf_dir)
+    return simhash_hamming_pairs(docs, "doc_id")
+
+
+@query(
     "ann_cosine_topk",
     oracle="""
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv

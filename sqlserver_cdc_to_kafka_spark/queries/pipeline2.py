@@ -241,6 +241,98 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_ALPHA = 0.7  # temperature: < 1 upweights small sources
+_MIX_BUDGET = 0.5  # sampled corpus size as a fraction of the full corpus
+_MIX_GRAIN = 1_000_000  # hash-bucket granularity for the realized sample
+
+
+@query(
+    "pipeline_domain_mixture",
+    oracle=f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_total) AS corpus_n, SUM(pow(n_total, {_MIX_ALPHA})) AS z
+        FROM counts),
+w AS (SELECT source, n_total,
+             pow(n_total, {_MIX_ALPHA}) / z AS weight,
+             LEAST(n_total,
+                   CAST(FLOOR(corpus_n * {_MIX_BUDGET} * pow(n_total, {_MIX_ALPHA}) / z)
+                        AS BIGINT)) AS n_target
+      FROM counts, tot),
+t AS (SELECT source, n_total, weight, n_target,
+             CAST(FLOOR({_MIX_GRAIN}.0 * n_target / n_total) AS BIGINT) AS thresh
+      FROM w),
+b AS (SELECT source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8) AS BIGINT)
+               % {_MIX_GRAIN} AS bucket
+      FROM documents)
+SELECT t.source, t.n_total, ROUND(t.weight, 6) AS weight, t.n_target,
+       COUNT(*) FILTER (WHERE b.bucket < t.thresh) AS n_sampled
+FROM b JOIN t ON b.source = t.source
+GROUP BY t.source, t.n_total, t.weight, t.n_target
+""",
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the multinomial-sampling step of
+    multilingual/multi-domain corpus prep): source weight ∝ n^α (α = 0.7
+    upweights small domains), a total token budget of half the corpus, and
+    the realized sample drawn by deterministic id-hash buckets (md5 chars
+    17-24 — independent of the split and strata buckets; never rand()).
+    Downsampling only — n_target caps at n_total. Two passes over
+    `documents`: a tiny per-source count agg, then one broadcast join of the
+    per-source thresholds onto the corpus scan — no shuffle of the big side
+    beyond the final per-source agg."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    tot = counts.agg(
+        F.sum("n_total").alias("corpus_n"),
+        F.sum(F.pow(F.col("n_total").cast("double"), _MIX_ALPHA)).alias("z"),
+    )
+    w = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "weight",
+            F.pow(F.col("n_total").cast("double"), _MIX_ALPHA) / F.col("z"),
+        )
+        .withColumn(
+            "n_target",
+            F.least(
+                F.col("n_total"),
+                F.floor(
+                    F.col("corpus_n") * _MIX_BUDGET * F.col("weight")
+                ).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "thresh",
+            F.floor(
+                F.lit(_MIX_GRAIN) * F.col("n_target") / F.col("n_total")
+            ).cast("bigint"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10
+        ).cast("bigint")
+        % _MIX_GRAIN
+    )
+    return (
+        docs.select("source", bucket.alias("bucket"))
+        .join(
+            F.broadcast(
+                w.select("source", "n_total", "weight", "n_target", "thresh")
+            ),
+            "source",
+        )
+        .groupBy("source")
+        .agg(
+            F.first("n_total").alias("n_total"),
+            F.round(F.first("weight"), 6).alias("weight"),
+            F.first("n_target").alias("n_target"),
+            F.count_if(F.col("bucket") < F.col("thresh")).alias("n_sampled"),
+        )
+    )
+
+
 def _two_stage_oracle() -> str:
     from sqlserver_cdc_to_kafka_spark.queries.pipeline import (
         _DUCK_SHINGLES,
