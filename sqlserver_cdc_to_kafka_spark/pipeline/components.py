@@ -2,13 +2,21 @@
 clustering step that turns pairwise dedup hits into groups with one
 canonical document each (the final stage of every dedup pipeline).
 
-Iterative min-label propagation:
-  label(v) := min(label(v), min over neighbors' labels), repeat to fixpoint.
-Each iteration is one join + one aggregation; iterations ≈ graph diameter
-(near-dup graphs are shallow — a handful of rounds). The driver loop only
-checks a scalar convergence count per round; all data stays distributed.
-At larger diameters swap in large-star/small-star (same join primitives,
-fewer rounds) — the shape of the loop is identical.
+Two physical strategies, same contract:
+
+1. ``connected_components`` — min-label propagation: label(v) := min(label
+   of v and its neighbors), repeat to fixpoint. One join + one aggregation
+   per round; rounds ≈ graph DIAMETER. Right default for near-dup graphs
+   (shallow clusters, a handful of rounds).
+2. ``connected_components_star`` — alternating large-star/small-star
+   (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   SoCC'14): each round rewires every node toward its neighborhood
+   minimum, converging in O(log n) rounds regardless of diameter — the
+   scale path when components can be long chains (e.g. transitive
+   near-dup runs at 100 TB, where diameter-many rounds would stall).
+
+Both keep all data distributed; the driver loop only ever sees scalar
+convergence checks.
 """
 
 from __future__ import annotations
@@ -70,3 +78,93 @@ def connected_components(
         if n_changed == 0:
             break
     return labels
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})."""
+    nbrs = _sym(e)
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every strictly-smaller neighbor v plus u itself, m =
+    min of u's smaller neighborhood; drops the (m, m) self-edge."""
+    nbrs = _sym(e).filter(F.col("v") < F.col("u"))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    cand = (
+        nbrs.join(mins, "u")
+        .select(F.col("v").alias("node"), "m")
+        .unionByName(mins.select(F.col("u").alias("node"), "m"))
+    )
+    return (
+        cand.filter(F.col("node") != F.col("m"))
+        .select(F.col("node").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components — same (doc_id, component)
+    contract as ``connected_components``, O(log n) rounds instead of
+    O(diameter). Convergence = the edge set reaches a fixpoint (stars
+    centered on each component's min), detected by a count + order-free
+    hash-sum pair — two scalar jobs per round, nothing collected."""
+    verts = (
+        _sym(
+            edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        )
+        .select(F.col("u").alias("doc_id"))
+        .distinct()
+        .cache()
+    )
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+    sig_prev: tuple | None = None
+    for _ in range(max_iterations):
+        # localCheckpoint (not cache): each round's plan would otherwise
+        # nest the previous round's — lineage and task binaries grow
+        # geometrically over the loop
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        row = new_e.agg(
+            F.count("*").alias("n"),
+            # decimal accumulator: ANSI mode faults a BIGINT SUM overflow,
+            # and hash sums overflow by design
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        e.unpersist()
+        e = new_e
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+    # fixpoint edges are (node → component-min) stars; centers re-attach as
+    # their own component via the left join
+    parents = e.groupBy("u").agg(F.min("v").alias("component"))
+    return verts.join(
+        parents.withColumnRenamed("u", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )

@@ -167,6 +167,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@query(
+    "dedup_clusters_star",
+    oracle="WITH RECURSIVE " + _clusters_oracle().split("WITH ", 1)[1],
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second physical strategy for near-dup clustering: alternating
+    large-star/small-star (O(log n) rounds, diameter-independent — the
+    100 TB path for long transitive dup chains) over the same MinHash-LSH
+    candidate graph, against the same recursive-CTE oracle as
+    `dedup_clusters`. One semantic contract, two executions — like the
+    `ann_cosine_topk` / `_vectorized` pair."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.components import (
+        connected_components_star,
+    )
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
+        minhash_lsh_candidate_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidate_pairs(docs, "doc_id")
+    return connected_components_star(pairs)
+
+
 _ANN_TOPK_ORACLE = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 5),

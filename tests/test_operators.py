@@ -352,3 +352,49 @@ def test_quantile_histogram_close_to_exact(spark, sf_dir):
 
             elem = vals[min(max(math.ceil(q * n) - 1, 0), n - 1)]
             assert abs(e - elem) <= 1.0, (etype, q, e, elem)
+
+
+def test_star_components_match_label_propagation(spark):
+    """Both physical strategies agree on a mixed random graph."""
+    import random
+
+    from sqlserver_cdc_to_kafka_spark.pipeline.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    lp = {(r.doc_id, r.component) for r in connected_components(df).collect()}
+    st = {
+        (r.doc_id, r.component)
+        for r in connected_components_star(df).collect()
+    }
+    assert st == lp
+
+
+def test_star_components_long_chain_logarithmic_rounds(spark):
+    """A 200-node path has diameter 199 — min-label propagation's 20-round
+    cap cannot close it, but large-star/small-star collapses it in O(log n)
+    rounds: every node must land in component 0."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.components import (
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(199)]
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    out = connected_components_star(df).collect()
+    assert len(out) == 200
+    assert all(r.component == 0 for r in out)
+
+
+def test_star_components_singleton_and_pair(spark):
+    from sqlserver_cdc_to_kafka_spark.pipeline.components import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame([(5, 9), (9, 5), (3, 3)], ["doc_a", "doc_b"])
+    out = {(r.doc_id, r.component) for r in connected_components_star(df).collect()}
+    assert out == {(5, 5), (9, 5), (3, 3)}
