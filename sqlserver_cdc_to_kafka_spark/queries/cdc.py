@@ -307,6 +307,88 @@ def q_serde_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "serde_avro_roundtrip",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT COUNT(*) AS n_total, COUNT(*) AS n_exact FROM cdc_events
+""",
+)
+def q_serde_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/F7/F8 witness over REAL data: every change event encoded to the
+    Confluent Avro wire format (magic + schema id + zigzag varints +
+    ["null",T] unions + __updated_fields enum array — the pure-Python spec
+    codec pinned by golden-bytes tests) and decoded back must reproduce the
+    row exactly, including the full-consumption framing check. The
+    reference samples 1 in 50k through its canonical encoder
+    (avro.py:559-609); this runs the same self-check on all rows.
+    Arrow-batched mapInPandas; per-partition partial counts, one final
+    1-row agg."""
+    from sqlserver_cdc_to_kafka_spark.serializers.avro_wire import (
+        avro_string,
+        decode_envelope_value,
+        encode_envelope_value,
+        pack_double,
+        write_varint,
+    )
+
+    feed = cdc_events(spark, sf_dir).select(
+        "__operation",
+        "change_seq",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    ftypes = ["long", "long", "string", "double", "string"]
+
+    def roundtrip(batches):
+        import pandas as pd
+
+        total = exact = 0
+        def conv(v, py, enc):
+            # NULL payload columns (delete images) take the union's null
+            # branch: datum None → tag 0x00 on the wire
+            if v is None or (isinstance(v, float) and v != v):
+                return None, None
+            v = py(v)
+            return v, enc(v)
+
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                op = int(row["__operation"])
+                seq = int(row["change_seq"])
+                lsn = seq.to_bytes(10, "big")
+                pairs = [
+                    conv(row["o_orderkey"], int, write_varint),
+                    conv(row["o_custkey"], int, write_varint),
+                    conv(row["o_orderstatus"], str, avro_string),
+                    conv(row["o_totalprice"], float, pack_double),
+                    conv(row["o_orderpriority"], str, avro_string),
+                ]
+                vals = [p[0] for p in pairs]
+                datums = [p[1] for p in pairs]
+                enc = encode_envelope_value(
+                    7, op, str(seq), lsn, 0, lsn, datums
+                )
+                dec = decode_envelope_value(enc, ftypes)
+                total += 1
+                exact += (
+                    dec["operation_id"] == op
+                    and dec["event_time_iso"] == str(seq)
+                    and dec["lsn"] == lsn
+                    and dec["seqval"] == lsn
+                    and dec["values"] == vals
+                )
+        yield pd.DataFrame({"t": [total], "e": [exact]})
+
+    parts = feed.mapInPandas(roundtrip, "t long, e long")
+    return parts.agg(
+        F.sum("t").alias("n_total"), F.sum("e").alias("n_exact")
+    )
+
+
+@query(
     "cdc_struct_index_order",
     oracle=f"""
 WITH {CDC_EVENTS_SQL},

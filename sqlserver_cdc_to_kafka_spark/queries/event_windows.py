@@ -102,3 +102,59 @@ def q_window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_STREAM_HOUR_US = 3_600_000_000
+
+
+@query(
+    "stream_windowed_counts_drain",
+    oracle=f"""
+SELECT (epoch_us(ts) // {_STREAM_HOUR_US}) * {_STREAM_HOUR_US} AS window_start_us,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_stream_windowed_counts_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING end-to-end witness for event-time windows: the events table
+    streamed through a WATERMARKED tumbling-window aggregation (readStream →
+    withWatermark → window() → memory sink, availableNow) must hash-match
+    the batch oracle — streaming and batch window semantics are the same
+    computation, proved. Complete output mode: append would withhold the
+    final windows still inside the watermark horizon at end-of-stream
+    (`test_streaming_windowed_counts_match_batch` pins that append-mode
+    cutoff). Decimal sum for engine-exact totals; epoch-micros outputs keep
+    it timezone-independent."""
+    import uuid
+
+    from sqlserver_cdc_to_kafka_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("event_time", "30 minutes")
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = f"windrain_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(agg, name, output_mode="complete")
+    out = spark.table(name)
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n",
+        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
+    )

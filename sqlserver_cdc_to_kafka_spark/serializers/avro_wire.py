@@ -132,9 +132,12 @@ def updated_fields_array(col_count: int, update_mask: bytes | None = None) -> by
     else:
         m = int.from_bytes(update_mask, "big")
         set_bits = [i for i in range(8 * len(update_mask)) if (m >> i) & 1]
-        out += write_varint(len(set_bits))
-        for i in set_bits:
-            out += write_varint(i + 1)
+        if set_bits:  # an empty array is ONLY the 0 terminator — a
+            # count-0 block before it would double-encode "empty" and
+            # leave a stray byte for any spec-conforming reader
+            out += write_varint(len(set_bits))
+            for i in set_bits:
+                out += write_varint(i + 1)
     out += b"\x00"
     return bytes(out)
 

@@ -65,7 +65,9 @@ def test_updated_fields_from_mask_golden():
     # count 2 -> \x04, ordinals 1 -> \x02 and 3 -> \x06, terminator
     assert updated_fields_array(3, b"\x05") == b"\x04\x02\x06\x00"
     # empty mask: zero-count array is just count 0 + terminator
-    assert updated_fields_array(3, b"\x00") == b"\x00\x00"
+    # empty array = bare terminator (Avro spec: a series of non-empty
+    # blocks ended by a zero count; no zero-count block precedes it)
+    assert updated_fields_array(3, b"\x00") == b"\x00"
 
 
 def test_insert_envelope_value_golden():
