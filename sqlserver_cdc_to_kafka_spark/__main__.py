@@ -18,6 +18,12 @@ surface (``python -m cdc_kafka``, reference ``options.py`` flag names,
     ... --find-truncation-candidates
         the find_truncation_opportunities.py tool: per-column truncation
         report.
+    ... --reset-progress --topic-names T1,T2 [--progress-kind K] [--execute]
+        the progress_reset_tool.py analog (progress_reset_tool.py:12):
+        append tombstone progress records for the named topics' sinks under
+        --sink-dir so their next run starts from scratch; other topics keep
+        their offsets. Dry-run (report only) unless --execute is set, like
+        the reference.
 
 Flags reuse the reference's names (``--db-row-batch-size``,
 ``--table-include-regex``, ``--topic-name-template``, …) so an operator of
@@ -61,6 +67,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report-progress-only", action="store_true")
     p.add_argument("--show-snapshot-history", action="store_true")
     p.add_argument("--find-truncation-candidates", action="store_true")
+    # progress_reset_tool analog (reference progress_reset_tool.py flags)
+    p.add_argument("--reset-progress", action="store_true")
+    p.add_argument("--topic-names", default=None,
+                   help="comma-separated topics for --reset-progress")
+    p.add_argument("--progress-kind", default="change_rows",
+                   choices=("change_rows", "snapshot_rows", "all"))
+    p.add_argument("--execute", action="store_true",
+                   help="actually write the reset (default: dry-run report)")
     return p
 
 
@@ -155,9 +169,45 @@ def _run_pipeline(spark, sf_dir: str, sink_dir: str, cfg: EngineConfig) -> None:
           snapshot_pages=len(pages))
 
 
+def _reset_progress(args: argparse.Namespace) -> int:
+    """progress_reset_tool.py:12 analog — no Spark session needed; operates
+    on the sink manifests directly."""
+    import os
+
+    from sqlserver_cdc_to_kafka_spark.streaming.sinks import TransactionalDirSink
+
+    if not args.topic_names or not args.sink_dir:
+        print("error: --reset-progress requires --topic-names and --sink-dir",
+              file=sys.stderr)
+        return 2
+    kinds = (
+        ("change_rows", "snapshot_rows")
+        if args.progress_kind == "all"
+        else (args.progress_kind,)
+    )
+    for topic in (t.strip() for t in args.topic_names.split(",")):
+        root = os.path.join(args.sink_dir, topic)
+        if not os.path.exists(root):
+            _emit("reset", topic=topic, found=False)
+            continue
+        sink = TransactionalDirSink(root, topic)
+        prior = sink.last_progress()
+        if args.execute:
+            n = sink.reset_progress(kinds)
+            _emit("reset", topic=topic, found=True, prior_position=prior,
+                  tombstones_written=n, executed=True)
+        else:
+            _emit("reset", topic=topic, found=True, prior_position=prior,
+                  executed=False, note="dry-run; pass --execute to write")
+    return 0
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     cfg = _config_from_args(args)
+
+    if args.reset_progress:
+        return _reset_progress(args)
 
     from sqlserver_cdc_to_kafka_spark.session import get_spark
 

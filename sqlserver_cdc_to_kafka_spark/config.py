@@ -42,6 +42,8 @@ class EngineConfig:
     replication_factor: int = 3  # --replication-factor
     disable_deletion_tombstones: bool = False  # --disable-deletion-tombstones
     extra_topic_config: dict[str, str] = field(default_factory=dict)
+    kafka_oauth_provider: str | None = None  # --kafka-oauth-provider (module.Class, X3)
+    kafka_oauth_options: dict[str, Any] = field(default_factory=dict)  # provider kwargs
 
     # --- serialization ---------------------------------------------------
     message_serializer: str = "json"  # --message-serializer ('json' | 'avro')

@@ -31,6 +31,15 @@ def epoch_micros(df: DataFrame, col: str) -> Column:
     raise TypeError(f"{col}: unsupported time column type {dt}")
 
 
+def as_event_time(df: DataFrame, col: str) -> Column:
+    """A TimestampType *instant* rebuilt from any supported time column —
+    the form ``F.window`` / ``F.session_window`` / watermarks need. Built
+    from :func:`epoch_micros` so the same dtype dispatch (LONG nanos /
+    TIMESTAMP_NTZ / TIMESTAMP) covers every testdata vintage; the result's
+    ``unix_micros`` equals ``epoch_micros`` under any session timezone."""
+    return F.timestamp_micros(epoch_micros(df, col))
+
+
 def epoch_seconds(df: DataFrame, col: str) -> Column:
     """Epoch seconds as DOUBLE (fractional part preserved)."""
     return epoch_micros(df, col) / F.lit(1_000_000.0)

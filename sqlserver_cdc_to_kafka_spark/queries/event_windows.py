@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import as_event_time
 from sqlserver_cdc_to_kafka_spark.registry import query
 from sqlserver_cdc_to_kafka_spark.tables import load_table
 
@@ -22,8 +23,9 @@ _GAP_US = 600_000_000  # 10 min session gap
 
 def _events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # ts is epoch-nanos LONG (nanosAsLong); rebuild an instant for window fns
-    return ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    # ts dtype varies by testdata vintage (LONG nanos / TIMESTAMP_NTZ /
+    # TIMESTAMP micros) — as_event_time dispatches on the actual dtype.
+    return ev.withColumn("event_time", as_event_time(ev, "ts"))
 
 
 @query(
@@ -118,40 +120,37 @@ FROM events GROUP BY 1, 2
 """,
 )
 def q_stream_windowed_counts_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING end-to-end witness for event-time windows: the events table
-    streamed through a WATERMARKED tumbling-window aggregation (readStream →
-    withWatermark → window() → memory sink, availableNow) must hash-match
+    """STREAMING end-to-end witness for event-time windows, on the SCALE
+    PATH: readStream → withWatermark → window() → **append-mode parquet
+    sink** (each window emitted exactly once when the watermark passes it;
+    nothing accumulates in the driver — unlike complete-mode memory sinks,
+    this survives 100 TB). A far-future sentinel event advances the final
+    watermark so end-of-stream flushes every real window (see
+    streaming.windows.windowed_counts_file_sink); the result must hash-match
     the batch oracle — streaming and batch window semantics are the same
-    computation, proved. Complete output mode: append would withhold the
-    final windows still inside the watermark horizon at end-of-stream
-    (`test_streaming_windowed_counts_match_batch` pins that append-mode
-    cutoff). Decimal sum for engine-exact totals; epoch-micros outputs keep
-    it timezone-independent."""
-    import uuid
-
+    computation, proved. Decimal sum for engine-exact totals; epoch-micros
+    outputs keep it timezone-independent."""
     from sqlserver_cdc_to_kafka_spark.streaming.windows import (
-        read_events_stream,
-        run_stream_to_memory,
+        windowed_counts_file_sink,
     )
 
-    ev = read_events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("event_time", "30 minutes")
-        .groupBy(F.window("event_time", "1 hour"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    def agg_builder(ev: DataFrame) -> DataFrame:
+        return (
+            ev.withWatermark("event_time", "30 minutes")
+            .groupBy(F.window("event_time", "1 hour"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n",
+                "total_value",
+            )
         )
-        .select(
-            F.col("window.start").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
-        )
-    )
-    name = f"windrain_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(agg, name, output_mode="complete")
-    out = spark.table(name)
+
+    out = windowed_counts_file_sink(spark, sf_dir, agg_builder)
     return out.select(
         F.unix_micros(F.col("window_start")).alias("window_start_us"),
         "event_type",

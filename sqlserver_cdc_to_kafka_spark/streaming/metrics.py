@@ -119,9 +119,107 @@ def report_batch(
     return m
 
 
+class HttpPostReporter(ReporterBase):
+    """X2/S12 (``metric_reporting/http_post_reporter.py:29-45``): POST each
+    interval's metrics to a configured URL with configured headers. Body is
+    JSON by default, or a ``string.Template`` rendered with the metrics
+    fields (the reference uses Jinja2; ``$field`` placeholders cover the
+    same publish-to-a-gateway shape without the dependency).
+
+    Like the reference, the POST runs on a daemon thread so a slow or dead
+    endpoint never stalls the pipeline; failures are logged-and-dropped
+    (metrics are lossy by contract). ``synchronous=True`` for tests."""
+
+    def __init__(
+        self,
+        url: str,
+        headers: dict[str, str] | None = None,
+        template: str | None = None,
+        timeout: float = 10.0,
+        synchronous: bool = False,
+    ) -> None:
+        self.url = url
+        self.headers = dict(headers or {})
+        self.headers.setdefault("Content-Type", "application/json")
+        self.template = template
+        self.timeout = timeout
+        self.synchronous = synchronous
+
+    def _body(self, metrics: BatchMetrics) -> bytes:
+        d = asdict(metrics)
+        if self.template is not None:
+            import string
+
+            return string.Template(self.template).safe_substitute(
+                {k: json.dumps(v) for k, v in d.items()}
+            ).encode()
+        return json.dumps(d).encode()
+
+    def _post(self, body: bytes) -> None:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url, data=body, headers=self.headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                resp.read()
+        except (urllib.error.URLError, OSError) as exc:
+            print(f"HttpPostReporter: failed to post to {self.url}: {exc}", file=sys.stderr)
+
+    def emit(self, metrics: BatchMetrics) -> None:
+        body = self._body(metrics)
+        if self.synchronous:
+            self._post(body)
+            return
+        import threading
+
+        t = threading.Thread(target=self._post, args=(body,), name="HttpPostReporter")
+        t.daemon = True
+        t.start()
+
+
+DEFAULT_METRICS_TOPIC = "_cdc_to_kafka_metrics"  # kafka_reporter.py:16
+
+
+class KafkaTopicReporter(ReporterBase):
+    """X2/S12 (``metric_reporting/kafka_reporter.py:25-28``): publish each
+    interval's metrics record to the metrics topic. The environment has no
+    broker, so the topic is the engine's directory-backed topic abstraction
+    (streaming.sinks) — one append-only jsonl log per topic, keyed by
+    metrics namespace exactly as the reference keys its Avro message; a real
+    deployment swaps ``_append`` for a producer.send on the same payload."""
+
+    def __init__(
+        self,
+        root: str,
+        topic: str = DEFAULT_METRICS_TOPIC,
+        namespace: str = "cdc_to_kafka",
+    ) -> None:
+        import os
+
+        self.topic_dir = os.path.join(root, topic)
+        os.makedirs(self.topic_dir, exist_ok=True)
+        self.log_path = os.path.join(self.topic_dir, "messages.jsonl")
+        self.namespace = namespace
+
+    def emit(self, metrics: BatchMetrics) -> None:
+        record = {"key": {"metrics_namespace": self.namespace}, "value": asdict(metrics)}
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def read_back(self) -> list[dict]:
+        """Test/consumer surface: the topic's messages in publish order."""
+        with open(self.log_path) as f:
+            return [json.loads(line) for line in f]
+
+
 def load_reporters(spec: str) -> list[ReporterBase]:
     """X2 config surface: comma-separated reporter names
-    (options.py:295-306's dotted-path loading, with built-in shorthands)."""
+    (options.py:295-306's dotted-path loading, with built-in shorthands):
+    ``stdout`` | ``file:<path>`` | ``memory`` | ``http:<url>`` |
+    ``kafka:<root-dir>`` | any dotted ``pkg.mod.Class`` path."""
     out: list[ReporterBase] = []
     for name in filter(None, (s.strip() for s in spec.split(","))):
         if name == "stdout":
@@ -130,6 +228,10 @@ def load_reporters(spec: str) -> list[ReporterBase]:
             out.append(LocalFileReporter(name[5:]))
         elif name == "memory":
             out.append(AccumulatingReporter())
+        elif name.startswith(("http://", "https://")):
+            out.append(HttpPostReporter(name))
+        elif name.startswith("kafka:"):
+            out.append(KafkaTopicReporter(name[6:]))
         else:
             import importlib
 

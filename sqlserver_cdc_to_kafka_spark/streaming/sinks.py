@@ -64,11 +64,16 @@ class TransactionalDirSink:
         """T2 resume point: highest committed batch's position (the
         compacted-progress-topic replay, progress_tracking.py:235-258).
         Batches without a position (snapshot pages) are skipped — snapshot
-        progress is tracked by key, not index (constants.py:38-39)."""
+        progress is tracked by key, not index (constants.py:38-39). A reset
+        tombstone (see ``reset_progress``) is a hard boundary: nothing
+        before it counts, so a reset topic resumes from scratch."""
         batches = self.committed_batches()
         for b in sorted(batches, reverse=True):
-            if batches[b]["position"] is not None:
-                return batches[b]["position"]
+            rec = batches[b]
+            if rec.get("tombstone"):
+                return None
+            if rec["position"] is not None:
+                return rec["position"]
         return None
 
     def commit_batch(self, batch: DataFrame, batch_id: int, position) -> bool:
@@ -104,6 +109,37 @@ class TransactionalDirSink:
             for r in self.committed_batches().values()
         ]
 
+    def reset_progress(self, kinds: tuple[str, ...] = ("change_rows",)) -> int:
+        """progress_reset_tool analog (reference progress_reset_tool.py:12,
+        progress_tracking.py reset_progress): append a *tombstone* progress
+        record per (topic, kind) — position=None, a fresh batch-id epoch —
+        so replaying the log yields no resume point and the next run starts
+        from scratch. Data files are untouched (same as the reference: only
+        the progress topic is rewritten) and other topics' sinks never see
+        it. Returns the number of tombstones written."""
+        existing = [r for r in self.committed_batches().values() if r["kind"] in kinds]
+        if not existing:
+            return 0
+        next_id = max(r["batch_id"] for r in self.committed_batches().values()) + 1
+        n = 0
+        with open(self.manifest_path, "a") as f:
+            for kind in kinds:
+                if any(r["kind"] == kind for r in existing):
+                    f.write(
+                        json.dumps(
+                            {
+                                "topic": self.topic,
+                                "kind": kind,
+                                "position": None,
+                                "batch_id": next_id + n,
+                                "tombstone": True,
+                            }
+                        )
+                        + "\n"
+                    )
+                    n += 1
+        return n
+
     def read_committed(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """Read ONLY manifest-listed data (uncommitted staging invisible).
         Records may carry an explicit ``path`` (compacted generations).
@@ -114,6 +150,8 @@ class TransactionalDirSink:
         batches = self.committed_batches()
         if as_of is not None:
             batches = {b: r for b, r in batches.items() if b <= as_of}
+        # progress-reset tombstones carry no data directory
+        batches = {b: r for b, r in batches.items() if not r.get("tombstone")}
         dirs = [
             os.path.join(self.root, "data", batches[b].get("path", f"batch={b}"))
             for b in sorted(batches)

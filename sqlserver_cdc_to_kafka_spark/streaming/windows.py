@@ -2,9 +2,11 @@
 event-time windows and streaming dedupe — capabilities the reference lacks
 (SURVEY §2.9 note) that Spark provides natively (T1/T8 analogs).
 
-The events parquet carries nanosecond timestamps (surfaced as epoch-nanos
-LONG, see tables.load_table); these helpers rebuild a proper timestamp
-column for watermarking."""
+The events parquet's `ts` dtype varies by testdata vintage (TIMESTAMP micros
+today; historically TIMESTAMP(NANOS) surfaced as epoch-nanos LONG via
+nanosAsLong) — the streaming schema is derived from the actual file footer
+and the event-time column is rebuilt via the same dtype dispatch the batch
+path uses (functions.datetime_fns)."""
 
 from __future__ import annotations
 
@@ -16,18 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import as_event_time
 
-def events_schema() -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # epoch nanos (nanosAsLong)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+
+def events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The ACTUAL schema of the events fixture, read from the parquet footer
+    via a batch scan (schema-only; no data read). Hard-coding the schema here
+    silently corrupted every event when the testdata's `ts` migrated from
+    nanos-LONG to TIMESTAMP micros — a wrong explicit readStream schema
+    reinterprets the raw int64 without error."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,16 +42,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), "spark_events_stream", sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
         shutil.copyfile(src, dst)
     raw = (
-        spark.readStream.schema(events_schema())
+        spark.readStream.schema(events_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return raw.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return raw.withColumn("event_time", as_event_time(raw, "ts"))
 
 
 def windowed_counts(
@@ -79,6 +78,102 @@ def streaming_dedupe(events: DataFrame, watermark: str = "30 minutes") -> DataFr
     (the reference's capture-instance-overlap dedupe, restated as
     dropDuplicates on the stream)."""
     return events.withWatermark("event_time", watermark).dropDuplicates(["event_id"])
+
+
+def windowed_counts_file_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    agg_builder,
+    window_micros: int = 3_600_000_000,
+    watermark_micros: int = 1_800_000_000,
+) -> DataFrame:
+    """SCALE PATH for streaming windowed aggregation: append-mode parquet
+    sink + checkpoint — the shape that survives 100 TB. Complete-mode memory
+    sinks land the entire aggregate in the driver every micro-batch; append
+    mode emits each window exactly once, when the watermark passes it, and
+    the sink is a distributed file write.
+
+    Append mode withholds windows still inside the watermark horizon at
+    end-of-stream, so to emit EVERY real window (and hash-match the batch
+    oracle) a far-future *sentinel* event is staged as the last file: it
+    advances the final watermark past all real windows, availableNow runs
+    the trailing no-data batch that flushes them, and the sentinel's own
+    window — the only state left open — is never emitted.
+
+    ``agg_builder(events_df) -> DataFrame`` builds the watermarked window
+    aggregation (must include a TimestampType ``window_start`` column).
+    Returns the sink read back as a batch DataFrame, sentinel window
+    excluded defensively.
+    """
+    import uuid
+
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        as_event_time,
+        epoch_micros,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    scratch = os.path.join(tempfile.gettempdir(), f"windrain_{run_id}")
+    stage = os.path.join(scratch, "src")
+    outdir = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(stage)
+
+    src = f"{sf_dir}/events.parquet"
+    shutil.copyfile(src, os.path.join(stage, "a_events.parquet"))
+
+    batch = spark.read.parquet(src)
+    max_us = batch.select(F.max(epoch_micros(batch, "ts")).alias("m")).collect()[0]["m"]
+    # far enough that (sentinel - watermark) > end of every real window
+    sentinel_us = (
+        (max_us // window_micros + 2) * window_micros + watermark_micros + window_micros
+    )
+    sentinel_cutoff_us = (sentinel_us // window_micros) * window_micros
+
+    # sentinel row in the fixture's OWN schema (whatever ts dtype it carries)
+    ts_dt = batch.schema["ts"].dataType
+    if isinstance(ts_dt, T.LongType):
+        ts_val = sentinel_us * 1000  # epoch-nanos form
+    else:
+        import datetime as _dt
+
+        naive = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=sentinel_us)
+        ts_val = (
+            naive.replace(tzinfo=_dt.timezone.utc)
+            if isinstance(ts_dt, T.TimestampType)
+            else naive
+        )
+    row = tuple(ts_val if f.name == "ts" else None for f in batch.schema.fields)
+    sent_tmp = os.path.join(scratch, "sentinel_tmp")
+    spark.createDataFrame([row], batch.schema).coalesce(1).write.parquet(sent_tmp)
+    part = next(
+        f for f in os.listdir(sent_tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    sent_dst = os.path.join(stage, "z_sentinel.parquet")
+    shutil.copyfile(os.path.join(sent_tmp, part), sent_dst)
+    # FileStreamSource orders files by mtime: the sentinel must be the LAST
+    # micro-batch so no real event arrives behind the advanced watermark
+    real_mtime = os.path.getmtime(os.path.join(stage, "a_events.parquet"))
+    os.utime(sent_dst, (real_mtime + 100, real_mtime + 100))
+
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    events = raw.withColumn("event_time", as_event_time(raw, "ts"))
+    agg = agg_builder(events)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(outdir)
+    return out.filter(F.unix_micros(F.col("window_start")) < F.lit(sentinel_cutoff_us))
 
 
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):

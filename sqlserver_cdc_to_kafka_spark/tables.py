@@ -29,9 +29,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan with Catalyst pushdown/pruning intact — never wrap this
     in anything that would block filter pushdown to the parquet reader.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark cannot represent;
-    ``nanosAsLong`` (runtime-settable) surfaces it as LongType epoch-nanos —
-    the engine treats it as an epoch column (see functions.datetime_fns)."""
+    ``events.ts`` dtype varies by testdata vintage: today it is parquet
+    TIMESTAMP micros (Spark reads TIMESTAMP or TIMESTAMP_NTZ); historically
+    it was TIMESTAMP(NANOS), which ``nanosAsLong`` (kept set, a no-op on
+    micros) surfaces as LongType epoch-nanos. NEVER assume one form — always
+    go through ``functions.datetime_fns`` (epoch_micros / as_event_time),
+    which dispatches on the actual column dtype."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -84,3 +84,51 @@ def test_invalid_option_value_rejected(sf_dir):
     with pytest.raises(ValueError):
         main(["--sf-dir", sf_dir, "--run-validations",
               "--lsn-gap-handling", "bogus"])
+
+
+def test_reset_progress_tool(spark, sf_dir, tmp_path, capsys):
+    """progress_reset_tool analog: the reset topic resumes from scratch,
+    the untouched topic keeps its offset, and dry-run changes nothing."""
+    import pyspark.sql.functions as F
+
+    from sqlserver_cdc_to_kafka_spark.fixtures.cdc_events import cdc_events
+    from sqlserver_cdc_to_kafka_spark.streaming.change_feed import MicroBatcher
+    from sqlserver_cdc_to_kafka_spark.streaming.sinks import TransactionalDirSink
+
+    feed = cdc_events(spark, sf_dir).filter(F.col("change_seq") < 2000)
+    sinks = {}
+    for topic in ("orders_cdc", "customer_cdc"):
+        sink = TransactionalDirSink(str(tmp_path / topic), topic)
+        sinks[topic] = sink
+
+        def write(batch, bid, s=sink):
+            s.commit_batch(batch, bid, batch.agg(F.max("change_seq")).collect()[0][0])
+
+        MicroBatcher(feed, topic, batch_size=700, sink=write).run_to_completion()
+    max_seq = feed.agg(F.max("change_seq")).collect()[0][0]
+    assert sinks["orders_cdc"].last_progress() == max_seq
+
+    # dry-run: reports but does not write
+    rc = main(["--reset-progress", "--topic-names", "orders_cdc",
+               "--sink-dir", str(tmp_path)])
+    assert rc == 0
+    (row,) = [r for r in _emitted(capsys) if r["kind"] == "reset"]
+    assert row["prior_position"] == max_seq and row["executed"] is False
+    assert sinks["orders_cdc"].last_progress() == max_seq
+
+    # execute: reset topic resumes from scratch, other topic untouched
+    rc = main(["--reset-progress", "--topic-names", "orders_cdc,missing_topic",
+               "--sink-dir", str(tmp_path), "--execute"])
+    assert rc == 0
+    rows = [r for r in _emitted(capsys) if r["kind"] == "reset"]
+    assert {r["topic"]: r.get("found") for r in rows} == {
+        "orders_cdc": True, "missing_topic": False,
+    }
+    assert sinks["orders_cdc"].last_progress() is None
+    assert sinks["customer_cdc"].last_progress() == max_seq
+    # committed data is untouched (only progress is rewritten)
+    assert sinks["orders_cdc"].read_committed(spark).count() == feed.count()
+    # a fresh batcher over the reset topic starts from scratch
+    mb = MicroBatcher(feed, "orders_cdc", batch_size=700)
+    mb._offset = sinks["orders_cdc"].last_progress()
+    assert mb.run_once() == 700

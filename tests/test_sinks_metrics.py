@@ -82,10 +82,98 @@ def test_observed_metrics_and_reporters(spark, sf_dir, tmp_path):
 
 
 def test_load_reporters_spec(tmp_path):
-    rs = load_reporters(f"stdout, file:{tmp_path}/m.json, memory")
+    from sqlserver_cdc_to_kafka_spark.streaming.metrics import (
+        HttpPostReporter,
+        KafkaTopicReporter,
+    )
+
+    rs = load_reporters(
+        f"stdout, file:{tmp_path}/m.json, memory,"
+        f" http://localhost:1/metrics, kafka:{tmp_path}/topics"
+    )
     assert isinstance(rs[0], StdoutReporter)
     assert isinstance(rs[1], LocalFileReporter)
     assert isinstance(rs[2], AccumulatingReporter)
+    assert isinstance(rs[3], HttpPostReporter)
+    assert rs[3].url == "http://localhost:1/metrics"
+    assert isinstance(rs[4], KafkaTopicReporter)
+
+
+def _metrics(batch_id=3):
+    from sqlserver_cdc_to_kafka_spark.streaming.metrics import BatchMetrics
+
+    return BatchMetrics(
+        interval_start_ts=1723500000.0,
+        batch_id=batch_id,
+        rows=10,
+        deletes=1,
+        inserts=5,
+        updates=3,
+        snapshots=1,
+        max_index=999,
+        batch_seconds=0.25,
+    )
+
+
+def test_http_post_reporter_posts_json_and_template(tmp_path):
+    """Spin a real local HTTP server and assert the posted payload shape
+    (reference metric_reporting/http_post_reporter.py:29-45)."""
+    import http.server
+    import threading
+
+    from sqlserver_cdc_to_kafka_spark.streaming.metrics import HttpPostReporter
+
+    received: list[tuple[str, bytes, str]] = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, body, self.headers.get("X-Auth", "")))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/metrics"
+        # default JSON body + custom header
+        HttpPostReporter(url, headers={"X-Auth": "tok"}, synchronous=True).emit(
+            _metrics()
+        )
+        assert received[0][0] == "/metrics"
+        assert received[0][2] == "tok"
+        payload = json.loads(received[0][1])
+        assert payload["batch_id"] == 3
+        assert payload["rows"] == 10
+        # templated body ($field placeholders, the reference's Jinja2 analog)
+        HttpPostReporter(
+            url,
+            template='{"series": "cdc", "n": $rows, "b": $batch_id}',
+            synchronous=True,
+        ).emit(_metrics(batch_id=4))
+        assert json.loads(received[1][1]) == {"series": "cdc", "n": 10, "b": 4}
+        # a dead endpoint is logged-and-dropped, never raises
+        HttpPostReporter("http://127.0.0.1:1/x", synchronous=True).emit(_metrics())
+    finally:
+        srv.shutdown()
+
+
+def test_kafka_topic_reporter_appends_keyed_records(tmp_path):
+    from sqlserver_cdc_to_kafka_spark.streaming.metrics import (
+        DEFAULT_METRICS_TOPIC,
+        KafkaTopicReporter,
+    )
+
+    rep = KafkaTopicReporter(str(tmp_path / "topics"))
+    rep.emit(_metrics(batch_id=1))
+    rep.emit(_metrics(batch_id=2))
+    msgs = rep.read_back()
+    assert [m["value"]["batch_id"] for m in msgs] == [1, 2]
+    assert all(m["key"] == {"metrics_namespace": "cdc_to_kafka"} for m in msgs)
+    assert (tmp_path / "topics" / DEFAULT_METRICS_TOPIC / "messages.jsonl").exists()
 
 
 def test_streaming_query_listener_captures_progress(spark, sf_dir, tmp_path):

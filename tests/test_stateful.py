@@ -6,6 +6,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
 from sqlserver_cdc_to_kafka_spark.streaming.stateful import (
     batch_closed_sessions,
     sessionize_stateful,
@@ -15,7 +16,7 @@ from sqlserver_cdc_to_kafka_spark.tables import load_table
 
 def _events_us(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    return ev.select("user_id", F.expr("ts div 1000").alias("us"), "event_id")
+    return ev.select("user_id", epoch_micros(ev, "ts").alias("us"), "event_id")
 
 
 def test_stateful_sessions_match_batch_across_microbatches(spark, sf_dir, tmp_path):

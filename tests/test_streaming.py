@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sqlserver_cdc_to_kafka_spark.fixtures.cdc_events import cdc_events
+from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import as_event_time
 from sqlserver_cdc_to_kafka_spark.streaming.change_feed import (
     MicroBatcher,
     resume_offset,
@@ -96,9 +97,8 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir):
     # batch equivalent over the same data; append mode only emits windows
     # whose end is past the final watermark (max event time - 30 min), so
     # apply the same cutoff to the batch side.
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("event_time", as_event_time(ev, "ts"))
     cutoff = ev.agg(
         (F.max("event_time") - F.expr("INTERVAL 30 MINUTES")).alias("wm")
     ).collect()[0]["wm"]
