@@ -1,0 +1,426 @@
+"""Training-data pipeline operators, part 3: decontamination as a filter
+(the direction a corpus build actually applies), corpus-LM quality scoring,
+iterative k-means over embeddings, the staged quality-filter funnel, and
+incremental new-batch-vs-corpus dedup — each hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
+from sqlserver_cdc_to_kafka_spark.queries.pipeline import _docs, _emb
+from sqlserver_cdc_to_kafka_spark.registry import query
+
+# Deterministic 95/5 split used across the pipeline queries (md5 of id).
+_SPLIT_SQL = """CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 100 < 95
+                THEN 'train' ELSE 'eval' END"""
+
+
+def _with_split(docs: DataFrame) -> DataFrame:
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    return docs.withColumn("split", F.when(bucket < 95, "train").otherwise("eval"))
+
+
+@query(
+    "pipeline_decontaminate_train",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, {_SPLIT_SQL} AS split, string_split(text, ' ') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id, split, unnest(CASE WHEN len(words) >= 4 THEN
+           list_distinct(list_transform(range(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+3], ' ')))
+           ELSE [] END) AS shingle
+  FROM base),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM sh t JOIN (SELECT DISTINCT shingle FROM sh WHERE split = 'eval') e
+       USING (shingle)
+  WHERE t.split = 'train')
+SELECT b.source,
+       CAST(COUNT(*) FILTER (WHERE b.split = 'train') AS BIGINT) AS n_train,
+       CAST(COUNT(*) FILTER (WHERE c.doc_id IS NOT NULL) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) FILTER (WHERE b.split = 'train' AND c.doc_id IS NULL)
+            AS BIGINT) AS n_kept
+FROM base b LEFT JOIN contaminated c ON b.doc_id = c.doc_id
+GROUP BY 1
+""",
+)
+def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as the corpus build applies it: DROP train documents
+    sharing any word-4-gram with the eval split (the reverse direction of
+    pipeline_decontaminate_eval's report). Scale path: the eval side is
+    tiny by construction (5%), so its distinct shingles are first compressed
+    to 8-byte xxhash64 keys and broadcast — the Bloom-filter shape with an
+    exact membership set — to prefilter the train shingle index; survivors
+    are verified on the exact shingle string, so hash collisions can't drop
+    a clean document. One shuffle of the train index, never eval × train."""
+    docs = _with_split(_docs(spark, sf_dir))
+    sh = docs.select(
+        "doc_id", "split", F.explode(word_shingles("text", 4)).alias("shingle")
+    )
+    ev_shingles = sh.filter(F.col("split") == "eval").select("shingle").distinct()
+    ev_hashes = ev_shingles.select(F.xxhash64("shingle").alias("h")).distinct()
+    train_sh = sh.filter(F.col("split") == "train")
+    prefiltered = train_sh.join(
+        F.broadcast(ev_hashes), F.xxhash64(train_sh["shingle"]) == F.col("h"), "leftsemi"
+    )
+    contaminated = (
+        prefiltered.join(F.broadcast(ev_shingles), "shingle", "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        docs.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count_if(F.col("split") == "train").alias("n_train"),
+            F.count_if(F.col("__dropped").isNotNull()).alias("n_dropped"),
+            F.count_if(
+                (F.col("split") == "train") & F.col("__dropped").isNull()
+            ).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "pipeline_ngram_lm_score",
+    bench=True,
+    oracle="""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+flat AS (
+  SELECT doc_id, source, b['w1'] AS w1, b['w2'] AS w2
+  FROM (SELECT doc_id, source,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+        FROM w WHERE len(ws) >= 2)),
+model AS (SELECT w1, w2, COUNT(*) AS c FROM flat GROUP BY 1, 2),
+lefts AS (SELECT w1, COUNT(*) AS c1 FROM flat GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT word) AS v
+          FROM (SELECT unnest(ws) AS word FROM w)),
+scored AS (
+  SELECT f.doc_id, f.source,
+         log2((m.c + 1) / CAST(l.c1 + (SELECT v FROM vocab) AS DOUBLE)) AS lp
+  FROM flat f JOIN model m USING (w1, w2) JOIN lefts l USING (w1)),
+per_doc AS (SELECT doc_id, source, AVG(lp) AS s FROM scored GROUP BY 1, 2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(s), 4) AS avg_lm_score
+FROM per_doc GROUP BY 1
+""",
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality signal (the CCNet/KenLM shape, self-trained): build
+    an add-1-smoothed bigram model FROM the corpus in one aggregation pass,
+    then score every document by its mean log2 P(w_i | w_{i-1}); documents
+    far from the corpus distribution (gibberish, boilerplate) score low.
+    Rolled up per source. Two aggregations + two equality joins on the
+    bigram keys — model and corpus co-shuffle on the same keys; no Python.
+    The vocabulary size is a bounded scalar (one count), the only
+    driver-side value."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", "source", F.split("text", " ").alias("ws"))
+    flat = (
+        w.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2), "
+                    "i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "source", "b.w1", "b.w2")
+    )
+    model = flat.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    lefts = flat.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        w.select(F.explode("ws").alias("word")).agg(F.count_distinct("word")).collect()[0][0]
+    )
+    scored = (
+        flat.join(model, ["w1", "w2"])
+        .join(lefts, "w1")
+        .select(
+            "doc_id",
+            "source",
+            F.log2((F.col("c") + 1) / (F.col("c1") + F.lit(vocab)).cast("double")).alias(
+                "lp"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(F.avg("lp").alias("s"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("s"), 4).alias("avg_lm_score")
+    )
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB replication of the deterministic Lloyd's loop: unrolled CTE
+    per iteration (assignment a{i} → centroid update c{i}); list arithmetic
+    in DOUBLE with the same element order and tie-break as the engine."""
+    dist = (
+        "list_reduce(list_transform(range(1, len(e.embedding) + 1), "
+        "j -> (CAST(e.embedding[j] AS DOUBLE) - c.centroid[j]) "
+        "* (CAST(e.embedding[j] AS DOUBLE) - c.centroid[j])), "
+        "(acc, x) -> acc + x)"
+    )
+    sql = f"""
+WITH c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})"""
+    prev = "c0"
+    for i in range(1, _KMEANS_ITERS + 1):
+        sql += f""",
+a{i} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1),
+c{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS centroid FROM (
+    SELECT cid, pos, AVG(val) AS m FROM (
+      SELECT a.cid,
+             unnest(range(1, len(e.embedding) + 1)) AS pos,
+             unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS val
+      FROM a{i} a JOIN embeddings e USING (vec_id))
+    GROUP BY 1, 2)
+  GROUP BY cid)"""
+        prev = f"c{i}"
+    sql += f""",
+final AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       ROUND(AVG(dist), 4) AS avg_sq_dist
+FROM final GROUP BY cid"""
+    return sql
+
+
+@query("pipeline_kmeans_centroids", oracle=_kmeans_oracle(), bench=True)
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means over the embedding corpus (k=8, 2 rounds,
+    deterministic lowest-id init) — the IVF coarse quantizer / corpus
+    clustering step, as repeated DataFrame aggregations (see
+    pipeline.clustering for the scale design). Output: cluster populations
+    and mean squared distance under the final centroids."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.clustering import kmeans_fit
+
+    assigned, _cents = kmeans_fit(
+        _emb(spark, sf_dir), k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    return assigned.groupBy("cid").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.avg("dist"), 4).alias("avg_sq_dist"),
+    )
+
+
+_FUNNEL_STAGES_SQL = """
+m AS (
+  SELECT
+    COUNT(*) AS c0,
+    COUNT(*) FILTER (WHERE pass1) AS c1,
+    COUNT(*) FILTER (WHERE pass1 AND pass2) AS c2,
+    COUNT(*) FILTER (WHERE pass1 AND pass2 AND pass3) AS c3,
+    COUNT(*) FILTER (WHERE pass1 AND pass2 AND pass3 AND pass4) AS c4
+  FROM flags)
+"""
+
+
+@query(
+    "pipeline_filter_funnel",
+    oracle=f"""
+WITH f0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+flags AS (
+  SELECT doc_id,
+         len(list_filter(ws, x -> x IN ('the', 'a')))
+           / CAST(len(ws) AS DOUBLE) >= 0.05 AS pass1,
+         len(ws) BETWEEN 20 AND 2000 AS pass2,
+         len(regexp_extract_all(text, '[^\\w\\s]'))
+           / CAST(len(ws) AS DOUBLE) < 0.2 AS pass3,
+         len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) >= 0.3 AS pass4
+  FROM f0),
+{_FUNNEL_STAGES_SQL}
+SELECT stage, n_docs, ROUND(n_docs / CAST(c0 AS DOUBLE), 4) AS retention
+FROM (
+  SELECT 's0_total' AS stage, c0 AS n_docs, c0 FROM m UNION ALL
+  SELECT 's1_lang', c1, c0 FROM m UNION ALL
+  SELECT 's2_length', c2, c0 FROM m UNION ALL
+  SELECT 's3_punct', c3, c0 FROM m UNION ALL
+  SELECT 's4_repetition', c4, c0 FROM m)
+""",
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged quality-filter funnel every corpus build publishes:
+    language → length → punctuation → repetition gates applied
+    cumulatively, with survivor counts and retention per stage. ONE scan,
+    five conditional aggregates, then an unpivot — the plan never rereads
+    the corpus per stage."""
+    docs = _docs(spark, sf_dir)
+    f = docs.select(
+        "doc_id",
+        "text",
+        F.split("text", " ").alias("ws"),
+    ).select(
+        (
+            F.expr("size(filter(ws, x -> x IN ('the', 'a')))")
+            / F.size("ws").cast("double")
+            >= 0.05
+        ).alias("pass1"),
+        F.size("ws").between(20, 2000).alias("pass2"),
+        (
+            F.expr(r"size(regexp_extract_all(text, '[^\\w\\s]', 0))")
+            / F.size("ws").cast("double")
+            < 0.2
+        ).alias("pass3"),
+        (
+            F.size(F.array_distinct("ws")) / F.size("ws").cast("double") >= 0.3
+        ).alias("pass4"),
+    )
+    agg = f.agg(
+        F.count("*").alias("c0"),
+        F.count_if("pass1").alias("c1"),
+        F.count_if(F.col("pass1") & F.col("pass2")).alias("c2"),
+        F.count_if(F.col("pass1") & F.col("pass2") & F.col("pass3")).alias("c3"),
+        F.count_if(
+            F.col("pass1") & F.col("pass2") & F.col("pass3") & F.col("pass4")
+        ).alias("c4"),
+    )
+    stages = agg.select(
+        F.expr(
+            "stack(5, 's0_total', c0, 's1_lang', c1, 's2_length', c2, "
+            "'s3_punct', c3, 's4_repetition', c4) AS (stage, n_docs)"
+        ),
+        F.col("c0"),
+    )
+    return stages.select(
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("c0").cast("double"), 4).alias("retention"),
+    )
+
+
+@query(
+    "dedup_incremental_batch",
+    bench=True,
+    oracle="""
+WITH side AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 5 = 0 THEN 'incoming' ELSE 'corpus' END AS side
+  FROM documents),
+docsh AS (
+  SELECT doc_id, side, CASE WHEN len(words) >= 3 THEN
+    list_distinct(list_transform(range(1, len(words) - 1),
+                  i -> array_to_string(words[i:i+2], ' ')))
+    ELSE [] END AS shingles
+  FROM (SELECT doc_id, side, string_split(text, ' ') AS words FROM side)),
+sh AS (SELECT doc_id, side, unnest(shingles) AS shingle FROM docsh),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM docsh),
+exact AS (
+  SELECT DISTINCT i.doc_id
+  FROM side i JOIN (SELECT DISTINCT md5(text) AS fp FROM side
+                    WHERE side = 'corpus') c
+       ON md5(i.text) = c.fp
+  WHERE i.side = 'incoming'),
+inter AS (
+  SELECT i.doc_id AS inc_id, c.doc_id AS cor_id, COUNT(*) AS n
+  FROM sh i JOIN sh c ON i.shingle = c.shingle
+  WHERE i.side = 'incoming' AND c.side = 'corpus'
+  GROUP BY 1, 2),
+near AS (
+  SELECT DISTINCT x.inc_id AS doc_id
+  FROM inter x JOIN sizes a ON x.inc_id = a.doc_id
+               JOIN sizes b ON x.cor_id = b.doc_id
+  WHERE x.n / CAST(a.sz + b.sz - x.n AS DOUBLE) >= 0.3)
+SELECT CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM side s LEFT JOIN exact e ON s.doc_id = e.doc_id
+            LEFT JOIN near n ON s.doc_id = n.doc_id
+WHERE s.side = 'incoming'
+GROUP BY 1
+""",
+)
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the shape of a CONTINUOUSLY growing
+    100 TB corpus, where each new batch dedups against everything already
+    kept, never corpus × corpus: classify each incoming document (id % 5
+    = 0 stands in for the new batch) as an exact duplicate (content hash in
+    the corpus), a near duplicate (word-3-gram Jaccard ≥ 0.3 with any
+    corpus doc, candidates via the cross-side inverted shingle index), or
+    new. At scale the corpus side of both joins is the pre-computed
+    fingerprint/shingle store, incrementally maintained — nothing rescans
+    the historical text."""
+    docs = _docs(spark, sf_dir)
+    side = docs.withColumn(
+        "side",
+        F.when(F.col("doc_id") % 5 == 0, "incoming").otherwise("corpus"),
+    )
+    exact = (
+        side.filter(F.col("side") == "incoming")
+        .join(
+            side.filter(F.col("side") == "corpus")
+            .select(F.md5("text").alias("fp"))
+            .distinct(),
+            F.md5(side["text"]) == F.col("fp"),
+            "leftsemi",
+        )
+        .select("doc_id")
+        .withColumn("__exact", F.lit(True))
+    )
+    shd = side.select("doc_id", "side", word_shingles("text").alias("shingles"))
+    sizes = shd.select("doc_id", F.size("shingles").alias("sz"))
+    sh = shd.select("doc_id", "side", F.explode("shingles").alias("shingle"))
+    inter = (
+        sh.filter(F.col("side") == "incoming")
+        .select(F.col("doc_id").alias("inc_id"), "shingle")
+        .join(
+            sh.filter(F.col("side") == "corpus").select(
+                F.col("doc_id").alias("cor_id"), "shingle"
+            ),
+            "shingle",
+        )
+        .groupBy("inc_id", "cor_id")
+        .agg(F.count("*").alias("n"))
+    )
+    near = (
+        inter.join(sizes.select(F.col("doc_id").alias("inc_id"), F.col("sz").alias("sz_a")), "inc_id")
+        .join(sizes.select(F.col("doc_id").alias("cor_id"), F.col("sz").alias("sz_b")), "cor_id")
+        .filter(
+            F.col("n") / (F.col("sz_a") + F.col("sz_b") - F.col("n")).cast("double")
+            >= 0.3
+        )
+        .select(F.col("inc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        side.filter(F.col("side") == "incoming")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            F.when(F.col("__exact").isNotNull(), "exact")
+            .when(F.col("__near").isNotNull(), "near")
+            .otherwise("new")
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )
