@@ -49,6 +49,12 @@ _DRIVER_PRIORITY: list[str] = [
     "window_sliding_hourly",
     "window_session_per_user",
     "stream_windowed_counts_drain",
+    # new in round 5 — never driver-checked
+    "pipeline_decontaminate_train",
+    "pipeline_ngram_lm_score",
+    "pipeline_kmeans_centroids",
+    "pipeline_filter_funnel",
+    "dedup_incremental_batch",
     # r1 FAILs never re-confirmed by the driver
     "cdc_incremental_agg",
     "val_progress_rollup",
