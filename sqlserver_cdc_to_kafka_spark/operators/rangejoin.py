@@ -36,40 +36,53 @@ def banded_range_join(
 
     CLOSED intervals band from ``lo`` to their own ``hi`` — short intervals
     touch few bands regardless of corpus time span. OPEN intervals (NULL
-    ``hi``, the "current version" tail — at most a handful per key) skip
-    banding entirely and equi-join on the key alone with ``point >= lo``.
-    This keeps band counts bounded by interval length, not by how far the
-    probe side's clock has advanced: no global max-point aggregate, no
-    per-open-interval explosion that grows with data age."""
-    closed = intervals.filter(F.col(hi_col).isNotNull())
-    open_iv = intervals.filter(F.col(hi_col).isNull())
-    banded = closed.withColumn(
+    ``hi``, the "current version" tail — at most a handful per key) carry a
+    NULL band instead of exploding; each point probes with two rows (its
+    band and NULL) through ONE null-safe equi-join on (key…, band). This
+    keeps band counts bounded by interval length — no global max-point
+    aggregate, no per-open-interval explosion that grows with data age —
+    and, unlike a closed/open filter split into two joins, evaluates each
+    input subtree ONCE: the split form recomputed the interval source (and
+    any window behind it, e.g. asof's lead) per branch — measured as a
+    doubled scan + doubled window shuffle in the version-interval query."""
+    lo_band = (F.col(lo_col) / band_width).cast("bigint")
+    hi_band = (F.col(hi_col) / band_width).cast("bigint")
+    null_band = F.array(F.lit(None).cast("bigint"))
+    iv = intervals.withColumn(
         "__band",
         F.explode(
-            F.sequence(
-                (F.col(lo_col) / band_width).cast("bigint"),
-                F.greatest(
-                    (F.col(hi_col) / band_width).cast("bigint"),
-                    (F.col(lo_col) / band_width).cast("bigint"),
-                ),
+            F.when(F.col(hi_col).isNull(), null_band).otherwise(
+                F.sequence(lo_band, F.greatest(hi_band, lo_band))
             )
         ),
     )
-    pts = points.withColumn("__band", (F.col(point_col) / band_width).cast("bigint"))
+    pts = points.withColumn(
+        "__band",
+        F.explode(
+            F.array(
+                (F.col(point_col) / band_width).cast("bigint"),
+                F.lit(None).cast("bigint"),
+            )
+        ),
+    )
     upper = (
         F.col(point_col) < F.col(hi_col)
         if open_ended_hi
         else F.col(point_col) <= F.col(hi_col)
     )
-    closed_hits = (
-        pts.join(banded, [*on, "__band"])
-        .filter((F.col(point_col) >= F.col(lo_col)) & upper)
+    return (
+        pts.join(
+            iv,
+            [*(pts[c] == iv[c] for c in on), pts["__band"].eqNullSafe(iv["__band"])],
+        )
+        .drop(iv["__band"])
+        .drop(*[iv[c] for c in on])
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(hi_col).isNull() | upper)
+        )
         .drop("__band")
     )
-    open_hits = points.join(open_iv, list(on)).filter(
-        F.col(point_col) >= F.col(lo_col)
-    )
-    return closed_hits.unionByName(open_hits)
 
 
 def asof_join_banded(

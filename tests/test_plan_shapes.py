@@ -21,6 +21,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_topk",  # broadcast centroids (cluster assignment)
     "join_range_version_intervals",  # broadcast 1-row max-point fold
     "sketch_quantile_histogram",  # broadcast 3-row quantile probes
+    "pipeline_kmeans_centroids",  # broadcast k-row centroid matrix (assignment pass)
 }
 
 
