@@ -157,3 +157,66 @@ def q_stream_windowed_counts_drain(spark: SparkSession, sf_dir: str) -> DataFram
         "n",
         F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
     )
+
+
+@query(
+    "stream_sessionize_stateful",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= {_GAP_US}
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev),
+grouped AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked),
+sessions AS (
+  SELECT user_id, sess,
+         MIN(us) AS session_start_us,
+         MAX(us) + {_GAP_US} AS session_end_us,
+         COUNT(*) AS n_events
+  FROM grouped GROUP BY 1, 2),
+last AS (SELECT user_id, MAX(sess) AS last_sess FROM sessions GROUP BY 1)
+SELECT s.user_id, s.session_start_us, s.session_end_us, s.n_events
+FROM sessions s JOIN last l
+  ON s.user_id = l.user_id AND s.sess < l.last_sess
+""",
+)
+def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING operator, end-to-end: the events stream
+    through ``applyInPandasWithState`` sessionization (explicit per-user
+    state carried in the state store across micro-batches — the Spark
+    surface for operators the reference hand-rolls as in-process dicts,
+    e.g. replayer.py:499-525) must hash-match the batch gaps-and-islands
+    oracle for every CLOSED session; each user's final session stays open
+    in state by design (a live stream flushes it on timeout) and the oracle
+    excludes it identically. Drained through an append-mode parquet sink +
+    checkpoint — closed sessions emit incrementally, nothing accumulates in
+    the driver."""
+    import os
+    import tempfile
+    import uuid
+
+    from sqlserver_cdc_to_kafka_spark.streaming.stateful import sessionize_stateful
+    from sqlserver_cdc_to_kafka_spark.streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    stream = ev.select("user_id", F.unix_micros("event_time").alias("us"))
+    sessions = sessionize_stateful(stream)
+    scratch = os.path.join(tempfile.gettempdir(), f"sessdrain_{uuid.uuid4().hex[:12]}")
+    outdir = os.path.join(scratch, "out")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(outdir)
