@@ -318,6 +318,101 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_embedding_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         greatest(list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127
+           AS scale
+  FROM embeddings),
+err AS (
+  SELECT e.vec_id, e.label,
+         sqrt(list_reduce(list_transform(e.embedding,
+              x -> (CAST(x AS DOUBLE)
+                    - floor(CAST(x AS DOUBLE) / q.scale + 0.5) * q.scale)
+                 * (CAST(x AS DOUBLE)
+                    - floor(CAST(x AS DOUBLE) / q.scale + 0.5) * q.scale)),
+              (acc, v) -> acc + v))
+         / greatest(sqrt(list_reduce(list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (acc, v) -> acc + v)), 1e-30) AS rel_err
+  FROM embeddings e JOIN q USING (vec_id))
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(rel_err), 6) AS avg_rel_err,
+       ROUND(MAX(rel_err), 6) AS max_rel_err
+FROM err GROUP BY label
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit — the storage-shrink step of a
+    100 TB embedding store (4 bytes → 1 byte per dim): per-vector symmetric
+    scale = max|x|/127, codes = round(x/scale), and the relative L2
+    reconstruction error rolled up per label. Rounding is spelled
+    ``floor(x/s + 0.5)`` on BOTH engines — engine round() half-mode
+    differences would break hash parity. Pure array expressions; one
+    aggregation shuffle."""
+    emb = _emb(spark, sf_dir)
+    scale = F.greatest(
+        F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+        F.lit(1e-30),
+    ) / F.lit(127.0)
+    with_scale = emb.select("vec_id", "label", "embedding", scale.alias("scale"))
+    resid = (
+        "aggregate(transform(embedding, x -> "
+        "(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale) "
+        "* (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norm = (
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    err = with_scale.select(
+        "label",
+        (
+            F.sqrt(F.expr(resid)) / F.greatest(F.sqrt(F.expr(norm)), F.lit(1e-30))
+        ).alias("rel_err"),
+    )
+    return err.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("rel_err"), 6).alias("avg_rel_err"),
+        F.round(F.max("rel_err"), 6).alias("max_rel_err"),
+    )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       ROUND(AVG(CAST(strlen(text) AS DOUBLE)), 4) AS avg_chars,
+       ROUND(1.0 - COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_ratio
+FROM documents GROUP BY 1, 2
+""",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(source, lang) dataset card a corpus release publishes:
+    document and token counts, distinct-content count, average length, and
+    exact-duplicate ratio — one grouped aggregation, map-side partials."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        F.round(F.avg(F.length("text").cast("double")), 4).alias("avg_chars"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.md5("text")) / F.count("*").cast("double"),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+@query(
     "dedup_incremental_batch",
     bench=True,
     oracle="""
