@@ -398,3 +398,70 @@ def test_star_components_singleton_and_pair(spark):
     df = spark.createDataFrame([(5, 9), (9, 5), (3, 3)], ["doc_a", "doc_b"])
     out = {(r.doc_id, r.component) for r in connected_components_star(df).collect()}
     assert out == {(5, 5), (9, 5), (3, 3)}
+
+
+def test_banded_range_join_equals_naive_on_adversarial_data(spark):
+    """The single-pass null-safe-band implementation must equal a naive
+    cross-join range join on data hitting every edge: points exactly at lo
+    (inclusive) and hi (exclusive), NULL-hi open intervals, zero-length
+    intervals, negative times (cast-truncation banding), and intervals
+    spanning many bands."""
+    import random
+
+    from sqlserver_cdc_to_kafka_spark.operators.rangejoin import banded_range_join
+
+    rng = random.Random(20260813)
+    W = 10
+    intervals = []
+    for i in range(120):
+        key = rng.randint(0, 5)
+        lo = rng.randint(-60, 60)
+        kind = rng.random()
+        if kind < 0.2:
+            hi = None  # open
+        elif kind < 0.35:
+            hi = lo  # zero-length (matches nothing: lo <= p < hi empty)
+        elif kind < 0.5:
+            hi = lo + rng.randint(25, 70)  # spans several bands
+        else:
+            hi = lo + rng.randint(1, 9)  # sub-band
+        intervals.append((key, i, lo, hi))
+    points = [
+        (rng.randint(0, 5), j, rng.randint(-65, 75)) for j in range(300)
+    ] + [(k, 1000 + i, v) for i, (k, _, lo, hi) in enumerate(intervals)
+         for v in ([lo] + ([hi] if hi is not None else []))]
+
+    iv = spark.createDataFrame(intervals, "k int, iid int, lo long, hi long")
+    pt = spark.createDataFrame(points, "k int, pid int, p long")
+
+    got = {
+        (r["k"], r["pid"], r["iid"])
+        for r in banded_range_join(pt, iv, ["k"], "p", "lo", "hi", band_width=W)
+        .select("k", "pid", "iid")
+        .collect()
+    }
+    want = {
+        (r["k"], r["pid"], r["iid"])
+        for r in pt.join(iv, "k")
+        .filter((F.col("p") >= F.col("lo"))
+                & (F.col("hi").isNull() | (F.col("p") < F.col("hi"))))
+        .select("k", "pid", "iid")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    # closed-ended variant (<= hi) too
+    got_cl = {
+        (r["k"], r["pid"], r["iid"])
+        for r in banded_range_join(
+            pt, iv, ["k"], "p", "lo", "hi", band_width=W, open_ended_hi=False
+        ).select("k", "pid", "iid").collect()
+    }
+    want_cl = {
+        (r["k"], r["pid"], r["iid"])
+        for r in pt.join(iv, "k")
+        .filter((F.col("p") >= F.col("lo"))
+                & (F.col("hi").isNull() | (F.col("p") <= F.col("hi"))))
+        .select("k", "pid", "iid").collect()
+    }
+    assert got_cl == want_cl and got_cl != want
