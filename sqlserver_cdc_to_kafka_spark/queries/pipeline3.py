@@ -412,6 +412,128 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_WORDS = 20
+
+
+@query(
+    "dedup_chunk_level",
+    oracle=f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+chunks AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, CAST(ceil(len(ws) / {_CHUNK_WORDS}.0)
+                                         AS BIGINT)),
+                i -> md5(array_to_string(
+                       ws[i * {_CHUNK_WORDS} + 1 : (i + 1) * {_CHUNK_WORDS}],
+                       ' ')))) AS chunk_hash
+  FROM w),
+freq AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs_with
+  FROM chunks GROUP BY 1),
+per_doc AS (
+  SELECT c.doc_id, c.source,
+         COUNT(*) AS n_chunks,
+         COUNT(*) FILTER (WHERE f.n_docs_with > 1) AS n_dup_chunks
+  FROM chunks c JOIN freq f USING (chunk_hash)
+  GROUP BY 1, 2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_dup_chunks) AS BIGINT) AS total_dup_chunks,
+       CAST(COUNT(*) FILTER (WHERE n_dup_chunks * 2 > n_chunks) AS BIGINT)
+         AS n_docs_mostly_dup
+FROM per_doc GROUP BY 1
+""",
+)
+def q_dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (line-level analog) dedup audit — the CCNet-style pass
+    that catches boilerplate SHARED ACROSS documents that document-level
+    hashes miss: split each doc into fixed 20-word chunks, hash each chunk,
+    count chunks appearing in more than one document, and report per source
+    how many documents are mostly duplicated material. Inverted chunk-hash
+    index — one shuffle on the hash (the frequency agg), one shuffle back
+    per doc; at 100 TB the frequency table is the reusable corpus-wide
+    boilerplate index."""
+    docs = _docs(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(array(split(text, ' ')), ws -> "
+                f"transform(sequence(0, CAST(ceil(size(ws) / {_CHUNK_WORDS}.0) "
+                f"AS BIGINT) - 1), "
+                f"i -> md5(concat_ws(' ', slice(ws, i * {_CHUNK_WORDS} + 1, "
+                f"{_CHUNK_WORDS})))))[0]"
+            )
+        ).alias("chunk_hash"),
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs_with")
+    )
+    per_doc = (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("n_docs_with") > 1).alias("n_dup_chunks"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_dup_chunks").alias("total_dup_chunks"),
+        F.count_if(F.col("n_dup_chunks") * 2 > F.col("n_chunks")).alias(
+            "n_docs_mostly_dup"
+        ),
+    )
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "pipeline_shard_assignment",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS BIGINT)
+           % {_N_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM assigned GROUP BY 1
+""",
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding — the final step that writes a corpus
+    as N balanced files/partitions: shard = id-hash mod N (content-stable,
+    never rand(); a different md5 substring than the split hash so shard
+    and train/eval split stay independent), with per-shard doc and token
+    balance for the skew audit. At 100 TB this column IS the
+    repartition/bucketing key of the writer."""
+    docs = _docs(spark, sf_dir)
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("bigint") % _N_SHARDS
+    return (
+        docs.select(
+            "doc_id",
+            shard.alias("shard"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 @query(
     "dedup_incremental_batch",
     bench=True,
