@@ -412,6 +412,48 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_jsonl_roundtrip",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+FROM documents GROUP BY 1
+""",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingest witness: the documents table written as
+    line-delimited JSON and read back through the schema-explicit
+    quarantining reader (pipeline.corpus_io — the de-facto LLM corpus wire
+    format) must aggregate identically to the parquet source. Proves the
+    whole egress+ingest path, including that nothing was quarantined."""
+    import os
+    import tempfile
+    import uuid
+
+    from sqlserver_cdc_to_kafka_spark.pipeline.corpus_io import (
+        DOCUMENTS_SCHEMA,
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"jsonl_rt_{uuid.uuid4().hex[:12]}"
+    )
+    write_jsonl(docs, path)
+    clean, _corrupt = split_corrupt(read_jsonl(spark, path, DOCUMENTS_SCHEMA))
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+    )
+
+
 _CHUNK_WORDS = 20
 
 
