@@ -39,82 +39,93 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round. Names listed here are returned first (in this order) so the round's
-# at-risk set — queries with no driver witness since r1, including the three
-# r1 FAILs and the trio broken by the events-ts testdata migration — all get
-# a driver row this round. Everything else (driver-green in r4) follows in
-# registration order. Rotate this list each round.
-_DRIVER_PRIORITY: list[str] = [
-    # broken-in-r4 trio (events-ts regression, fixed this round)
-    "window_sliding_hourly",
-    "window_session_per_user",
-    "stream_windowed_counts_drain",
-    # new in round 5 — never driver-checked
-    "pipeline_decontaminate_train",
-    "pipeline_ngram_lm_score",
-    "pipeline_kmeans_centroids",
-    "pipeline_filter_funnel",
-    "dedup_incremental_batch",
-    # r1 FAILs never re-confirmed by the driver
-    "cdc_incremental_agg",
-    "val_progress_rollup",
-    "window_hierarchical_rollup",
-    # remaining never-driver-checked-since-r1 set (registration order)
-    "fn_datetime_parts",
-    "val_truncation_report",
-    "olap_pricing_summary",
-    "olap_shipping_priority",
-    "olap_local_supplier_volume",
-    "cdc_unified_topics",
-    "olap_value_histogram",
-    "join_asof_order_state",
-    "olap_value_percentiles",
-    "join_range_version_intervals",
-    "cdc_count_by_operation",
-    "cdc_change_window_scan",
-    "cdc_ordered_merge",
-    "cdc_order_regression_check",
-    "cdc_compaction_last_per_key",
-    "cdc_replay_merge",
-    "cdc_tombstones",
-    "snapshot_keyset_page",
-    "snapshot_keyset_page_composite",
-    "snapshot_envelope",
-    "serde_json_roundtrip",
-    "serde_avro_roundtrip",
-    "cdc_struct_index_order",
-    "cdc_scd2_history",
-    "stream_drain_change_feed",
-    "stream_snapshot_unified_drain",
-    "fn_lsn_hex_roundtrip",
-    "fn_row_hash_key",
-    "fn_string_truncation",
-    "fn_update_mask",
-    "fn_uuid_sort_order",
-    "fn_clock_skew_adjust",
-    "join_region_revenue",
-    "join_lsn_time_mapping",
-    "join_delete_semi_anti",
-    "window_tumbling_hourly",
-    "topk_orders_per_priority",
-    "join_asof_version",
-    "join_salted_skew",
-]
+# round.  load_all() orders the registry by driver-witness staleness derived
+# from the CORRECTNESS_r*.json artifacts at the repo root (never-checked
+# queries first, then oldest last-green round), so the rotation maintains
+# itself: whatever the driver hasn't confirmed recently automatically lands
+# inside the 50-slot window next round.
+#
+# _DRIVER_PRIORITY is now only an OPTIONAL manual pin-list — names placed
+# here jump ahead of the staleness ranking (use it to force a same-round
+# witness for a query whose semantics just changed).  Unknown names raise:
+# a typo here must not silently drop a query out of the window.
+_DRIVER_PRIORITY: list[str] = []
+
+
+def _witness_ages() -> dict[str, tuple[int, int]]:
+    """name -> (seen_flag, last_green_round) sort key components, read from
+    CORRECTNESS_r*.json at the repo root.  Never-seen names are absent and
+    default to (0, 0) so they sort first; among seen names a lower (older)
+    last-green round sorts first.  Missing/invalid files degrade to
+    registration order (empty dict)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_green: dict[str, int] = {}
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            seen.add(name)
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and (
+                    row.get("hash_match")
+                    if row.get("hash_match") is not None
+                    else True
+                )
+                and not row.get("err")
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    out: dict[str, tuple[int, int]] = {}
+    for name in seen:
+        out[name] = (1, last_green.get(name, 0))
+    return out
 
 
 def load_all() -> dict[str, Query]:
     """Import all query modules (side-effect registration) and return the
-    registry, ordered so the driver's capped correctness window covers the
-    round's at-risk set first (see _DRIVER_PRIORITY)."""
+    registry, ordered stalest-driver-witness first so the driver's capped
+    correctness window always covers the at-risk set (see _DRIVER_PRIORITY)."""
     from sqlserver_cdc_to_kafka_spark import queries as _q  # noqa: F401
 
+    unknown = [n for n in _DRIVER_PRIORITY if n not in _REGISTRY]
+    if unknown:
+        raise ValueError(
+            f"_DRIVER_PRIORITY names not in registry (typo or renamed query): {unknown}"
+        )
+
+    ages = _witness_ages()
+    reg_pos = {name: i for i, name in enumerate(_REGISTRY)}
+    pin_pos = {name: i for i, name in enumerate(_DRIVER_PRIORITY)}
+
+    def sort_key(name: str):
+        # pinned first (in pin order), then never-witnessed, then stalest
+        # green, ties broken by registration order for determinism
+        pinned = pin_pos.get(name, len(_DRIVER_PRIORITY))
+        seen_flag, last_green = ages.get(name, (0, 0))  # unseen => never checked
+        return (pinned, seen_flag, last_green, reg_pos[name])
+
     ordered: dict[str, Query] = {}
-    for name in _DRIVER_PRIORITY:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    for name, q in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = q
+    for name in sorted(_REGISTRY, key=sort_key):
+        ordered[name] = _REGISTRY[name]
     return ordered
 
 

@@ -1,0 +1,82 @@
+"""Tests for the self-maintaining driver-window rotation in registry.load_all().
+
+The driver's correctness gate only checks the first 50 queries returned by
+load_all(); these tests pin the invariants that keep that window pointed at
+the at-risk set (never-driver-witnessed first, then stalest green), and that
+a typo in the manual pin-list fails loudly instead of silently dropping a
+query out of the window (round-5 ADVICE item).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+from sqlserver_cdc_to_kafka_spark import registry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _witnesses() -> dict[str, int]:
+    """name -> last driver-green round, from CORRECTNESS_r*.json."""
+    last: dict[str, int] = {}
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        data = json.load(open(path))
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            seen.add(name)
+            if row.get("rows_match") and not row.get("err"):
+                last[name] = max(last.get(name, 0), rnd)
+    return {n: last.get(n, 0) for n in seen}
+
+
+def test_unknown_pin_name_raises():
+    registry.load_all()  # ensure modules registered
+    old = registry._DRIVER_PRIORITY
+    registry._DRIVER_PRIORITY = ["no_such_query_xyz"]
+    try:
+        with pytest.raises(ValueError, match="no_such_query_xyz"):
+            registry.load_all()
+    finally:
+        registry._DRIVER_PRIORITY = old
+
+
+def test_never_witnessed_queries_lead_the_window():
+    order = list(registry.load_all())
+    witnessed = _witnesses()
+    never = [n for n in order if n not in witnessed]
+    if not never:
+        pytest.skip("every registered query has a driver witness")
+    head = order[: len(never)]
+    assert set(head) >= set(never) - set(
+        registry._DRIVER_PRIORITY
+    ), f"never-witnessed queries not at the head of the driver window: {never[:5]}"
+
+
+def test_window_holds_the_stalest_queries():
+    """No query outside the 50-slot window may be staler than one inside it
+    (pins excepted) — the exact regression class that hid the r4 trio."""
+    order = list(registry.load_all())
+    witnessed = _witnesses()
+    pins = set(registry._DRIVER_PRIORITY)
+    inside = [n for n in order[:WINDOW] if n not in pins]
+    outside = [n for n in order[WINDOW:] if n not in pins]
+    if not inside or not outside:
+        pytest.skip("registry smaller than the driver window")
+    # never-witnessed => -1, else last green round; lower == staler
+    age = lambda n: witnessed.get(n, -1)
+    assert max(age(n) for n in inside) <= min(
+        age(n) for n in outside
+    ), "a stale query sits outside the window while a fresher one sits inside"
+
+
+def test_ordering_is_deterministic():
+    assert list(registry.load_all()) == list(registry.load_all())
