@@ -78,8 +78,9 @@ LIMIT 10
 )
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → 3-way join → top-10 by
-    aggregated revenue. customer is the small side (broadcast); both date
-    predicates push into the scans."""
+    aggregated revenue. customer scales with SF so its join is AQE-decided
+    (broadcast while small, shuffle beyond); both date predicates push
+    into the scans."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -92,7 +93,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
@@ -123,8 +124,8 @@ GROUP BY n_name
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with a region filter walking down the dim
-    chain — region/nation/supplier/customer broadcast; only the two fact
-    tables shuffle."""
+    chain — region/nation (constant cardinality) broadcast by hint;
+    customer/supplier scale with SF, so their joins are AQE-decided."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -134,9 +135,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

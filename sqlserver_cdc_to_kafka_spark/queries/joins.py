@@ -34,14 +34,17 @@ GROUP BY r_name
 )
 def q_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1–J3 stand-in: the catalog-join chain as a star join — fact table
-    scans once, all dimensions broadcast (no shuffle of the big side).
-    Money summed as DECIMAL for an exact, order-insensitive total."""
+    scans once, constant-cardinality dims (nation=25, region=5) broadcast
+    by hint; customer SCALES with SF, so its join is left to AQE, which
+    broadcasts while it fits and shuffle-joins beyond (a hard hint there
+    is a driver OOM at 100 TB). Money summed as DECIMAL for an exact,
+    order-insensitive total."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
@@ -67,8 +70,10 @@ FROM cdc_events c JOIN mapping m ON c.change_seq // 3000 = m.lsn_bucket
 )
 def q_join_lsn_time_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (sql_queries.py:264): change rows ⋈ lsn_time_mapping to attach the
-    transaction end time — small mapping side broadcast (the FORCESEEK-hinted
-    lookup becomes a broadcast hash join)."""
+    transaction end time — the FORCESEEK-hinted lookup becomes a hash join
+    whose strategy AQE picks: the mapping is one row per ~3000 changes, so
+    it broadcasts at test scale but SCALES with the feed (a hard hint would
+    OOM the driver on a 100 TB change history)."""
     feed = cdc_events(spark, sf_dir)
     bucket = (F.col("change_seq") / 3000).cast("bigint")
     mapping = (
@@ -77,7 +82,7 @@ def q_join_lsn_time_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         feed.withColumn("lsn_bucket", bucket)
-        .join(F.broadcast(mapping), "lsn_bucket")
+        .join(mapping, "lsn_bucket")
         .select("change_seq", "__operation", "tran_end_us")
     )
 

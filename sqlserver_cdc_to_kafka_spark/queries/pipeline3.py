@@ -55,12 +55,16 @@ GROUP BY 1
 def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination as the corpus build applies it: DROP train documents
     sharing any word-4-gram with the eval split (the reverse direction of
-    pipeline_decontaminate_eval's report). Scale path: the eval side is
-    tiny by construction (5%), so its distinct shingles are first compressed
-    to 8-byte xxhash64 keys and broadcast — the Bloom-filter shape with an
-    exact membership set — to prefilter the train shingle index; survivors
-    are verified on the exact shingle string, so hash collisions can't drop
-    a clean document. One shuffle of the train index, never eval × train."""
+    pipeline_decontaminate_eval's report). Scale path: the eval side's
+    distinct shingles are first compressed to 8-byte xxhash64 keys — the
+    Bloom-filter shape with an exact membership set — to prefilter the
+    train shingle index; survivors are verified on the exact shingle
+    string, so hash collisions can't drop a clean document. One shuffle of
+    the train index, never eval × train. No forced broadcast: against a
+    fixed benchmark suite the eval side is tiny and AQE converts both semi
+    joins to broadcast at runtime, but "5% of the corpus" is multi-TB at
+    100 TB and a hard `F.broadcast` hint there is a driver OOM — AQE's
+    size-based decision is the only one that is right at both scales."""
     docs = _with_split(_docs(spark, sf_dir))
     sh = docs.select(
         "doc_id", "split", F.explode(word_shingles("text", 4)).alias("shingle")
@@ -69,10 +73,10 @@ def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_hashes = ev_shingles.select(F.xxhash64("shingle").alias("h")).distinct()
     train_sh = sh.filter(F.col("split") == "train")
     prefiltered = train_sh.join(
-        F.broadcast(ev_hashes), F.xxhash64(train_sh["shingle"]) == F.col("h"), "leftsemi"
+        ev_hashes, F.xxhash64(train_sh["shingle"]) == F.col("h"), "leftsemi"
     )
     contaminated = (
-        prefiltered.join(F.broadcast(ev_shingles), "shingle", "leftsemi")
+        prefiltered.join(ev_shingles, "shingle", "leftsemi")
         .select("doc_id")
         .distinct()
         .withColumn("__dropped", F.lit(True))
@@ -576,10 +580,7 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_incremental_batch",
-    bench=True,
-    oracle="""
+_DEDUP_INCREMENTAL_ORACLE = """
 WITH side AS (
   SELECT doc_id, text,
          CASE WHEN doc_id % 5 = 0 THEN 'incoming' ELSE 'corpus' END AS side
@@ -616,25 +617,35 @@ FROM side s LEFT JOIN exact e ON s.doc_id = e.doc_id
             LEFT JOIN near n ON s.doc_id = n.doc_id
 WHERE s.side = 'incoming'
 GROUP BY 1
-""",
-)
-def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingestion dedup — the shape of a CONTINUOUSLY growing
-    100 TB corpus, where each new batch dedups against everything already
-    kept, never corpus × corpus: classify each incoming document (id % 5
-    = 0 stands in for the new batch) as an exact duplicate (content hash in
-    the corpus), a near duplicate (word-3-gram Jaccard ≥ 0.3 with any
-    corpus doc, candidates via the cross-side inverted shingle index), or
-    new. At scale the corpus side of both joins is the pre-computed
-    fingerprint/shingle store, incrementally maintained — nothing rescans
-    the historical text."""
-    docs = _docs(spark, sf_dir)
+"""
+
+
+def incremental_dedup_status(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Classify each incoming document as exact / near / new vs the corpus.
+
+    ``max_doc_freq`` (off by default to keep the oracle exact): drop shingles
+    whose CORPUS-side document frequency exceeds the cap before the cross-side
+    candidate join — the stop-shingle guard (same knob as
+    ``pipeline.dedup.ngram_jaccard_pairs``) that bounds the ``(inc_id,
+    cor_id)`` pair space at web scale, where one boilerplate phrase shared by
+    millions of corpus docs would otherwise land on a single reducer. Capped
+    shingles can only REMOVE candidate pairs, so the ``near`` set shrinks
+    monotonically; exact-dup detection is unaffected (content-hash join).
+    """
     # ONE pass over the text computes side + content hash + shingles; the
     # persisted projection feeds every downstream branch (exact join, sizes,
     # inverted index, final classification) — without it each branch
     # re-scans and re-shingles the corpus (measured: 7 parquet scans).
     # The 100 TB shape is the same relation as an incrementally-maintained
-    # fingerprint/shingle store.
+    # fingerprint/shingle store.  The persist is intentionally NOT paired
+    # with an unpersist: the registry contract returns a lazy DataFrame, so
+    # the cache must outlive this function; Spark's LRU storage eviction
+    # reclaims it under memory pressure (documented reliance, round-5
+    # ADVICE), and a long driver session can clearCache() between queries.
     base = docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 5 == 0, "incoming")
@@ -655,15 +666,24 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = base.select("doc_id", F.size("shingles").alias("sz"))
     sh = base.select("doc_id", "side", F.explode("shingles").alias("shingle"))
+    cor_sh = sh.filter(F.col("side") == "corpus").select(
+        F.col("doc_id").alias("cor_id"), "shingle"
+    )
+    if max_doc_freq is not None:
+        # Stop-shingle cap: keep only shingles appearing in ≤ N corpus docs.
+        # One extra agg over the corpus index; at scale this frequency table
+        # is maintained incrementally alongside the shingle store.
+        rare = (
+            cor_sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        cor_sh = cor_sh.join(rare, "shingle", "leftsemi")
     inter = (
         sh.filter(F.col("side") == "incoming")
         .select(F.col("doc_id").alias("inc_id"), "shingle")
-        .join(
-            sh.filter(F.col("side") == "corpus").select(
-                F.col("doc_id").alias("cor_id"), "shingle"
-            ),
-            "shingle",
-        )
+        .join(cor_sh, "shingle")
         .groupBy("inc_id", "cor_id")
         .agg(F.count("*").alias("n"))
     )
@@ -672,7 +692,7 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("cor_id"), F.col("sz").alias("sz_b")), "cor_id")
         .filter(
             F.col("n") / (F.col("sz_a") + F.col("sz_b") - F.col("n")).cast("double")
-            >= 0.3
+            >= F.lit(threshold)
         )
         .select(F.col("inc_id").alias("doc_id"))
         .distinct()
@@ -691,3 +711,19 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query("dedup_incremental_batch", bench=True, oracle=_DEDUP_INCREMENTAL_ORACLE)
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the shape of a CONTINUOUSLY growing
+    100 TB corpus, where each new batch dedups against everything already
+    kept, never corpus × corpus: classify each incoming document (id % 5
+    = 0 stands in for the new batch) as an exact duplicate (content hash in
+    the corpus), a near duplicate (word-3-gram Jaccard ≥ 0.3 with any
+    corpus doc, candidates via the cross-side inverted shingle index), or
+    new. At scale the corpus side of both joins is the pre-computed
+    fingerprint/shingle store, incrementally maintained — nothing rescans
+    the historical text. The oracle-exact registered form runs with the
+    stop-shingle cap OFF; `incremental_dedup_status(max_doc_freq=N)` is the
+    scale knob (see that docstring)."""
+    return incremental_dedup_status(_docs(spark, sf_dir))

@@ -50,3 +50,58 @@ def test_bench_plans_have_no_scale_antipatterns(spark, sf_dir):
             )
         checked += 1
     assert checked >= 28
+
+
+# Every hard F.broadcast() hint in the package, identified by (file, first
+# token of the broadcast argument).  A hint is only legal on a relation whose
+# cardinality is CONSTANT by construction (fixed dims like nation/region,
+# k centroids, scalar-aggregate single rows, bounded probe/offset tables) —
+# anything that scales with the data must be left to AQE's size-based
+# decision, or it becomes a driver OOM at 100 TB.  Adding a new hint requires
+# adding it here with a cardinality justification.
+BROADCAST_ALLOWED = {
+    ("operators/merge.py", "spark.createDataFrame"),  # groups×buckets offset table
+    ("pipeline/clustering.py", "centroids.select"),  # k rows
+    ("pipeline/similarity.py", "q"),  # query batch: bounded by operator contract
+    ("pipeline/similarity.py", "cent"),  # k centroids
+    ("pipeline/similarity.py", "probes"),  # nprobe rows per query
+    ("queries/pipeline2.py", "tot"),  # scalar aggregate (1 row)
+    ("queries/pipeline2.py", "w.select"),  # one row per source domain
+    ("queries/pipeline2.py", "support"),  # scalar aggregate (1 row)
+    ("queries/pipeline2.py", "qs"),  # 3 literal quantile probes
+    ("queries/scans.py", "bounds"),  # one row per topic partition
+    ("queries/scans.py", "target"),  # scalar aggregate (1 row)
+    ("queries/joins.py", "nation"),  # fixed 25 rows
+    ("queries/joins.py", "region"),  # fixed 5 rows
+    ("queries/analytics.py", "nation"),
+    ("queries/analytics.py", "region"),
+}
+
+
+def test_no_unconditional_broadcast_of_scaling_relations():
+    """Round-5 VERDICT item 3: a hard F.broadcast on a relation whose size
+    grows with the corpus (eval split, customer, supplier, lsn mapping…)
+    is an at-scale driver OOM even when it is correct and fast at sf0.01.
+    This pins every hint site in the package to a constant-cardinality
+    allowlist so new ones can't slip in unreviewed."""
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sqlserver_cdc_to_kafka_spark",
+    )
+    found = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg).replace(os.sep, "/")
+            src = open(path).read()
+            for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][\w.]*)", src):
+                found.add((rel, m.group(1)))
+    unexpected = found - BROADCAST_ALLOWED
+    assert not unexpected, (
+        "hard F.broadcast hint on an unreviewed relation (add to "
+        f"BROADCAST_ALLOWED only if constant-cardinality): {sorted(unexpected)}"
+    )
