@@ -4,82 +4,158 @@ processed with Arrow-batched ``mapInPandas`` (beyond-reference scope).
 Design for 100 TB: media bytes ride as an opaque ``binary`` column next to
 typed metadata; decode/resize/frame-sample run per-partition as Arrow batches
 (no per-row Python), and the output schema is fixed up front so downstream
-stages stay columnar. The actual codec work is STUBBED — image/audio
-libraries are not in this container — behind ``decode_image_stub`` /
-``NotImplementedError``; everything Spark-side (schema, batching, UDF
-signature, partitioning) is real and tested.
+stages stay columnar.
+
+The image path is a REAL codec: binary P6 PPM (netpbm) encode + decode in
+pure numpy — header tokenizer with comment support, ``np.frombuffer`` pixel
+parse, per-image pixel statistics. No image library needed, no stubs on the
+data path. Payload generation is deterministic from ``doc_id`` so a DuckDB
+oracle can independently recompute every feature from the generation formula
+while Spark computes them by actually decoding the bytes. Video frame
+sampling still uses a deterministic fake (no container codec for video);
+its batch-expansion plumbing is real.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, media_type string, n_bytes int, feat_hash string, "
-    "width int, height int"
+    "doc_id bigint, media_type string, n_bytes int, width int, height int, "
+    "px_mean double, px_min int, px_max int, px_sum bigint"
 )
 
-
-def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB: deterministic fake of an image decode. A real deployment plugs
-    in PIL/libvips here; the container has neither, so dimensions are derived
-    from the payload hash (keeps every test deterministic and
-    oracle-checkable)."""
-    h = int(hashlib.md5(payload).hexdigest()[:4], 16)
-    return 64 + h % 64, 64 + (h >> 6) % 64
+# deterministic synthetic-image parameters (shared with the DuckDB oracle)
+_MAX_W, _MAX_H = 16, 9
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - documented stub
-    raise NotImplementedError(
-        "real image decoding requires PIL/libvips (not in this container); "
-        "use decode_image_stub for the deterministic fake"
+def ppm_dims_for(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, seed) for the synthetic image of a document — the
+    generation formula the oracle mirrors arithmetically."""
+    return 4 + doc_id % 13, 3 + doc_id % 7, (doc_id * 31) % 256
+
+
+def encode_ppm(width: int, height: int, seed: int) -> bytes:
+    """Binary P6 PPM: ``P6\\n<w> <h>\\n255\\n`` + interleaved RGB bytes.
+    Pixel byte i = (seed + i) % 256 — a real, parseable image whose stats
+    have a closed form."""
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    px = ((seed + np.arange(width * height * 3)) % 256).astype(np.uint8)
+    return header + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary P6 PPM: magic, whitespace/comment-tolerant header
+    tokens (width, height, maxval), then the pixel plane via
+    ``np.frombuffer`` — (height, width, 3) uint8. Raises ValueError on a
+    bad magic, short payload, or unsupported maxval."""
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a binary PPM (magic {payload[:2]!r})")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster begins
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval} (only 8-bit)")
+    n = width * height * 3
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"short raster: want {n} bytes, have {len(raster)}")
+    return width, height, np.frombuffer(raster, dtype=np.uint8).reshape(
+        height, width, 3
     )
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary media column (here: the UTF-8 bytes of
-    the text column standing in for an encoded image)."""
+    the text column standing in for an encoded video payload)."""
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8")).withColumn(
-        "media_type", F.lit("image/fake")
+        "media_type", F.lit("video/fake")
+    )
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Generate a real binary P6 PPM payload per row, Arrow-batched. At
+    100 TB this column arrives from storage; here the deterministic encoder
+    stands in for ingest while keeping payloads fully decodable."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_ppm(*ppm_dims_for(int(doc_id))) for doc_id in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/ppm",
+                }
+            )
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        _gen, schema=f"{id_col} bigint, payload binary, media_type string"
     )
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched feature extraction over the binary column. The pandas
-    iterator form processes whole record batches per partition — the shape a
-    real decoder needs (batch in, batch out, bounded memory)."""
+    """Arrow-batched image feature extraction over the binary column: every
+    payload is REALLY decoded (PPM header parse + numpy raster) and the
+    features come from the decoded array — dimensions from the header,
+    mean/min/max/sum from the pixels. The pandas iterator form processes
+    whole record batches per partition — batch in, batch out, bounded
+    memory — exactly the shape a heavier codec (JPEG via PIL/libvips)
+    would drop into without touching the Spark plan."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
-
         for pdf in batches:
-            payloads = pdf["payload"]
-            dims = payloads.map(
-                lambda b: (
-                    int(_hashlib.md5(bytes(b)).hexdigest()[:4], 16)
-                    if b is not None
-                    else None
-                )
-            )
+            out = {k: [] for k in (
+                "doc_id", "media_type", "n_bytes", "width", "height",
+                "px_mean", "px_min", "px_max", "px_sum",
+            )}
+            for doc_id, media_type, payload in zip(
+                pdf[id_col], pdf["media_type"], pdf["payload"]
+            ):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                width, height, arr = decode_ppm(raw)
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(media_type)
+                out["n_bytes"].append(len(raw))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["px_mean"].append(float(arr.mean()))
+                out["px_min"].append(int(arr.min()))
+                out["px_max"].append(int(arr.max()))
+                out["px_sum"].append(int(arr.sum()))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else None),
-                    "feat_hash": payloads.map(
-                        lambda b: _hashlib.md5(bytes(b)).hexdigest()
-                        if b is not None
-                        else None
-                    ),
-                    "width": dims.map(lambda h: 64 + h % 64 if h is not None else None),
-                    "height": dims.map(
-                        lambda h: 64 + (h >> 6) % 64 if h is not None else None
-                    ),
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "media_type": out["media_type"],
+                    "n_bytes": pd.array(out["n_bytes"], dtype="int32"),
+                    "width": pd.array(out["width"], dtype="int32"),
+                    "height": pd.array(out["height"], dtype="int32"),
+                    "px_mean": pd.array(out["px_mean"], dtype="float64"),
+                    "px_min": pd.array(out["px_min"], dtype="int32"),
+                    "px_max": pd.array(out["px_max"], dtype="int32"),
+                    "px_sum": pd.array(out["px_sum"], dtype="int64"),
                 }
             )
 

@@ -17,6 +17,7 @@ from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
 )
 from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
     attach_binary_payload,
+    attach_ppm_payload,
     extract_features,
     frame_sample,
 )
@@ -516,21 +517,40 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_features",
     oracle="""
-SELECT doc_id, 'image/fake' AS media_type,
-       CAST(strlen(text) AS INT) AS n_bytes,
-       md5(text) AS feat_hash,
-       CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS INT) % 64 AS INT) AS width,
-       CAST(64 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) >> 6) % 64 AS INT) AS height
-FROM documents
+WITH dims AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 7 AS h,
+         (doc_id * 31) % 256 AS seed
+  FROM documents),
+px AS (
+  SELECT doc_id, (seed + i.i) % 256 AS v
+  FROM dims CROSS JOIN (SELECT unnest(range(0, 16*9*3)) AS i) i
+  WHERE i.i < w * h * 3)
+SELECT d.doc_id, 'image/ppm' AS media_type,
+       CAST(strlen('P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+                   || chr(10)) + w * h * 3 AS INT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       AVG(p.v) AS px_mean,
+       CAST(MIN(p.v) AS INT) AS px_min,
+       CAST(MAX(p.v) AS INT) AS px_max,
+       CAST(SUM(p.v) AS BIGINT) AS px_sum
+FROM dims d JOIN px p USING (doc_id)
+GROUP BY d.doc_id, w, h
 """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: opaque binary payload column + Arrow-batched
-    mapInPandas feature extraction (decode step deterministically stubbed —
-    see pipeline.multimodal). The oracle reproduces the stub's math, so the
-    whole binary → batch → schema path is value-checked."""
+    """Multimodal image path, REAL end-to-end: a binary P6 PPM payload per
+    document (deterministic encoder standing in for ingest), then
+    Arrow-batched mapInPandas that genuinely DECODES each payload — header
+    tokenizer + numpy raster parse — and derives every feature from the
+    decoded array (see pipeline.multimodal.decode_ppm). The oracle
+    recomputes the same features arithmetically from the generation
+    formula, so a decoder bug (header offset, byte order, short raster)
+    breaks the hash."""
     docs = _docs(spark, sf_dir)
-    return extract_features(attach_binary_payload(docs), "doc_id")
+    return extract_features(attach_ppm_payload(docs, "doc_id"), "doc_id")
 
 
 @query(
