@@ -51,35 +51,63 @@ class TransactionalDirSink:
     def manifest_path(self) -> str:
         return os.path.join(self.root, "_manifest.jsonl")
 
+    def _records(self) -> list[dict]:
+        """Manifest records in append order — the replay-the-progress-topic
+        view. Epochs are positional: a reset tombstone of kind K starts a
+        new epoch FOR KIND K; records of kind K after it belong to the new
+        epoch. No stored epoch field, so legacy manifests parse the same."""
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as f:
+            return [json.loads(line) for line in f]
+
     def committed_batches(self) -> dict[int, dict]:
         out: dict[int, dict] = {}
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                for line in f:
-                    rec = json.loads(line)
-                    out[rec["batch_id"]] = rec  # last write wins
+        for rec in self._records():
+            out[rec["batch_id"]] = rec  # last write wins (replay supersedes)
         return out
 
-    def last_progress(self):
-        """T2 resume point: highest committed batch's position (the
+    def last_progress(self, kind: str = "change_rows"):
+        """T2 resume point: last committed position FOR THIS KIND (the
         compacted-progress-topic replay, progress_tracking.py:235-258).
         Batches without a position (snapshot pages) are skipped — snapshot
         progress is tracked by key, not index (constants.py:38-39). A reset
-        tombstone (see ``reset_progress``) is a hard boundary: nothing
-        before it counts, so a reset topic resumes from scratch."""
-        batches = self.committed_batches()
-        for b in sorted(batches, reverse=True):
-            rec = batches[b]
+        tombstone (see ``reset_progress``) is a hard boundary for ITS kind
+        only: a reset scoped to snapshot_rows must not wipe the change_rows
+        resume point (per-(topic, kind) progress, like the reference)."""
+        resume = None
+        for rec in self._records():
+            if rec.get("kind") != kind:
+                continue
             if rec.get("tombstone"):
-                return None
-            if rec["position"] is not None:
-                return rec["position"]
-        return None
+                resume = None  # epoch boundary: nothing before it counts
+            elif rec["position"] is not None:
+                resume = rec["position"]
+        return resume
+
+    def _current_epoch_batch_ids(self, kind: str = "change_rows") -> set[int]:
+        """Batch ids committed since the last reset tombstone of this kind —
+        the idempotence scope. After a reset, a from-scratch rerun restarts
+        at batch id 0; ids from BEFORE the tombstone must not shadow it
+        (they'd silently drop every re-ingested batch), so the duplicate
+        check is epoch-local."""
+        ids: set[int] = set()
+        for rec in self._records():
+            if rec.get("kind") != kind:
+                continue
+            if rec.get("tombstone"):
+                ids.clear()
+            else:
+                ids.add(rec["batch_id"])
+        return ids
 
     def commit_batch(self, batch: DataFrame, batch_id: int, position) -> bool:
         """Idempotent commit: returns False (no-op) if this batch id is
-        already in the manifest — the crash-replay path."""
-        if batch_id in self.committed_batches():
+        already committed in the current epoch — the crash-replay path.
+        A replay of a pre-reset batch id is NOT a duplicate: it overwrites
+        the old data directory and its manifest record supersedes the old
+        one (last write wins), which is exactly re-ingest-from-scratch."""
+        if batch_id in self._current_epoch_batch_ids("change_rows"):
             return False
         stage = os.path.join(self.root, "_staging", f"batch={batch_id}")
         final = os.path.join(self.root, "data", f"batch={batch_id}")
