@@ -95,10 +95,19 @@ def windowed_counts_file_sink(
 
     Append mode withholds windows still inside the watermark horizon at
     end-of-stream, so to emit EVERY real window (and hash-match the batch
-    oracle) a far-future *sentinel* event is staged as the last file: it
-    advances the final watermark past all real windows, availableNow runs
-    the trailing no-data batch that flushes them, and the sentinel's own
-    window — the only state left open — is never emitted.
+    oracle) a far-future *sentinel* event advances the final watermark past
+    all real windows; the sentinel's own window — the only state left open —
+    is never emitted.
+
+    Ordering is made explicit by TWO-PHASE STAGING (not mtime): phase 1
+    stages only the real files and runs an availableNow pass to completion —
+    the checkpoint then holds every real event's window state. Phase 2 adds
+    the sentinel file and restarts the same query on the same checkpoint:
+    FileStreamSource's seen-files log guarantees the second pass reads ONLY
+    the sentinel, so no real event can land behind the advanced watermark
+    regardless of file count, listing order, or filesystem mtime
+    granularity (the previous single-pass design relied on a +100 s utime
+    nudge and FileStreamSource's mtime sort).
 
     ``agg_builder(events_df) -> DataFrame`` builds the watermarked window
     aggregation (must include a TimestampType ``window_start`` column).
@@ -111,6 +120,11 @@ def windowed_counts_file_sink(
         as_event_time,
         epoch_micros,
     )
+
+    # events.ts may be TIMESTAMP(NANOS) on older testdata vintages — keep
+    # the batch reads below in lockstep with events_schema/load_table
+    # (always dispatch on the actual dtype; never let the scan throw)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     run_id = uuid.uuid4().hex[:12]
     scratch = os.path.join(tempfile.gettempdir(), f"windrain_{run_id}")
@@ -130,7 +144,31 @@ def windowed_counts_file_sink(
     )
     sentinel_cutoff_us = (sentinel_us // window_micros) * window_micros
 
-    # sentinel row in the fixture's OWN schema (whatever ts dtype it carries)
+    def _run_pass() -> None:
+        raw = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        events = raw.withColumn("event_time", as_event_time(raw, "ts"))
+        q = (
+            agg_builder(events)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: real events only — runs to completion, committing every real
+    # file into the checkpoint's seen-files log
+    _run_pass()
+
+    # phase 2: stage the sentinel row (in the fixture's OWN ts dtype) and
+    # rerun on the same checkpoint — only the sentinel is unseen, so it is
+    # guaranteed to be the last micro-batch
     ts_dt = batch.schema["ts"].dataType
     if isinstance(ts_dt, T.LongType):
         ts_val = sentinel_us * 1000  # epoch-nanos form
@@ -149,29 +187,9 @@ def windowed_counts_file_sink(
     part = next(
         f for f in os.listdir(sent_tmp) if f.startswith("part-") and f.endswith(".parquet")
     )
-    sent_dst = os.path.join(stage, "z_sentinel.parquet")
-    shutil.copyfile(os.path.join(sent_tmp, part), sent_dst)
-    # FileStreamSource orders files by mtime: the sentinel must be the LAST
-    # micro-batch so no real event arrives behind the advanced watermark
-    real_mtime = os.path.getmtime(os.path.join(stage, "a_events.parquet"))
-    os.utime(sent_dst, (real_mtime + 100, real_mtime + 100))
+    shutil.copyfile(os.path.join(sent_tmp, part), os.path.join(stage, "z_sentinel.parquet"))
+    _run_pass()
 
-    raw = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    events = raw.withColumn("event_time", as_event_time(raw, "ts"))
-    agg = agg_builder(events)
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     out = spark.read.parquet(outdir)
     return out.filter(F.unix_micros(F.col("window_start")) < F.lit(sentinel_cutoff_us))
 

@@ -91,9 +91,12 @@ def test_windowed_file_sink_exactly_once_across_restart(spark, sf_dir, tmp_path)
             for f in schema.fields
         ]
     )
-    p2 = _write_single_parquet(second, base, "b_second.parquet")
-    p3 = _write_single_parquet(sent, base, "z_sentinel.parquet")
-    os.utime(p3, (os.path.getmtime(p2) + 100, os.path.getmtime(p2) + 100))
+    _write_single_parquet(second, base, "b_second.parquet")
+    _run_available_now(spark, src, ckpt, out, schema)
+
+    # phase 3: sentinel staged ONLY after the real batches committed — the
+    # explicit two-phase ordering the production sink uses (no mtime nudge)
+    _write_single_parquet(sent, base, "z_sentinel.parquet")
     _run_available_now(spark, src, ckpt, out, schema)
 
     got = (
@@ -113,6 +116,64 @@ def test_windowed_file_sink_exactly_once_across_restart(spark, sf_dir, tmp_path)
     ev2 = load_table(spark, sf_dir, "events")
     want = (
         ev2.withColumn("event_time", as_event_time(ev2, "ts"))
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_windowed_file_sink_multi_file_source(spark, sf_dir, tmp_path):
+    """Multi-file real source in ONE pass: both halves staged together (in
+    adversarial name/mtime order), sentinel staged in a second pass. The
+    two-phase design must flush every real window regardless of how the
+    real files are ordered within their pass."""
+    ev = load_table(spark, sf_dir, "events")
+    with_us = ev.withColumn("us", epoch_micros(ev, "ts"))
+    cut = with_us.approxQuantile("us", [0.5], 0.001)[0]
+    base = str(tmp_path)
+    schema = ev.schema
+
+    # stage BOTH real files before any pass; give the later-data file the
+    # OLDER mtime so an mtime-ordered reader would process it first
+    pa = _write_single_parquet(
+        with_us.filter(F.col("us") > cut).drop("us"), base, "a_late_data.parquet"
+    )
+    pb = _write_single_parquet(
+        with_us.filter(F.col("us") <= cut).drop("us"), base, "b_early_data.parquet"
+    )
+    os.utime(pa, (os.path.getmtime(pb) - 100, os.path.getmtime(pb) - 100))
+
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    _run_available_now(spark, src, ckpt, out, schema)
+
+    max_us = with_us.agg(F.max("us")).collect()[0][0]
+    sentinel_us = (max_us // _HOUR_US + 3) * _HOUR_US
+    sent = spark.createDataFrame(
+        [tuple(None for _ in schema.fields)], schema
+    ).select(
+        *[
+            (
+                F.lit(sentinel_us).cast("bigint")
+                if f.name == "ts" and f.dataType.simpleString() == "bigint"
+                else F.timestamp_micros(F.lit(sentinel_us)).cast(f.dataType)
+                if f.name == "ts"
+                else F.col(f.name)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    _write_single_parquet(sent, base, "z_sentinel.parquet")
+    _run_available_now(spark, src, ckpt, out, schema)
+
+    got = spark.read.parquet(out).filter(
+        F.unix_micros("window_start") < sentinel_us // _HOUR_US * _HOUR_US
+    )
+    want = (
+        ev.withColumn("event_time", as_event_time(ev, "ts"))
         .groupBy(F.window("event_time", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
