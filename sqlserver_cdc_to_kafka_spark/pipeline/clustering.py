@@ -78,6 +78,10 @@ def kmeans_fit(
     updated centroids so callers see a consistent (centroid, membership)
     pair."""
     spark = df.sparkSession
+    # persisted for the iteration's repeated passes; intentionally NOT
+    # unpersisted here — the returned assignment DataFrame still reads
+    # through it lazily, so reclamation is Spark's LRU storage eviction
+    # (documented reliance; long sessions can clearCache() between queries)
     df = df.persist()
 
     def materialize(cent_df: DataFrame) -> DataFrame:

@@ -59,6 +59,9 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     that reference ONLY ``_corrupt_record`` over a raw file scan
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented pattern is to
     materialize the parsed result first, which this helper does."""
+    # cached because both returned views re-read it; intentionally NOT
+    # unpersisted — the views are lazy, so reclamation is Spark's LRU
+    # storage eviction (documented reliance)
     df = df.cache()
     clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(

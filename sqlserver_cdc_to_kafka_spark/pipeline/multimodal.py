@@ -162,6 +162,144 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, sample_rate int, "
+    "n_samples int, duration_ms double, amp_min int, amp_max int, "
+    "amp_sum bigint, rms double"
+)
+
+
+def wav_params_for(doc_id: int) -> tuple[int, int, int]:
+    """(n_samples, sample_rate, seed) for a document's synthetic audio clip
+    — the generation formula the oracle mirrors arithmetically."""
+    return 200 + doc_id % 701, (8000 if doc_id % 2 == 0 else 16000), (doc_id * 53) % 65536
+
+
+def encode_wav(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + PCM16LE mono raster. Sample i =
+    ((seed + 11*i) % 65536) - 32768 — a real, parseable clip whose stats
+    have a closed form."""
+    import struct
+
+    samples = (((seed + 11 * np.arange(n_samples)) % 65536) - 32768).astype("<i2")
+    data = samples.tobytes()
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE container: verify the RIFF/WAVE magic, walk the
+    chunk list (tolerating unknown chunks like LIST/INFO, as real encoders
+    emit), read fmt (must be PCM16 mono) and data, and return
+    (sample_rate, int16 sample array via np.frombuffer)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload (magic {payload[:4]!r})")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated chunk {cid!r}: want {size}, have {len(body)}")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _byte_rate, _align, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, ch={channels}, bits={bits});"
+            " only PCM16 mono"
+        )
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Generate a real RIFF/WAVE payload per row, Arrow-batched (the audio
+    twin of attach_ppm_payload)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(*wav_params_for(int(doc_id))) for doc_id in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        _gen, schema=f"{id_col} bigint, payload binary, media_type string"
+    )
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched audio feature extraction: every payload is REALLY
+    decoded (RIFF chunk walk + np.frombuffer PCM parse) and the features
+    come from the decoded samples — rate/duration from the container,
+    amplitude stats and RMS from the waveform."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "media_type", "n_bytes", "sample_rate", "n_samples",
+                "duration_ms", "amp_min", "amp_max", "amp_sum", "rms",
+            )}
+            for doc_id, media_type, payload in zip(
+                pdf[id_col], pdf["media_type"], pdf["payload"]
+            ):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                rate, samples = decode_wav(raw)
+                s64 = samples.astype(np.int64)
+                n = len(samples)
+                cols["doc_id"].append(doc_id)
+                cols["media_type"].append(media_type)
+                cols["n_bytes"].append(len(raw))
+                cols["sample_rate"].append(rate)
+                cols["n_samples"].append(n)
+                cols["duration_ms"].append(n * 1000.0 / rate)
+                cols["amp_min"].append(int(s64.min()))
+                cols["amp_max"].append(int(s64.max()))
+                cols["amp_sum"].append(int(s64.sum()))
+                cols["rms"].append(math.sqrt(int((s64 * s64).sum()) / n))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols["doc_id"], dtype="int64"),
+                    "media_type": cols["media_type"],
+                    "n_bytes": pd.array(cols["n_bytes"], dtype="int32"),
+                    "sample_rate": pd.array(cols["sample_rate"], dtype="int32"),
+                    "n_samples": pd.array(cols["n_samples"], dtype="int32"),
+                    "duration_ms": pd.array(cols["duration_ms"], dtype="float64"),
+                    "amp_min": pd.array(cols["amp_min"], dtype="int32"),
+                    "amp_max": pd.array(cols["amp_max"], dtype="int32"),
+                    "amp_sum": pd.array(cols["amp_sum"], dtype="int64"),
+                    "rms": pd.array(cols["rms"], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=AUDIO_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms int, frame_hash string"
 FRAME_INTERVAL_MS = 40  # 25 fps stand-in
 

@@ -572,3 +572,47 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub arithmetic, value-checking the whole expansion path."""
     docs = _docs(spark, sf_dir)
     return frame_sample(attach_binary_payload(docs), "doc_id")
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         200 + doc_id % 701 AS n,
+         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+         (doc_id * 53) % 65536 AS seed
+  FROM documents),
+s AS (
+  SELECT doc_id, ((seed + 11 * i.i) % 65536) - 32768 AS v
+  FROM params CROSS JOIN (SELECT unnest(range(0, 901)) AS i) i
+  WHERE i.i < n)
+SELECT p.doc_id, 'audio/wav' AS media_type,
+       CAST(44 + 2 * n AS INT) AS n_bytes,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       n * 1000.0 / rate AS duration_ms,
+       CAST(MIN(v) AS INT) AS amp_min,
+       CAST(MAX(v) AS INT) AS amp_max,
+       CAST(SUM(v) AS BIGINT) AS amp_sum,
+       sqrt(SUM(v * v) / n) AS rms
+FROM params p JOIN s USING (doc_id)
+GROUP BY p.doc_id, n, rate
+""",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO path, real end-to-end (the WAV twin of the PPM
+    image path): a PCM16 RIFF/WAVE payload per document, then Arrow-batched
+    mapInPandas that genuinely parses the container — RIFF chunk walk, fmt
+    validation, np.frombuffer sample plane — and derives rate/duration/
+    amplitude/RMS from the decoded waveform (pipeline.multimodal.decode_wav).
+    The oracle recomputes every feature from the generation formula, so a
+    parser bug (chunk offset, alignment, sign, sample width) breaks the
+    hash."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
+        attach_wav_payload,
+        extract_audio_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return extract_audio_features(attach_wav_payload(docs, "doc_id"), "doc_id")

@@ -323,6 +323,7 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_embedding_quantize",
+    bench=True,
     oracle="""
 WITH q AS (
   SELECT vec_id, label,
@@ -463,6 +464,7 @@ _CHUNK_WORDS = 20
 
 @query(
     "dedup_chunk_level",
+    bench=True,
     oracle=f"""
 WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
 chunks AS (

@@ -1,0 +1,179 @@
+"""Training-data pipeline operators, part 4: model-based quality filtering
+(a fixed-weight logistic classifier over engineered text features — the
+fastText/quality-classifier shape without a learned model file) and
+importance resampling toward a target domain mixture (the DSIR/DoReMi
+direction restated as deterministic hash sampling). Both are pure built-in
+column expressions — no Python on the data path — and hash-checked against
+DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.queries.pipeline import _docs
+from sqlserver_cdc_to_kafka_spark.registry import query
+
+# fixed, interpretable weights (a stand-in for trained coefficients; at
+# 100 TB the same expression applies a coefficient vector loaded from a
+# model artifact — the plan shape is identical)
+_W_BIAS = -1.2
+_W_LEN = 2.0  # saturating length component
+_W_STOP = 1.5  # stopword presence (English-like prose signal)
+_W_PUNCT = -3.0  # punctuation density penalty
+_W_DIGIT = -2.0  # digit density penalty (boilerplate/table signal)
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@query(
+    "pipeline_quality_classifier",
+    bench=True,
+    oracle=f"""
+WITH feats AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains({list(_STOPWORDS)!r}, x)))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))
+           / CAST(length(text) AS DOUBLE) AS digit_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+           / CAST(length(text) AS DOUBLE) AS punct_ratio
+  FROM documents),
+scored AS (
+  SELECT source,
+         1.0 / (1.0 + exp(-({_W_BIAS}
+                            + {_W_LEN} * least(n_tok / 100.0, 1.0)
+                            + {_W_STOP} * least(stop_ratio * 5.0, 1.0)
+                            + {_W_PUNCT} * punct_ratio
+                            + {_W_DIGIT} * digit_ratio))) AS p
+  FROM feats)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE p >= 0.5) AS BIGINT) AS n_keep,
+       ROUND(AVG(p), 4) AS avg_p
+FROM scored GROUP BY source
+""",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a logistic classifier over engineered
+    features (length saturation, stopword ratio, punctuation density, digit
+    density), applied as ONE whole-stage-codegen projection + grouped
+    aggregate — the C4/CCNet 'quality classifier' stage with the model
+    inlined. One scan, one shuffle on source; at 100 TB the coefficient
+    vector is a broadcast scalar and nothing else changes."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    quoted = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    stop_ratio = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({quoted})))"
+    ) / n_tok
+    text_len = F.length("text").cast("double")
+    digit_ratio = F.regexp_count(F.col("text"), F.lit(r"[0-9]")) / text_len
+    punct_ratio = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]")) / text_len
+    z = (
+        F.lit(_W_BIAS)
+        + F.lit(_W_LEN) * F.least(n_tok / 100.0, F.lit(1.0))
+        + F.lit(_W_STOP) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(_W_PUNCT) * punct_ratio
+        + F.lit(_W_DIGIT) * digit_ratio
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        docs.select("source", p.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("p") >= 0.5).alias("n_keep"),
+            F.round(F.avg("p"), 4).alias("avg_p"),
+        )
+    )
+
+
+# target mixture the resampler steers toward: uniform across domains — the
+# interesting case, since the corpus is NOT uniform (at 100 TB this is a
+# config map, broadcast as a literal or tiny table)
+_SAMPLE_GRAIN = 1_000_000
+
+
+@query(
+    "pipeline_importance_weights",
+    oracle=f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_domains FROM counts),
+weighted AS (
+  SELECT source, n,
+         (1.0 / n_domains) / (n / CAST(total AS DOUBLE)) AS w
+  FROM counts CROSS JOIN tot),
+sampled AS (
+  SELECT d.doc_id, d.source, w.w
+  FROM documents d JOIN weighted w USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':resample'), 1, 8)
+             AS BIGINT) % {_SAMPLE_GRAIN}
+        < CAST(least(w.w, 1.0) * {_SAMPLE_GRAIN} AS BIGINT))
+SELECT w.source,
+       CAST(w.n AS BIGINT) AS n_docs,
+       ROUND(w.w, 4) AS weight,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS n_sampled
+FROM weighted w LEFT JOIN sampled s ON w.source = s.source
+GROUP BY w.source, w.n, w.w
+""",
+)
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling toward a target domain mixture (uniform here):
+    per-domain weight = target_share / corpus_share, then deterministic
+    Bernoulli(min(w,1)) acceptance by content-stable hash — never rand(),
+    so reruns and retries keep the same sample (the DSIR/DoReMi reweighting
+    shape). Plan: one grouped count (tiny), the weight table re-joined onto
+    the corpus — AQE broadcasts it (one row per domain) — and a second
+    grouped count of survivors. Upweighting (w > 1) is reported in `weight`
+    for the epoch-repeat stage; acceptance caps at 1."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_domains")
+    )
+    weighted = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        (
+            (F.lit(1.0) / F.col("n_domains"))
+            / (F.col("n") / F.col("total").cast("double"))
+        ).alias("w"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":resample"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _SAMPLE_GRAIN
+    )
+    sampled = (
+        docs.join(weighted.select("source", "w"), "source")
+        .filter(
+            bucket
+            < (F.least(F.col("w"), F.lit(1.0)) * _SAMPLE_GRAIN).cast("bigint")
+        )
+        .select("doc_id", "source")
+    )
+    return (
+        weighted.join(
+            sampled.groupBy("source").agg(F.count("*").alias("n_sampled")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round("w", 4).alias("weight"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )

@@ -56,3 +56,50 @@ def test_no_notimplemented_on_data_path():
 
     src = inspect.getsource(multimodal)
     assert "NotImplementedError" not in src
+
+
+class TestWav:
+    def test_roundtrip(self):
+        from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        payload = encode_wav(300, 16000, 4242)
+        rate, samples = decode_wav(payload)
+        assert rate == 16000 and len(samples) == 300
+        expected = ((4242 + 11 * np.arange(300)) % 65536) - 32768
+        assert (samples == expected).all()
+        assert len(payload) == 44 + 600
+
+    def test_tolerates_extra_chunks(self):
+        # real encoders often insert a LIST/INFO chunk between fmt and data
+        from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+        import struct
+
+        base = encode_wav(10, 8000, 7)
+        fmt_chunk = base[12:36]
+        data_chunk = base[36:]
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded odd chunk
+        body = fmt_chunk + extra + data_chunk
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        rate, samples = decode_wav(payload)
+        assert rate == 8000 and len(samples) == 10
+
+    def test_rejects_bad_input(self):
+        from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import decode_wav
+        import struct
+
+        with pytest.raises(ValueError, match="magic"):
+            decode_wav(b"OggS" + b"\x00" * 40)
+        # stereo is unsupported
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+            + b"data" + struct.pack("<I", 0)
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_wav(hdr)

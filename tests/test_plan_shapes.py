@@ -66,6 +66,7 @@ BROADCAST_ALLOWED = {
     ("pipeline/similarity.py", "cent"),  # k centroids
     ("pipeline/similarity.py", "probes"),  # nprobe rows per query
     ("queries/pipeline2.py", "tot"),  # scalar aggregate (1 row)
+    ("queries/pipeline4.py", "tot"),  # scalar aggregate (1 row)
     ("queries/pipeline2.py", "w.select"),  # one row per source domain
     ("queries/pipeline2.py", "support"),  # scalar aggregate (1 row)
     ("queries/pipeline2.py", "qs"),  # 3 literal quantile probes
