@@ -177,3 +177,41 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
         )
     )
+
+
+@query(
+    "stream_static_dedup_drain",
+    oracle="""
+WITH side AS (
+  SELECT doc_id, source, md5(text) AS fp,
+         CASE WHEN doc_id % 5 = 0 THEN 'incoming' ELSE 'corpus' END AS side
+  FROM documents),
+cor AS (SELECT DISTINCT fp FROM side WHERE side = 'corpus')
+SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_new
+FROM side s LEFT JOIN cor c USING (fp)
+WHERE s.side = 'incoming' AND c.fp IS NULL
+GROUP BY s.source
+""",
+)
+def q_stream_static_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest-time dedup, end-to-end: the incoming batch (doc_id %
+    5 == 0) arrives as a multi-file stream; each micro-batch is LEFT ANTI
+    stream-static joined against the static corpus fingerprint store
+    (distinct content hashes of everything already kept) and the surviving
+    NEW documents append to a parquet sink. Stateless — no state store, no
+    driver accumulation; the 100 TB form swaps the staged files for the
+    real arrival bus and the fingerprint relation for the incrementally
+    maintained store (bucketed on fp for a shuffle-free join). The drained
+    sink must hash-match the batch anti-join oracle: streaming and batch
+    join semantics are the same plan."""
+    from sqlserver_cdc_to_kafka_spark.streaming.stream_static import (
+        incremental_dedup_stream_drain,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn("fp", F.md5("text"))
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "source", "fp")
+    corpus_fps = (
+        docs.filter(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    )
+    drained = incremental_dedup_stream_drain(spark, incoming, corpus_fps)
+    return drained.groupBy("source").agg(F.count("*").alias("n_new"))
