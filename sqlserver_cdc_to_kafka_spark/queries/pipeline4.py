@@ -215,3 +215,124 @@ def q_stream_static_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = incremental_dedup_stream_drain(spark, incoming, corpus_fps)
     return drained.groupBy("source").agg(F.count("*").alias("n_new"))
+
+
+_QUALITY_P_SQL = f"""1.0 / (1.0 + exp(-({_W_BIAS}
+    + {_W_LEN} * least(len(string_split(text, ' ')) / 100.0, 1.0)
+    + {_W_STOP} * least((len(list_filter(string_split(text, ' '),
+                     x -> list_contains({list(_STOPWORDS)!r}, x)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0, 1.0)
+    + {_W_PUNCT} * (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE))
+    + {_W_DIGIT} * (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE)))))"""
+
+
+def quality_prob() -> F.Column:
+    """The logistic quality probability as a single column expression
+    (shared by pipeline_quality_classifier and the corpus-build funnel)."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    quoted = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    stop_ratio = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({quoted})))"
+    ) / n_tok
+    text_len = F.length("text").cast("double")
+    digit_ratio = F.regexp_count(F.col("text"), F.lit(r"[0-9]")) / text_len
+    punct_ratio = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]")) / text_len
+    z = (
+        F.lit(_W_BIAS)
+        + F.lit(_W_LEN) * F.least(n_tok / 100.0, F.lit(1.0))
+        + F.lit(_W_STOP) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(_W_PUNCT) * punct_ratio
+        + F.lit(_W_DIGIT) * digit_ratio
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+@query(
+    "pipeline_corpus_build_funnel",
+    bench=True,
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 95 THEN 'train' ELSE 'eval' END AS split,
+         {_QUALITY_P_SQL} AS p
+  FROM documents),
+train AS (SELECT * FROM base WHERE split = 'train'),
+qual AS (SELECT * FROM train WHERE p >= 0.5),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+dedup AS (SELECT q.* FROM qual q JOIN keep k USING (doc_id)),
+evs AS (
+  SELECT DISTINCT unnest(CASE WHEN len(ws) >= 4 THEN
+           list_distinct(list_transform(range(1, len(ws) - 2),
+                         i -> array_to_string(ws[i:i+3], ' ')))
+           ELSE [] END) AS shingle
+  FROM (SELECT string_split(text, ' ') AS ws FROM base WHERE split = 'eval')),
+cont AS (
+  SELECT DISTINCT d.doc_id
+  FROM (SELECT doc_id, unnest(CASE WHEN len(ws) >= 4 THEN
+          list_distinct(list_transform(range(1, len(ws) - 2),
+                        i -> array_to_string(ws[i:i+3], ' ')))
+          ELSE [] END) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM dedup)) d
+  JOIN evs USING (shingle)),
+clean AS (SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+SELECT * FROM (
+  SELECT 'corpus' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM base
+  UNION ALL SELECT 'train_split', COUNT(*) FROM train
+  UNION ALL SELECT 'quality_kept', COUNT(*) FROM qual
+  UNION ALL SELECT 'exact_deduped', COUNT(*) FROM dedup
+  UNION ALL SELECT 'decontaminated', COUNT(*) FROM clean)
+""",
+)
+def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build as one attrition funnel crossing operator
+    families: deterministic 95/5 split → model-based quality filter (the
+    logistic classifier) → exact content dedup (min-doc-id per md5, the
+    canonical-representative rule) → eval-decontamination (drop survivors
+    sharing any word-4-gram with the eval split). One cached slim
+    projection feeds every stage; each later stage is a semi/anti join off
+    the previous — the integration shape a real 100 TB build runs, with
+    per-stage row counts as the build report. Stage relations reuse the
+    exact expressions of their standalone operators
+    (pipeline_quality_classifier, dedup_exact, pipeline_decontaminate_train),
+    so this funnel is also a consistency witness across them."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
+    from sqlserver_cdc_to_kafka_spark.queries.pipeline3 import _with_split
+
+    docs = _with_split(_docs(spark, sf_dir))
+    # one slim pass: everything later stages need, cached (LRU-reclaimed)
+    base = docs.select("doc_id", "source", "text", "split", quality_prob().alias("p")).persist()
+    train = base.filter(F.col("split") == "train")
+    qual = train.filter(F.col("p") >= 0.5)
+    keep = qual.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+    dedup = qual.join(keep.select("doc_id"), "doc_id", "leftsemi")
+    evs = (
+        base.filter(F.col("split") == "eval")
+        .select(F.explode(word_shingles("text", 4)).alias("shingle"))
+        .distinct()
+    )
+    cont = (
+        dedup.select("doc_id", F.explode(word_shingles("text", 4)).alias("shingle"))
+        .join(evs, "shingle", "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.join(cont, "doc_id", "left_anti")
+
+    def stage_count(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), F.col("n_docs")
+        )
+
+    out = stage_count("corpus", base)
+    for name, df in (
+        ("train_split", train),
+        ("quality_kept", qual),
+        ("exact_deduped", dedup),
+        ("decontaminated", clean),
+    ):
+        out = out.unionAll(stage_count(name, df))
+    return out
