@@ -23,8 +23,17 @@ def epoch_micros(df: DataFrame, col: str) -> Column:
     if isinstance(dt, T.LongType):
         return F.expr(f"{col} div 1000").alias(col)
     if isinstance(dt, T.TimestampNTZType):
+        # NOT timestampdiff: Spark's TIMESTAMPDIFF round-trips NTZ operands
+        # through session-local time, so a wall-clock that falls in the
+        # session zone's DST spring-forward gap (e.g. 1999-04-04 02:00 under
+        # America/New_York) silently shifts by +1 h. Field arithmetic reads
+        # the NTZ fields directly — tz-invariant for every wall-clock,
+        # including DST-gap, DST-overlap, and fractional seconds.
         return F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+            f"unix_date(CAST({col} AS DATE)) * 86400000000"
+            f" + CAST(hour({col}) AS BIGINT) * 3600000000"
+            f" + CAST(minute({col}) AS BIGINT) * 60000000"
+            f" + CAST(date_part('SECOND', {col}) * 1000000 AS BIGINT)"
         )
     if isinstance(dt, T.TimestampType):
         return F.unix_micros(F.col(col))

@@ -95,3 +95,32 @@ def test_row_hash_null_vs_empty_distinct(spark):
     df = spark.createDataFrame([("x", None), ("x", ""), (None, "x")], "a string, b string")
     hashes = [r["h"] for r in df.select(synthetic_row_hash(["a", "b"]).alias("h")).collect()]
     assert len(set(hashes)) == 3  # null, empty, and swapped values all differ
+
+
+def test_epoch_micros_ntz_is_tz_invariant_in_dst_gap(spark):
+    """Round-6 tz probe regression: TIMESTAMPDIFF on NTZ round-trips the
+    wall-clock through session-local time, so 1999-04-04 02:00 (inside the
+    America/New_York spring-forward gap) shifted +1h under that session tz.
+    epoch_micros must be a pure field read — same value under every tz."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '1999-04-04 02:00:00' AS gap, "
+        "TIMESTAMP_NTZ '1999-10-31 01:30:00' AS overlap, "
+        "TIMESTAMP_NTZ '2001-06-15 12:34:56.789012' AS frac"
+    )
+    want = {
+        "gap": 923_191_200_000_000,
+        "overlap": 941_333_400_000_000,
+        "frac": 992_608_496_789_012,
+    }
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kathmandu"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = df.select(
+                *[epoch_micros(df, c).alias(c) for c in want]
+            ).collect()[0]
+            assert row.asDict() == want, f"tz={tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)

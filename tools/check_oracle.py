@@ -51,6 +51,13 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--tz",
+        default=None,
+        help="override spark.sql.session.timeZone (e.g. America/New_York) — "
+        "oracle parity must hold under ANY session tz; queries are designed "
+        "to expose timestamps only as epoch numbers",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -60,6 +67,8 @@ def main() -> int:
     registry = load_all()
     names = args.names or sorted(registry)
     spark = get_spark("oracle-check")
+    if args.tz:
+        spark.conf.set("spark.sql.session.timeZone", args.tz)
     con = duckdb_conn(args.sf)
 
     n_pass = n_fail = 0
