@@ -336,3 +336,67 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionAll(stage_count(name, df))
     return out
+
+
+_SUBSTR_K = 8  # window length in tokens (the ExactSubstr overlap unit)
+
+
+@query(
+    "dedup_substring_windows",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= {_SUBSTR_K}),
+win AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - {_SUBSTR_K - 2}),
+                 i -> array_to_string(ws[i:i+{_SUBSTR_K - 1}], ' '))) AS win
+  FROM w),
+shared AS (
+  SELECT win FROM (SELECT win, COUNT(DISTINCT doc_id) AS c FROM win GROUP BY win)
+  WHERE c >= 2)
+SELECT win.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(s.win) AS BIGINT) AS n_shared,
+       ROUND(COUNT(s.win) / CAST(COUNT(*) AS DOUBLE), 4) AS shared_frac
+FROM win LEFT JOIN shared s USING (win)
+GROUP BY win.doc_id
+""",
+)
+def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style overlap detection (the 'remove 50-token repeated
+    spans' direction of Lee et al.'s dedup, restated Spark-first): hash
+    every positional 8-token window — NON-distinct, so coverage is
+    positional — find windows occurring in ≥2 distinct documents via one
+    grouped count over the inverted window index, and report each
+    document's shared-window coverage fraction. Two shuffles total (by
+    window, by doc). At 100 TB the window index is the operator's state:
+    hash the window string to 8 bytes, cap the hot windows with the same
+    max_doc_freq guard as the shingle joins, and the span-REMOVAL pass is a
+    second positional join against the flagged windows."""
+    docs = _docs(spark, sf_dir)
+    wins = F.expr(
+        f"transform(array(split(text, ' ')), ws -> "
+        f"transform(sequence(0, size(ws) - {_SUBSTR_K}), "
+        f"i -> concat_ws(' ', slice(ws, i + 1, {_SUBSTR_K}))))[0]"
+    )
+    win = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= _SUBSTR_K)
+        .select("doc_id", F.explode(wins).alias("win"))
+    )
+    shared = (
+        win.groupBy("win")
+        .agg(F.count_distinct("doc_id").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("win")
+        .withColumn("__shared", F.lit(1))
+    )
+    return (
+        win.join(shared, "win", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count(F.col("__shared")).alias("n_shared"),
+            F.round(
+                F.count(F.col("__shared")) / F.count("*").cast("double"), 4
+            ).alias("shared_frac"),
+        )
+    )
