@@ -338,3 +338,67 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, in_w int, in_h int, out_w int, out_h int, "
+    "n_bytes int, px_mean double, px_sum bigint"
+)
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, 3) uint8 image: output pixel
+    (x, y) reads input pixel (floor(x*w/out_w), floor(y*h/out_h)) — the
+    simplest real resampler, chosen because its index arithmetic is exactly
+    reproducible by the oracle."""
+    h, w = arr.shape[:2]
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    return arr[ys][:, xs]
+
+
+def resize_features(
+    df: DataFrame, out_w: int = 8, out_h: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched image RESIZE over the binary column: decode the PPM,
+    nearest-neighbor resample to (out_w, out_h), re-encode, and report the
+    resized image's size and pixel stats. Batch in, batch out — the
+    thumbnail/tiling stage of a multimodal ingest pipeline, with the same
+    drop-in shape for a real interpolating resampler."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "in_w", "in_h", "out_w", "out_h",
+                "n_bytes", "px_mean", "px_sum",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, arr = decode_ppm(bytes(payload))
+                small = resize_nearest(arr, out_w, out_h)
+                header = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
+                re_encoded = header + small.tobytes()
+                s64 = small.astype(np.int64)
+                cols["doc_id"].append(doc_id)
+                cols["in_w"].append(w)
+                cols["in_h"].append(h)
+                cols["out_w"].append(out_w)
+                cols["out_h"].append(out_h)
+                cols["n_bytes"].append(len(re_encoded))
+                cols["px_mean"].append(float(s64.mean()))
+                cols["px_sum"].append(int(s64.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols["doc_id"], dtype="int64"),
+                    "in_w": pd.array(cols["in_w"], dtype="int32"),
+                    "in_h": pd.array(cols["in_h"], dtype="int32"),
+                    "out_w": pd.array(cols["out_w"], dtype="int32"),
+                    "out_h": pd.array(cols["out_h"], dtype="int32"),
+                    "n_bytes": pd.array(cols["n_bytes"], dtype="int32"),
+                    "px_mean": pd.array(cols["px_mean"], dtype="float64"),
+                    "px_sum": pd.array(cols["px_sum"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -576,6 +576,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_audio_features",
+    bench=True,  # the Arrow-batched Python-codec cost class, absent elsewhere
     oracle="""
 WITH params AS (
   SELECT doc_id,

@@ -400,3 +400,46 @@ def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 7 AS h,
+         (doc_id * 31) % 256 AS seed
+  FROM documents),
+px AS (
+  SELECT doc_id,
+         (seed + (((i.i // 24) * h // 5) * w + ((i.i // 3) % 8) * w // 8) * 3
+          + i.i % 3) % 256 AS v
+  FROM dims CROSS JOIN (SELECT unnest(range(0, 120)) AS i) i)
+SELECT d.doc_id,
+       CAST(w AS INT) AS in_w,
+       CAST(h AS INT) AS in_h,
+       CAST(8 AS INT) AS out_w,
+       CAST(5 AS INT) AS out_h,
+       CAST(strlen('P6' || chr(10) || '8 5' || chr(10) || '255' || chr(10))
+            + 120 AS INT) AS n_bytes,
+       AVG(p.v) AS px_mean,
+       CAST(SUM(p.v) AS BIGINT) AS px_sum
+FROM dims d JOIN px p USING (doc_id)
+GROUP BY d.doc_id, w, h
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE stage, real end-to-end: decode each PPM payload,
+    nearest-neighbor resample to a fixed 8x5 thumbnail in numpy (index
+    arithmetic the oracle reproduces exactly), re-encode, and report the
+    thumbnail's size and pixel stats — the decode → transform → re-encode
+    round trip of a thumbnail/tiling ingest stage, Arrow-batched
+    (pipeline.multimodal.resize_features)."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
+        attach_ppm_payload,
+        resize_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return resize_features(attach_ppm_payload(docs, "doc_id"), out_w=8, out_h=5)

@@ -103,3 +103,20 @@ class TestWav:
         )
         with pytest.raises(ValueError, match="unsupported"):
             decode_wav(hdr)
+
+
+def test_resize_nearest_exact_indexing():
+    from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    w, h, seed = 13, 6, 99
+    _, _, arr = decode_ppm(encode_ppm(w, h, seed))
+    small = resize_nearest(arr, 8, 5)
+    assert small.shape == (5, 8, 3)
+    for y in range(5):
+        for x in range(8):
+            sx, sy = (x * w) // 8, (y * h) // 5
+            assert (small[y, x] == arr[sy, sx]).all()
