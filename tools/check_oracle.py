@@ -58,6 +58,13 @@ def main() -> int:
         "oracle parity must hold under ANY session tz; queries are designed "
         "to expose timestamps only as epoch numbers",
     )
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions — results must be "
+        "partition-count invariant (probe with an odd value like 7)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -69,6 +76,8 @@ def main() -> int:
     spark = get_spark("oracle-check")
     if args.tz:
         spark.conf.set("spark.sql.session.timeZone", args.tz)
+    if args.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     con = duckdb_conn(args.sf)
 
     n_pass = n_fail = 0
