@@ -238,3 +238,43 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(outdir)
+
+
+@query(
+    "stream_stream_attribution_join",
+    oracle=f"""
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, c.event_id AS cid, p.event_id AS pid
+  FROM c JOIN p ON c.user_id = p.user_id
+              AND p.us >= c.us AND p.us <= c.us + 1800000000)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clicks_attributed,
+       CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases_attributed
+FROM j GROUP BY user_id
+""",
+)
+def q_stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN end-to-end (the last stateful-join surface):
+    clicks and purchases arrive as two watermarked streams; an inner join
+    on user + the [click, click+30min] event-time range emits each
+    attribution pair exactly once, appended to a parquet sink, and the
+    drained pairs must hash-match the batch self-join oracle. The
+    watermarks bound state retention — the property that lets this join
+    run forever on an unbounded stream (state is O(horizon), not
+    O(stream)); the range predicate is what lets Spark prune each side's
+    state store by event time."""
+    from sqlserver_cdc_to_kafka_spark.streaming.stream_join import (
+        attribution_join_drain,
+    )
+
+    pairs = attribution_join_drain(spark, sf_dir)
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("click_id").alias("n_clicks_attributed"),
+        F.count_distinct("purchase_id").alias("n_purchases_attributed"),
+    )
