@@ -278,3 +278,43 @@ def q_stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFr
         F.count_distinct("click_id").alias("n_clicks_attributed"),
         F.count_distinct("purchase_id").alias("n_purchases_attributed"),
     )
+
+
+@query(
+    "stream_stream_attribution_outer",
+    oracle=f"""
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, c.event_id AS cid, p.event_id AS pid
+  FROM c LEFT JOIN p ON c.user_id = p.user_id
+                    AND p.us >= c.us AND p.us <= c.us + 1800000000)
+SELECT user_id,
+       CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clicks,
+       CAST(COUNT(pid) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (WHERE pid IS NULL) AS BIGINT) AS n_unattributed
+FROM j GROUP BY user_id
+""",
+)
+def q_stream_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join end-to-end — the semantics where an
+    unmatched click may only emit (null purchase) after the watermark
+    proves no future purchase can land in its attribution window. End of
+    stream is handled by the same two-phase sentinel staging as the
+    windowed file sink: phase 2's far-future sentinel rows advance both
+    sides' watermarks so every expired left row flushes
+    (streaming.stream_join.attribution_join_outer_drain). The drained rows
+    hash-match the batch LEFT JOIN oracle: matched pairs once each,
+    unattributed clicks exactly once with nulls."""
+    from sqlserver_cdc_to_kafka_spark.streaming.stream_join import (
+        attribution_join_outer_drain,
+    )
+
+    pairs = attribution_join_outer_drain(spark, sf_dir)
+    return pairs.groupBy("user_id").agg(
+        F.count_distinct("click_id").alias("n_clicks"),
+        F.count("purchase_id").alias("n_pairs"),
+        F.count_if(F.col("purchase_id").isNull()).alias("n_unattributed"),
+    )
