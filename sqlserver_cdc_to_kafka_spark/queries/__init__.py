@@ -13,6 +13,7 @@ from sqlserver_cdc_to_kafka_spark.queries import pipeline4  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import pipeline  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import audit  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import analytics  # noqa: F401
+from sqlserver_cdc_to_kafka_spark.queries import olap2  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import cdc  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import event_windows  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import functions  # noqa: F401

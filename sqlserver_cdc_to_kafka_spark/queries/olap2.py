@@ -1,0 +1,535 @@
+"""OLAP widening pack: the remaining classic TPC-H plan shapes, adapted to
+the driver's slimmer schemas (no partsupp / commitdate / shipmode — each
+query's docstring names its substitution).
+
+Why these matter for the engine: together with queries/analytics.py this
+covers every distinct Catalyst plan class a downstream consumer of the
+materialized CDC tables will throw at it — semi/anti joins (EXISTS / NOT
+EXISTS / NOT IN rewrites), outer-join count distributions, scalar-subquery
+rewrites as broadcast one-row joins, OR-of-ANDs pushdown, group-filter
+(HAVING) pipelines, and conditional aggregation.  Each is written
+Spark-first: correlated subqueries become joins/aggregations (the rewrite
+Catalyst itself would do), scalar subqueries become broadcast 1-row joins,
+and decimal casts keep the hash gate engine-exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.registry import query
+from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+@query(
+    "olap_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the scan-efficiency
+    probe.  All three predicates push into the parquet reader (PushedFilters
+    on l_shipdate/l_discount/l_quantity); the whole query is one map-side
+    partial + a 1-row final, no meaningful shuffle.  At 100 TB this is the
+    query where column pruning (2 of 11 columns read) dominates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "olap_order_priority_check",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → LEFT SEMI join (the
+    rewrite Catalyst performs; written directly as one).  Substitution: no
+    l_commitdate/l_receiptdate in this schema, so 'late' is l_returnflag='R'.
+    The returnflag filter pushes below the semi join, shrinking its build
+    side before the shuffle; the date window pushes into the orders scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    late = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "olap_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       ROUND(c_acctbal, 2) AS c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    bench=True,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter — 4-way
+    join, selective fact filters pushed to both scans, top-20 by aggregate.
+    nation is constant-cardinality (broadcast hint); customer scales with SF
+    so its join is AQE-decided.  TakeOrderedAndProject caps the sort at 20
+    rows per partition — no global sort of the aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "olap_priority_line_mix",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q_priority_line_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation (CASE-sum pivot).
+    Substitution: no l_shipmode column, so the group key is l_linestatus.
+    The date window pushes into the lineitem scan; the two conditional sums
+    are one pass (a single hash aggregate with two CASE expressions), not
+    two filtered scans."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "olap_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey) per_cust
+GROUP BY c_count
+""",
+    bench=True,
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with an ON-clause (not WHERE) filter on
+    the null-producing side, then a two-level aggregation — the count-of-
+    counts distribution.  COUNT(o_orderkey) over the outer join counts 0 for
+    order-less customers (nulls don't count), which a WHERE filter would
+    silently drop — the classic outer-join-filter placement trap, pinned by
+    the oracle.  Second aggregate's input is one row per customer — tiny."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "olap_promo_revenue",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) * 1000000 AS BIGINT) AS promo_micros,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 1000000 AS BIGINT)
+         AS total_micros
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+""",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue share — fact⋈dim join feeding a
+    conditional aggregate.  part is a dim that scales with SF, so the join
+    is AQE-decided (broadcast while small).  Both sums come out as exact
+    integer micro-units (decimal scaled), so the hash gate never sees an
+    engine-specific double division; the ratio is one client-side divide."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0))) * 1_000_000)
+            .cast("bigint")
+            .alias("promo_micros"),
+            (F.sum(disc_price) * 1_000_000).cast("bigint").alias("total_micros"),
+        )
+    )
+
+
+@query(
+    "olap_parts_supplier_count",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier-diversity count with a NOT IN exclusion.
+    Substitution: no partsupp table, so lineitem's (partkey, suppkey) pairs
+    ARE the part-supplier relation.  NOT IN over a non-null key column is a
+    LEFT ANTI join (the null-safe rewrite is unnecessary here and its
+    null-check would block the anti-join optimization); the excluded-
+    supplier set scales with SF (~a tenth of suppliers), so its broadcast
+    is AQE-decided, never a hard hint.  COUNT(DISTINCT) expands to a
+    two-phase aggregate — partial distinct per partition, then final."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 25)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "olap_large_volume_customer",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+SELECT c_custkey, c_name, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    bench=True,
+)
+def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING group filter → join back to the dims.  The
+    aggregate runs FIRST, shrinking lineitem from rows to qualifying order
+    keys before either join — the group-filter pushup that makes this cheap
+    at 100 TB (the alternative, join-then-aggregate, shuffles the full
+    join product).  Threshold 150 ≈ top few % of orders at 4 lines/order,
+    qty ≤ 50."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("sum_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "olap_discounted_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+)
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides.  The mixed
+    predicate can't be pushed whole, but its per-side residuals can:
+    Catalyst derives l_quantity BETWEEN 1 AND 30 for the lineitem scan and
+    p_brand IN (...) for the part scan from the disjunction, then applies
+    the exact cross-side condition on the joined rows.  Written as a plain
+    equi-join + composite filter so that derivation stays visible to the
+    optimizer (NOT as three unioned joins, which would triple the scan)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "olap_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+""",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar subquery (global MAX over a derived view)
+    used as a filter.  Spark-first rewrite: the 1-row MAX aggregate joins
+    back by equality as a broadcast — never a window over an unpartitioned
+    frame (Window.partitionBy() would funnel every supplier through one
+    task).  Decimal equality keeps the max-match exact; ties all surface
+    (same semantics as the SQL)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
+        .join(supp, rev.supplier_no == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "olap_suppliers_kept_waiting",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+)
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame query — suppliers whose line was the
+    ONLY returned one on a multi-supplier finalized order.  Substitution:
+    l_returnflag='R' stands in for receipt-after-commit lateness.
+
+    Spark-first rewrite: the correlated EXISTS / NOT EXISTS pair over
+    lineitem self-joins collapses into ONE aggregation per order —
+    n_supp = countDistinct(suppkey) and n_bad_supp = countDistinct(suppkey
+    WHERE 'R') — then a single equi-join.  EXISTS(other supplier) ⇔
+    n_supp > 1; NOT EXISTS(other bad supplier) ⇔ n_bad_supp = 1 (l1 itself
+    is bad).  Two lineitem scans total (l1 + the aggregate) instead of the
+    three the literal SQL implies, and no exploding self-join pair space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_bad_supp"),
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(orders_f, l1.l_orderkey == orders_f.o_orderkey)
+        .join(per_order, l1.l_orderkey == per_order.agg_orderkey)
+        .filter((F.col("n_supp") > 1) & (F.col("n_bad_supp") == 1))
+        .join(supp, l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "olap_global_sales_opportunity",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS bal_sum,
+         COUNT(*) AS bal_cnt
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_cnt > bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+""",
+)
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the average positive balance with no
+    RECENT orders — scalar AVG subquery + NOT EXISTS anti-join.
+    Substitutions: c_nationkey groups instead of the phone country code (no
+    c_phone), and the no-orders test is scoped to orders since 1999 (the
+    synthetic data gives nearly every customer SOME order, which would make
+    the unscoped anti-join vacuously empty — a 0-row oracle witnesses
+    nothing).
+
+    The average is compared WITHOUT division: bal * count > sum in exact
+    decimal arithmetic, so no engine-specific float-division rounding can
+    flip a boundary row (AVG of doubles is summation-order-dependent — a
+    real cross-engine hazard, not a theoretical one).  The 1-row aggregate
+    broadcasts; NOT EXISTS is a LEFT ANTI join on the order keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).cast("decimal(28,2)").alias("bal_sum"),
+        F.count("*").alias("bal_cnt"),
+    )
+    orders_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("bal_cnt") > F.col("bal_sum"))
+        .join(orders_keys, cust.c_custkey == orders_keys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )

@@ -76,6 +76,9 @@ BROADCAST_ALLOWED = {
     ("queries/joins.py", "region"),  # fixed 5 rows
     ("queries/analytics.py", "nation"),
     ("queries/analytics.py", "region"),
+    ("queries/olap2.py", "nation"),  # fixed 25 rows
+    ("queries/olap2.py", "pos"),  # scalar aggregate (1 row)
+    ("queries/olap2.py", "top"),  # scalar aggregate (1 row)
 }
 
 
