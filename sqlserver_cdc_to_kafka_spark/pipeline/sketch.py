@@ -115,3 +115,65 @@ def hll_estimate(registers) -> float:
     if raw <= 2.5 * m and empty > 0:
         return m * math.log(m / empty)
     return raw
+
+
+BLOOM_BITS = 1 << 16  # m: filter size in bits
+BLOOM_K = 3  # hash probes per key
+_BLOOM_WORD = 32  # bits per bitmap word (positive-bigint-safe shifts)
+
+
+def _bloom_positions(df: DataFrame, key_col: str) -> DataFrame:
+    """One row per (key, probe-bit position): classic double hashing
+    pos_i = (h1 + i*h2) mod m, with h1/h2 taken from disjoint md5 hex
+    spans and h2 forced odd so the probe sequence cycles the whole table.
+    Engine-portable (md5 + integer arithmetic only) — a DuckDB oracle
+    builds the bit-identical filter."""
+    key_s = F.col(key_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(key_s), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(key_s), 9, 8), 16, 10).cast("bigint") * 2 + 1
+    return (
+        df.select(F.col(key_col).alias("k"), h1.alias("h1"), h2.alias("h2"))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))))
+        .select("k", ((F.col("h1") + F.col("i") * F.col("h2")) % BLOOM_BITS).alias("pos"))
+    )
+
+
+def bloom_build_words(keys: DataFrame, key_col: str) -> DataFrame:
+    """(word_idx, bits) — the Bloom filter as a sparse bitmap of 32-bit
+    words packed in bigints.  bit_or is the merge operator: partition
+    partials, shard filters, and day-over-day filters all union by the
+    same aggregate, which is what makes the structure distributable.  At
+    most m/32 rows regardless of input size."""
+    pos = _bloom_positions(keys, key_col).select("pos").distinct()
+    return (
+        pos.groupBy((F.col("pos") / _BLOOM_WORD).cast("bigint").alias("word_idx"))
+        .agg(
+            # shiftleft's python wrapper takes only a literal shift count —
+            # the per-row bit position needs the SQL form
+            F.bit_or(
+                F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_WORD} as int))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_membership(probes: DataFrame, build_keys: DataFrame, key_col: str) -> DataFrame:
+    """Probe keys flagged by the filter built from build_keys: a key is
+    flagged iff ALL of its probe positions are set.  Distributed as a
+    LEFT join of probe positions against the (distinct, ≤m-row) set-bit
+    table — the set-bit side is bounded by the filter size, so this is a
+    broadcast-scale join no matter how large the build input was."""
+    set_bits = (
+        _bloom_positions(build_keys, key_col)
+        .select("pos")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ppos = _bloom_positions(probes, key_col)
+    return (
+        ppos.join(set_bits, "pos", "left")
+        .groupBy("k")
+        .agg(F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_miss"))
+        .filter(F.col("n_miss") == 0)
+        .select(F.col("k").alias(key_col))
+    )

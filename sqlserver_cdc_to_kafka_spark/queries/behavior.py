@@ -1,0 +1,134 @@
+"""Behavioral analytics over the `events` log: ordered conversion funnels
+and cohort retention — the two canonical event-sequence aggregations a
+product-analytics consumer of the engine's materialized event stream runs.
+
+Neither exists in the reference (it stops at transporting the events); both
+are pure DataFrame compositions — sequential funnels as a chain of
+SHRINKING min-aggregate joins (each step's input is only the users who
+completed the previous step, so the join sides contract monotonically),
+cohorts as two hash aggregates.  No windows over unpartitioned frames, no
+per-user sorting: at 100 TB each step is one shuffle on user_id and AQE
+sizes the contracted joins.
+
+Timezone safety: all bucketing is on epoch-micros integers (UTC), outputs
+are epoch numbers — hashes identical under any session timezone."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+from sqlserver_cdc_to_kafka_spark.registry import query
+from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_type", epoch_micros(ev, "ts").alias("us")
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, MIN(us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, MIN(us) AS t2 FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND us >= t1 GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, MIN(us) AS t3 FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND us >= t2 GROUP BY ev.user_id)
+SELECT * FROM (
+  SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+  UNION ALL
+  SELECT '2_click', COUNT(*) FROM c
+  UNION ALL
+  SELECT '3_purchase', COUNT(*) FROM p) f
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase: a user counts at step
+    k only if the step-k event happened AT OR AFTER their earliest step-k-1
+    completion (strict event-time ordering, not mere co-occurrence).
+
+    Expressed as a chain of min-aggregate + join stages — the step-k input
+    is semi-joined down to step-k-1 completers BEFORE its aggregate, so the
+    per-step shuffle shrinks with the funnel.  The alternative (one window
+    sort per user over all events) shuffles the full log once per step and
+    sorts inside every user partition; this formulation never sorts."""
+    ev = _events_us(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+
+    def step(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("step"), "n_users"
+        )
+
+    return (
+        step("1_view", v).unionByName(step("2_click", c)).unionByName(
+            step("3_purchase", p)
+        )
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+first_seen AS (
+  SELECT user_id, (MIN(us) // {_WEEK_US}) AS cohort_week FROM ev
+  GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, us // {_WEEK_US} AS week FROM ev)
+SELECT f.cohort_week * {_WEEK_US} AS cohort_week_us,
+       CAST(a.week - f.cohort_week AS BIGINT) AS week_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen week,
+    counted in every subsequent week they were active.  Two hash aggregates
+    (first-seen per user; distinct user-weeks) and one equi-join on
+    user_id — the distinct collapses the event volume to ≤ users×weeks rows
+    before the join, so the join input is orders of magnitude below the raw
+    log.  COUNT(*) after the join is exact because activity rows are
+    already distinct per (user, week)."""
+    ev = _events_us(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        (F.min("us") / _WEEK_US).cast("bigint").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", (F.col("us") / _WEEK_US).cast("bigint").alias("week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            (F.col("cohort_week") * _WEEK_US).alias("cohort_week_us"),
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -1,0 +1,152 @@
+"""Round-6 pipeline additions: RAG-style overlapping document chunking and
+a distributed Bloom filter with a measured false-positive audit.
+
+Both are engine-portable by construction (md5-derived hashes, integer
+arithmetic only) so the driver's hash-exact gate applies — including to the
+Bloom filter, an APPROXIMATE structure whose bitmap both engines must build
+bit-for-bit identically."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.registry import query
+from sqlserver_cdc_to_kafka_spark.tables import ensure_parallel, load_table
+
+_CHUNK = 500  # chars per chunk
+_STRIDE = 400  # chunk start spacing => 100-char overlap
+
+
+@query(
+    "pipeline_chunk_overlap",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (SELECT doc_id, text,
+             unnest(range(0, 1 + (greatest(n - {_CHUNK}, 0) + {_STRIDE} - 1)
+                             // {_STRIDE})) AS idx
+      FROM d)
+SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+       CAST(idx * {_STRIDE} + 1 AS BIGINT) AS start_pos,
+       CAST(length(substr(text, CAST(idx * {_STRIDE} + 1 AS INT), {_CHUNK}))
+            AS BIGINT) AS chunk_chars,
+       md5(substr(text, CAST(idx * {_STRIDE} + 1 AS INT), {_CHUNK}))
+         AS chunk_hash
+FROM c
+""",
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (the RAG/embedding preprocessing
+    primitive): 500-char chunks every 400 chars, so consecutive chunks
+    share 100 chars and no boundary sentence is lost.  Chunk count is
+    closed-form from the doc length (1 + ceil(max(n-500,0)/400)) — pure
+    per-row explode, NO shuffle, NO Python: sequence+explode+substr all
+    stay in whole-stage codegen.  Emits the chunk md5 (its content id for
+    downstream chunk-level dedup) instead of the text, keeping the result
+    narrow; at 100 TB the explode multiplies rows ~n/400× inside the scan
+    stage, which AQE re-splits as needed."""
+    d = ensure_parallel(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    n_chunks = 1 + (
+        (F.greatest(F.col("n") - _CHUNK, F.lit(0)) + _STRIDE - 1)
+        / _STRIDE
+    ).cast("bigint")
+    start = (F.col("idx") * _STRIDE + 1).cast("int")
+    chunk = F.col("text").substr(start, F.lit(_CHUNK))
+    return (
+        d.withColumn("idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            F.col("idx").cast("bigint").alias("chunk_idx"),
+            (F.col("idx") * _STRIDE + 1).cast("bigint").alias("start_pos"),
+            F.length(chunk).cast("bigint").alias("chunk_chars"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )
+
+
+@query(
+    "sketch_bloom_filter",
+    oracle="""
+WITH build_keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                    WHERE l_returnflag = 'R'),
+probes AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+i AS (SELECT unnest([0, 1, 2]) AS i),
+bpos AS (SELECT DISTINCT
+           (CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT)
+            + i * (CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 9, 8)
+                        AS BIGINT) * 2 + 1)) % 65536 AS pos
+         FROM build_keys, i),
+words AS (SELECT pos // 32 AS w,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+          FROM bpos GROUP BY 1),
+ppos AS (SELECT k,
+           (CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT)
+            + i * (CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 9, 8)
+                        AS BIGINT) * 2 + 1)) % 65536 AS pos
+         FROM probes, i),
+flagged AS (SELECT ppos.k
+            FROM ppos LEFT JOIN (SELECT pos, 1 AS hit FROM bpos) b
+              ON ppos.pos = b.pos
+            GROUP BY ppos.k
+            HAVING SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) = 0)
+SELECT (SELECT COUNT(*) FROM build_keys) AS n_build_keys,
+       (SELECT COUNT(*) FROM words) AS n_words,
+       (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) FROM words) AS n_set_bits,
+       (SELECT COUNT(*) FROM probes) AS n_probes,
+       (SELECT COUNT(*) FROM flagged) AS n_flagged,
+       (SELECT COUNT(*) FROM probes JOIN build_keys USING (k)) AS n_true_members,
+       (SELECT COUNT(*) FROM flagged f LEFT JOIN build_keys b USING (k)
+        WHERE b.k IS NULL) AS n_false_positives
+""",
+)
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter, built and AUDITED: the filter over
+    returned-order keys (m=65536 bits, k=3, md5 double hashing), probed
+    with every order key, with the false-positive count measured against
+    the exact semi-join.  The bitmap is (word_idx, bits) rows merged by
+    bit_or — the shape that unions across partitions/shards/days; the
+    membership probe joins probe positions against the ≤m-row set-bit
+    table, so probing is broadcast-scale however large the build input.
+    Zero false NEGATIVES is structural (flagged ⊇ members — both gates
+    witness it: n_flagged ≥ n_true_members with fp = flagged − members)."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.sketch import (
+        bloom_build_words,
+        bloom_membership,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    build_keys = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    probes = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    words = bloom_build_words(build_keys, "k")
+    flagged = bloom_membership(probes, build_keys, "k")
+
+    def one(df: DataFrame, expr, name: str) -> DataFrame:
+        return df.agg(expr.alias(name))
+
+    n_build = one(build_keys, F.count("*"), "n_build_keys")
+    n_words = one(words, F.count("*"), "n_words")
+    n_bits = one(words, F.sum(F.bit_count("bits")).cast("bigint"), "n_set_bits")
+    n_probes = one(probes, F.count("*"), "n_probes")
+    n_flagged = one(flagged, F.count("*"), "n_flagged")
+    n_true = one(
+        probes.join(build_keys, "k", "left_semi"), F.count("*"), "n_true_members"
+    )
+    n_fp = one(
+        flagged.join(build_keys, "k", "left_anti"),
+        F.count("*"),
+        "n_false_positives",
+    )
+    out = n_build
+    for frame in (n_words, n_bits, n_probes, n_flagged, n_true, n_fp):
+        out = out.crossJoin(frame)  # seven 1-row aggregates
+    return out
