@@ -32,6 +32,13 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_us_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_id", "value", epoch_micros(ev, "ts").alias("us")
+    )
+
+
 @query(
     "events_funnel_conversion",
     oracle="""
@@ -131,4 +138,46 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "events_moving_sum",
+    oracle="""
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+SELECT user_id, event_id, us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS sum5_micros,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_in_frame
+FROM ev
+""",
+)
+def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-event moving sum of `value` per user — the ROWS-frame
+    window aggregation (rolling KPIs, anomaly baselines).  Sums run in
+    exact integer micro-units: a ROWS frame sum of doubles is association-
+    order-dependent and engines disagree (DuckDB's segment-tree windowed
+    sum groups differently than Spark's running buffer), so the decimal→
+    long scaling isn't style, it's what makes the hash gate pass.  One
+    shuffle on user_id; frame evaluation is streaming within each sorted
+    partition, and (us, event_id) ordering makes the frame total."""
+    from pyspark.sql import Window
+
+    ev = _events_us_full(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    v_micros = (F.col("value").cast("decimal(18,6)") * 1_000_000)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.sum(v_micros).over(w).cast("bigint").alias("sum5_micros"),
+        F.count("*").over(w).cast("bigint").alias("n_in_frame"),
     )

@@ -150,3 +150,65 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in (n_words, n_bits, n_probes, n_flagged, n_true, n_fp):
         out = out.crossJoin(frame)  # seven 1-row aggregates
     return out
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * (n_docs - df + 0.5) / (df + 0.5) AS score
+  FROM tf JOIN df USING (term), n),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df,
+       ROUND(score, 6) AS score
+FROM ranked WHERE rnk <= 3
+""",
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by a BM25-style tf-idf.
+
+    The idf is the RATIONAL form tf*(N-df+0.5)/(df+0.5), not a logarithm:
+    +,-,*,/ are IEEE-correctly-rounded in every engine so the score is
+    bit-identical cross-engine, while ln() is libm-dependent (Java's
+    StrictMath vs C libm can differ in the last ulp — a real hash-gate
+    flake for zero analytical gain, since the ranking is monotone-identical
+    for fixed tf).  Plan: tokenize-explode (no shuffle) → (doc,term) tf agg
+    → term df agg → co-shuffled join on term, 1-row N broadcast, and a
+    per-doc window whose partitions are bounded by per-doc vocabulary."""
+    from pyspark.sql import Window
+
+    docs = ensure_parallel(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.col("n_docs") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "rnk", "term", "tf", "df", F.round("score", 6).alias("score")
+        )
+    )
