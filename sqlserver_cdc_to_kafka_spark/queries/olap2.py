@@ -533,3 +533,98 @@ def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "olap_pivot_priority_matrix",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+            AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+            AS BIGINT) AS unspecified,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+            AS BIGINT) AS low
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_pivot_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts as a status × priority matrix via the DataFrame
+    pivot() operator WITH the pivot values declared up front — omitting
+    them makes Spark run a hidden distinct-collect job over the column
+    first, a full extra scan at 100 TB for something the caller already
+    knows.  Declared values compile to exactly the oracle's CASE-sum
+    single-pass aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))  # pivot rejects the count(*) star form
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "unspecified",
+        "5-LOW": "low",
+    }
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot emits NULL for empty cells where CASE-sum emits 0
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+@query(
+    "olap_rollup_revenue",
+    oracle="""
+SELECT COALESCE(n_name, '<all>') AS n_name,
+       COALESCE(CAST(year(o_orderdate) AS VARCHAR), '<all>') AS order_year,
+       GROUPING(n_name, year(o_orderdate)) AS grouping_lvl,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+""",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: revenue at (nation, year), per-nation subtotal,
+    and grand total in ONE aggregation — Spark expands the three grouping
+    sets inside a single Expand+HashAggregate (one scan, one shuffle),
+    exactly what three unioned GROUP BYs would cost in scans.  grouping_id
+    distinguishes a real NULL key from a subtotal row; the string COALESCE
+    makes the subtotal labels explicit and hash-stable across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yr = F.year("o_orderdate")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup(F.col("n_name"), yr.alias("order_year"))
+        .agg(
+            F.grouping_id().alias("grouping_lvl"),
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("<all>")).alias("n_name"),
+            F.coalesce(F.col("order_year").cast("string"), F.lit("<all>")).alias(
+                "order_year"
+            ),
+            "grouping_lvl",
+            "n_orders",
+            "revenue",
+        )
+    )
