@@ -1,0 +1,123 @@
+"""Graph analytics: fixed-point PageRank over the customer↔supplier
+purchase graph.
+
+Complements pipeline/components.py (connected components = the other graph
+primitive): components prove O(log n)-round convergence machinery; PageRank
+proves FIXED-ITERATION mass propagation — the join+aggregate-per-iteration
+shape (importance scoring, influence ranking over trade/interaction
+graphs).
+
+Engine-exactness trick: the walk runs in INTEGER mass units (10^12 per
+node), with per-edge contribution pr÷outdeg and damping 85/100 both as
+integer division.  Float PageRank can't pass a hash gate — Σ(pr/outdeg)
+over incoming edges is summation-order-dependent and every engine orders
+differently — but integer mass sums are exact in any order.  Precision
+loss vs float is ≤ outdeg units per node per iteration (≈1e-12 relative),
+far below ranking resolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.registry import query
+from sqlserver_cdc_to_kafka_spark.tables import load_table
+
+_MASS = 10**12  # initial integer mass per node
+_D_NUM, _D_DEN = 85, 100  # damping 0.85 as a ratio
+_ITERS = 2
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration SQL mirroring the Spark loop exactly (the loop is
+    a STATIC unroll on both sides — no driver collect between rounds)."""
+    base = f"(SELECT node, {_MASS} AS pr FROM nodes)"
+    prev = base
+    for i in range(_ITERS):
+        prev = f"""(
+  SELECT n.node,
+         {_MASS} * {_D_DEN - _D_NUM} // {_D_DEN}
+         + {_D_NUM} * COALESCE(m.inmass, 0) // {_D_DEN} AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS inmass
+    FROM edges e
+    JOIN {prev} p ON e.src = p.node
+    JOIN deg d ON e.src = d.node
+    GROUP BY e.dst) m ON n.node = m.node)"""
+    return f"""
+WITH edges_raw AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
+         's' || CAST(l_suppkey AS VARCHAR) AS s_node
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM edges_raw
+  UNION ALL
+  SELECT s_node, c_node FROM edges_raw),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY 1)
+-- CAST: DuckDB integer arithmetic widens to HUGEINT; Spark stays BIGINT
+SELECT node, CAST(pr AS BIGINT) AS pr_mass FROM {prev} p
+"""
+
+
+@query("graph_pagerank_bipartite", oracle=_pagerank_oracle())
+def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration damped PageRank over the bipartite who-buys-from-whom
+    graph (customer↔supplier, undirected = both directed edges; an edge
+    per distinct trading pair).
+
+    Per iteration: one equi-join of the rank vector against the edge list
+    (both shuffled on src — co-partitioned, so iteration 2 reuses the
+    exchange) and one aggregate on dst.  The edge list and degree table
+    are computed once and cached; iterations unroll into a single lazy
+    plan with NO driver-side collect between rounds (contrast
+    pipeline_kmeans_centroids, where the k×dim centroid collect per round
+    is inherent).  At 100 TB scale the iteration cost is exactly one
+    co-partitioned shuffle join per round — the same shape GraphX/Pregel
+    lowers to."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        )
+        .persist()
+    )
+    try:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("outdeg")
+        )
+        pr = nodes.withColumn("pr", F.lit(_MASS).cast("bigint"))
+        for _ in range(_ITERS):
+            contrib = (
+                edges.join(pr, edges.src == pr.node)
+                .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+                .groupBy(F.col("dst").alias("node"))
+                # true integer division (`div`), not a double-division cast:
+                # at outdeg > ~5e5 the float quotient can round across an
+                # integer boundary and diverge from the oracle's `//`
+                .agg(F.sum(F.expr("pr div outdeg")).alias("inmass"))
+            )
+            pr = nodes.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.lit(_MASS * (_D_DEN - _D_NUM) // _D_DEN)
+                    + F.expr(
+                        f"({_D_NUM} * coalesce(inmass, cast(0 as bigint))) div {_D_DEN}"
+                    )
+                ).alias("pr"),
+            )
+        return pr.select("node", F.col("pr").alias("pr_mass"))
+    finally:
+        edges.unpersist()
