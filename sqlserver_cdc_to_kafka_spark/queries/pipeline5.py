@@ -212,3 +212,117 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "rnk", "term", "tf", "df", F.round("score", 6).alias("score")
         )
     )
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_NUM_RE = "[0-9]{6,}"
+# denylist-term stage: stand-in for a configurable entity/contaminant list
+# (benchmark strings, known names) — the synthetic corpus has no digits or
+# @-addresses, so this stage is what produces real redactions in the gate
+_ENT_RE = "\\b(customer|supplier)\\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+WITH red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+             text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_NUM_RE}', '<NUM>', 'g'),
+             '{_ENT_RE}', '<ENT>', 'g') AS redacted,
+         CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text, '{_NUM_RE}')) AS BIGINT)
+           AS n_long_numbers,
+         CAST(len(regexp_extract_all(text, '{_ENT_RE}')) AS BIGINT)
+           AS n_entities
+  FROM documents)
+SELECT doc_id, n_emails, n_long_numbers, n_entities,
+       CAST(length(redacted) AS BIGINT) AS redacted_chars,
+       md5(redacted) AS redacted_hash
+FROM red
+WHERE n_emails > 0 OR n_long_numbers > 0 OR n_entities > 0
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/entity REDACTION (the write path text_pii_scan only counts):
+    emails, long digit runs, then denylist terms replaced with typed
+    placeholders, applied in a fixed order so the output is well-defined
+    when patterns could overlap.
+    Pure regexp_replace built-ins — one scan, no shuffle, no Python; the
+    gate hashes the redacted text (via md5 — the result stays narrow) so
+    both engines must produce byte-identical redactions.  Only touched
+    docs are emitted: at 100 TB the untouched majority is passed through
+    by doc_id elsewhere, not rewritten."""
+    docs = ensure_parallel(load_table(spark, sf_dir, "documents"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _NUM_RE,
+            "<NUM>",
+        ),
+        _ENT_RE,
+        "<ENT>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+            F.regexp_count("text", F.lit(_NUM_RE)).cast("bigint").alias("n_long_numbers"),
+            F.regexp_count("text", F.lit(_ENT_RE)).cast("bigint").alias("n_entities"),
+            F.length(redacted).cast("bigint").alias("redacted_chars"),
+            F.md5(redacted).alias("redacted_hash"),
+        )
+        .filter(
+            (F.col("n_emails") > 0)
+            | (F.col("n_long_numbers") > 0)
+            | (F.col("n_entities") > 0)
+        )
+    )
+
+
+@query(
+    "pipeline_mixture_temperature",
+    oracle="""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_docs) AS total_docs FROM per_source)
+SELECT source, n_docs, n_chars,
+       CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+         AS weight_t2_micros,
+       CAST(FLOOR(sqrt(CAST(total_docs AS DOUBLE) / n_docs) * 1000000)
+            AS BIGINT) AS upsample_t2_micros
+FROM per_source, tot
+""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (T=2): per-source sampling
+    weight ∝ share^(1/T) = sqrt(n_docs) — the standard flattening that
+    upweights small domains in a training mix.  T=2 is deliberate: sqrt
+    and divide are IEEE-correctly-rounded in every engine (pow(x, 1/T)
+    for general T is libm-dependent), so the micro-unit weights are
+    bit-exact cross-engine with no tolerance games.  One grouped
+    aggregate + a broadcast 1-row total; the weights feed
+    pipeline_importance_weights / stratified sampling downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = per_source.agg(F.sum("n_docs").alias("total_docs"))
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("weight_t2_micros"),
+        F.floor(
+            F.sqrt(F.col("total_docs").cast("double") / F.col("n_docs"))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("upsample_t2_micros"),
+    )
