@@ -181,3 +181,48 @@ def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v_micros).over(w).cast("bigint").alias("sum5_micros"),
         F.count("*").over(w).cast("bigint").alias("n_in_frame"),
     )
+
+
+_DEBOUNCE_US = 43_200_000_000  # suppress same-kind events within 12 h
+# (12 h, not a UI-scale 5 s: the synthetic log averages ~2-day gaps per
+# (user, type) key, and a threshold that drops nothing witnesses nothing)
+
+
+@query(
+    "events_debounce",
+    oracle=f"""
+WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+            FROM events),
+marked AS (
+  SELECT user_id, event_type, event_id, us,
+         lag(us) OVER (PARTITION BY user_id, event_type
+                       ORDER BY us, event_id) AS prev_us
+  FROM ev)
+SELECT user_id, event_type, event_id, us
+FROM marked
+WHERE prev_us IS NULL OR us - prev_us >= {_DEBOUNCE_US}
+""",
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop events of the same (user, type) arriving within 5 s
+    of the PREVIOUS KEPT-OR-DROPPED event — the duplicate/retry
+    suppressor (at log density, a digest throttle).  Deliberately lag-based (each event compares to its
+    immediate predecessor), which is one window pass; the stricter
+    'compare to last KEPT event' semantics is inherently sequential and
+    lives in the stateful sessionizer (streaming/stateful.py) instead.
+    One shuffle on (user_id, event_type); (us, event_id) makes the order
+    total so ties can't flake the gate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_micros(ev, "ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    return (
+        ev.select("user_id", "event_type", "event_id", us.alias("us"))
+        .withColumn("prev_us", F.lag("us").over(w))
+        .filter(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") >= _DEBOUNCE_US)
+        )
+        .drop("prev_us")
+    )

@@ -326,3 +326,72 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("upsample_t2_micros"),
     )
+
+
+_Z_BITS = 16
+_DAY_US = 86_400_000_000
+
+
+def _interleave_sql(xcol: str, ycol: str) -> str:
+    """SQL expression interleaving the low 16 bits of two ints into a
+    32-bit Z-value (x in even bit positions, y in odd) — generated
+    unrolled so the SAME arithmetic runs on Spark and DuckDB."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({xcol} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "pipeline_zorder_layout",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS uid,
+         CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day,
+         event_id
+  FROM events),
+z AS (SELECT event_id, uid, day,
+             CAST({_interleave_sql('uid', 'day % 65536')} AS BIGINT) AS zval
+      FROM ev),
+b AS (SELECT event_id, uid, day, zval, zval // 256 AS zbucket FROM z)
+SELECT zbucket, COUNT(*) AS n,
+       MIN(uid) AS uid_min, MAX(uid) AS uid_max,
+       MIN(day) AS day_min, MAX(day) AS day_max
+FROM b GROUP BY zbucket
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout index over (user_id, event-day): bit-
+    interleaving maps the 2-D key space onto a 1-D curve where ranges stay
+    LOCAL in both dimensions — the file-clustering trick (Delta ZORDER BY,
+    Iceberg sort orders) that lets min/max file stats prune scans for
+    either predicate column.  The query audits the layout: per 256-wide
+    z-range 'file', the min/max envelope of each dimension — exactly the
+    stats a scan planner would prune on.  Pure unrolled bit arithmetic
+    (one expression, whole-stage codegen), one aggregate; at 100 TB this
+    expression is the repartitionByRange/sortWithinPartitions key for the
+    actual rewrite."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_micros(ev, "ts")
+    base = ev.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("uid"),
+        (us / _DAY_US).cast("bigint").alias("day"),
+    )
+    z = base.withColumn(
+        "zval", F.expr(_interleave_sql("uid", "day % 65536")).cast("bigint")
+    )
+    return (
+        z.withColumn("zbucket", (F.col("zval") / 256).cast("bigint"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("uid").alias("uid_min"),
+            F.max("uid").alias("uid_max"),
+            F.min("day").alias("day_min"),
+            F.max("day").alias("day_max"),
+        )
+    )
