@@ -79,6 +79,8 @@ BROADCAST_ALLOWED = {
     ("queries/olap2.py", "nation"),  # fixed 25 rows
     ("queries/olap2.py", "pos"),  # scalar aggregate (1 row)
     ("queries/olap2.py", "top"),  # scalar aggregate (1 row)
+    ("queries/pipeline5.py", "n"),  # scalar aggregate (1 row: corpus size)
+    ("queries/pipeline5.py", "tot"),  # scalar aggregate (1 row: doc total)
 }
 
 
