@@ -628,3 +628,109 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "olap_cheapest_supplier_per_part",
+    oracle="""
+WITH priced AS (
+  SELECT l_partkey, l_suppkey,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem WHERE l_quantity > 0),
+best AS (SELECT l_partkey, MIN(unit_price) AS min_price
+         FROM priced GROUP BY l_partkey)
+SELECT p.l_partkey AS p_partkey, p_name,
+       CAST(MIN(l_suppkey) AS BIGINT) AS best_suppkey,
+       ROUND(min_price, 6) AS min_unit_price
+FROM priced p
+JOIN best b ON p.l_partkey = b.l_partkey AND p.unit_price = b.min_price
+JOIN part ON p.l_partkey = part.p_partkey
+GROUP BY p.l_partkey, p_name, min_price
+""",
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery), sans partsupp: per part,
+    the supplier offering the minimum observed unit price.  The argmin is
+    TWO aggregates with a join-back on the exact min — NOT min_by/arg_min,
+    which tie-break nondeterministically in both engines and would flake
+    the hash gate; MIN(suppkey) at the min price makes ties total.  The
+    unit-price double division is a single IEEE op, so the equality
+    join-back matches bit-for-bit cross-engine.  Both aggs and the join
+    share the l_partkey shuffle key — co-partitioned, one real exchange."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    priced = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    # best derives from the same scan as priced — rename its key so the
+    # self-join is unambiguous
+    best = priced.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        priced.join(
+            best,
+            (priced.l_partkey == best.b_partkey)
+            & (priced.unit_price == best.min_price),
+        )
+        .join(part, priced.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "p_name", "min_price")
+        .agg(F.min("l_suppkey").cast("bigint").alias("best_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "best_suppkey",
+            F.round("min_price", 6).alias("min_unit_price"),
+        )
+    )
+
+
+@query(
+    "olap_customer_value_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT c_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey),
+tiled AS (
+  SELECT c_custkey, total_spend,
+         ntile(10) OVER (ORDER BY total_spend DESC, c_custkey) AS decile
+  FROM spend)
+SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_customers,
+       CAST(MIN(total_spend) AS DOUBLE) AS min_spend,
+       CAST(MAX(total_spend) AS DOUBLE) AS max_spend,
+       CAST(SUM(total_spend) AS DOUBLE) AS decile_spend
+FROM tiled GROUP BY decile
+""",
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile segmentation: spend per customer, ntile(10)
+    over the (spend DESC, custkey) total order, envelope stats per decile.
+    The ntile runs over an UNPARTITIONED frame — fine here because its
+    input is already one row per customer (the aggregate ran first), but
+    at 1e9 customers the same result comes from the bucketed prefix-sum
+    rank (operators/merge.global_order_rank) with decile = rank*10/n; the
+    tie-broken total order is what keeps either path deterministic."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), "c_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("total_spend").cast("double").alias("min_spend"),
+            F.max("total_spend").cast("double").alias("max_spend"),
+            F.sum("total_spend").cast("double").alias("decile_spend"),
+        )
+    )
