@@ -395,3 +395,96 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").alias("day_max"),
         )
     )
+
+
+_ED_K = 8  # shingle width for candidate generation
+_ED_MIN_SHARED = 3  # candidate gate: shared distinct shingles
+_ED_PREFIX = 300  # verify on this char prefix
+_ED_MAX_DIST = 90  # near-dup verdict: ≤30% of the prefix edited
+
+
+@query(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(ws[i:i+{_ED_K - 1}], ' ') AS shingle
+       FROM toks, LATERAL unnest(range(1, len(ws) - {_ED_K} + 2)) AS t(i)),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                COUNT(*) AS n_shared_shingles
+         FROM sh a JOIN sh b ON a.shingle = b.shingle
+                            AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING COUNT(*) >= {_ED_MIN_SHARED})
+SELECT doc_a, doc_b, n_shared_shingles,
+       CAST(levenshtein(substr(ta.text, 1, {_ED_PREFIX}),
+                        substr(tb.text, 1, {_ED_PREFIX})) AS BIGINT)
+         AS prefix_edit_dist,
+       levenshtein(substr(ta.text, 1, {_ED_PREFIX}),
+                   substr(tb.text, 1, {_ED_PREFIX})) <= {_ED_MAX_DIST}
+         AS is_near
+FROM cand
+JOIN documents ta ON doc_a = ta.doc_id
+JOIN documents tb ON doc_b = tb.doc_id
+""",
+)
+def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance dedup verification: candidates from the inverted
+    8-word-shingle index (≥3 shared shingles), verdict from Levenshtein
+    over a 300-char prefix — the exact-but-expensive second stage that LSH
+    pipelines run on their candidate pairs.
+
+    Scale shape mirrors ngram_jaccard_pairs: ONE shuffle of the shingle
+    index (groupBy shingle → sorted doc list → in-group pair explode, not
+    a two-sided self-join), candidate count bounded far below |docs|², and
+    the quadratic-in-length levenshtein runs on a FIXED 300-char prefix
+    (bounded cost per pair) and only on candidates.  Both engines' builtin
+    levenshtein implement classic unit-cost edit distance — verified
+    value-identical, so the verdicts hash-match."""
+    docs = ensure_parallel(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
+
+    idx = docs.select(
+        "doc_id", F.explode(word_shingles("text", _ED_K)).alias("shingle")
+    )
+    grouped = (
+        idx.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) -> "
+                "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    cand = (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= _ED_MIN_SHARED)
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, _ED_PREFIX).alias("pa"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, _ED_PREFIX).alias("pb"),
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_shingles",
+            dist.cast("bigint").alias("prefix_edit_dist"),
+            (dist <= _ED_MAX_DIST).alias("is_near"),
+        )
+    )
