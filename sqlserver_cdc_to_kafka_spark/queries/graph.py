@@ -61,7 +61,7 @@ SELECT node, CAST(pr AS BIGINT) AS pr_mass FROM {prev} p
 """
 
 
-@query("graph_pagerank_bipartite", oracle=_pagerank_oracle())
+@query("graph_pagerank_bipartite", bench=True, oracle=_pagerank_oracle())
 def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-iteration damped PageRank over the bipartite who-buys-from-whom
     graph (customer↔supplier, undirected = both directed edges; an edge

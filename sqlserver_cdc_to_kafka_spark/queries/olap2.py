@@ -734,3 +734,114 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_spend").cast("double").alias("decile_spend"),
         )
     )
+
+
+@query(
+    "olap_nation_market_share",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'CHINA'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) * 1000000 AS BIGINT) AS nation_micros,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 1000000
+            AS BIGINT) AS total_micros
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's revenue
+    per year — 7-way join with TWO roles for nation (customer side walks
+    region, supplier side is the share subject), conditional aggregation
+    on the second role.  Both nation aliases broadcast (25 rows); customer
+    and supplier joins are AQE-decided.  Share emitted as exact micro-unit
+    numerator/denominator (one client-side divide), never a float division
+    inside the hash gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "CHINA", disc_price).otherwise(
+                        F.lit(0)
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("nation_micros"),
+            (F.sum(disc_price) * 1_000_000).cast("bigint").alias("total_micros"),
+        )
+    )
+
+
+@query(
+    "olap_profit_by_nation_year",
+    oracle="""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) / 10) * 1000000
+            AS BIGINT) AS profit_micros
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE contains(p_name, 'a')
+GROUP BY 1, 2
+""",
+)
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year over parts
+    matching a name filter.  Substitution: no partsupp.ps_supplycost, so
+    unit cost is p_retailprice/10 — same join topology and arithmetic
+    shape (revenue minus quantity×cost), different constant.  Decimal
+    division by the exact power of ten keeps the micro-unit sum engine-
+    exact; the substring filter prunes part before its join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("a")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _dec("l_extendedprice") * (1 - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity") / 10
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg((F.sum(profit) * 1_000_000).cast("bigint").alias("profit_micros"))
+    )

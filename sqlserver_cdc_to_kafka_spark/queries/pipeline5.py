@@ -154,6 +154,7 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_tfidf_topterms",
+    bench=True,
     oracle="""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
               FROM documents),
@@ -405,6 +406,7 @@ _ED_MAX_DIST = 90  # near-dup verdict: ≤30% of the prefix edited
 
 @query(
     "dedup_edit_distance_verify",
+    bench=True,
     oracle=f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (SELECT DISTINCT doc_id,
