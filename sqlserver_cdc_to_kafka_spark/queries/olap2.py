@@ -845,3 +845,94 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("order_year"))
         .agg((F.sum(profit) * 1_000_000).cast("bigint").alias("profit_micros"))
     )
+
+
+@query(
+    "audit_constraint_report",
+    oracle="""
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS check_name,
+         (SELECT COUNT(*) FROM
+            (SELECT o_orderkey FROM orders
+             GROUP BY o_orderkey HAVING COUNT(*) > 1) d) AS n_violations,
+         (SELECT COUNT(*) FROM orders) AS n_checked
+  UNION ALL
+  SELECT 'lineitem_fk_orders',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'orders_fk_customer',
+         (SELECT COUNT(*) FROM orders
+          WHERE NOT EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey = o_custkey)),
+         (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'lineitem_qty_range',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 50),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.2),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'orders_date_not_null',
+         (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+         (SELECT COUNT(*) FROM orders)) r
+""",
+)
+def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Deequ constraint
+    class): PK uniqueness, two FK referential checks, range and null-rate
+    checks, one row per constraint.  Each check is the scalable idiom for
+    its class — uniqueness via groupBy-HAVING (not distinct-count compare,
+    which can't say WHICH keys violate), referential integrity via LEFT
+    ANTI join (never a NOT IN over a scaling subquery — null-safe NOT IN
+    degenerates to a nested-loop), ranges as pushed-down filters.  The
+    per-check scans share nothing by design: at 100 TB you run the checks
+    you need, and each is one pruned scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def report(name: str, violations: DataFrame, checked: DataFrame) -> DataFrame:
+        v = violations.agg(F.count("*").alias("n_violations"))
+        c = checked.agg(F.count("*").alias("n_checked"))
+        return v.crossJoin(c).select(
+            F.lit(name).alias("check_name"), "n_violations", "n_checked"
+        )
+
+    dup_pk = (
+        orders.groupBy("o_orderkey").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    fk_li = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti"
+    )
+    fk_ord = orders.join(
+        cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_anti"
+    )
+    bad_qty = li.filter(
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") <= 0)
+        | (F.col("l_quantity") > 50)
+    )
+    bad_disc = li.filter(
+        F.col("l_discount").isNull()
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 0.2)
+    )
+    null_date = orders.filter(F.col("o_orderdate").isNull())
+    out = report("orders_pk_unique", dup_pk, orders)
+    for name, viol, base in [
+        ("lineitem_fk_orders", fk_li, li),
+        ("orders_fk_customer", fk_ord, orders),
+        ("lineitem_qty_range", bad_qty, li),
+        ("lineitem_discount_range", bad_disc, li),
+        ("orders_date_not_null", null_date, orders),
+    ]:
+        out = out.unionByName(report(name, viol, base))
+    return out
