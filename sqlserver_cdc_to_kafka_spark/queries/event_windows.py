@@ -318,3 +318,58 @@ def q_stream_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataF
         F.count("purchase_id").alias("n_pairs"),
         F.count_if(F.col("purchase_id").isNull()).alias("n_unattributed"),
     )
+
+
+@query(
+    "stream_heavy_hitters_cms",
+    oracle="""
+WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+inst AS (SELECT CAST(user_id AS VARCHAR) AS item, depth,
+                CAST('0x' || substr(md5(CAST(depth AS VARCHAR) || ':' ||
+                                        CAST(user_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 256 AS bucket
+         FROM events, ds)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS total
+FROM inst GROUP BY 1, 2
+""",
+)
+def q_stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min sketch: per event-time window the stream
+    aggregates (window, depth, bucket) CMS counters through the append-mode
+    parquet sink (same scale path as stream_windowed_counts_drain), then
+    the per-window sketches MERGE BY ADDITION into the global sketch —
+    which must equal, cell for cell, the batch-computed CMS the oracle
+    builds arithmetically.  That equality is the entire point of CMS in a
+    streaming engine: frequency tracking with fixed state per window
+    (depth×width cells, regardless of key cardinality) and lossless
+    cross-window merge.  Deterministic md5 row hashes (pipeline/sketch.py)
+    make the sketch bit-identical on any engine."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.sketch import CMS_DEPTH, _cms_bucket
+    from sqlserver_cdc_to_kafka_spark.streaming.windows import (
+        windowed_counts_file_sink,
+    )
+
+    def agg_builder(ev: DataFrame) -> DataFrame:
+        inst = (
+            ev.withWatermark("event_time", "30 minutes")
+            .select(
+                F.col("user_id").cast("string").alias("item"), "event_time"
+            )
+            .withColumn("depth", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))))
+        )
+        return (
+            inst.withColumn("bucket", _cms_bucket(F.col("depth"), F.col("item")))
+            .groupBy(F.window("event_time", "1 hour"), "depth", "bucket")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"), "depth", "bucket", "n"
+            )
+        )
+
+    out = windowed_counts_file_sink(spark, sf_dir, agg_builder)
+    return (
+        out.groupBy("depth", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("total"))
+        .select(F.col("depth").cast("bigint").alias("depth"), F.col("bucket").cast("bigint").alias("bucket"), "total")
+    )

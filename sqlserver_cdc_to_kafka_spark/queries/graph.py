@@ -94,23 +94,26 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        nodes = edges.select(F.col("src").alias("node")).distinct()
+        # deg doubles as the node base (every node appears as a src of the
+        # undirected edge list), and the rank vector CARRIES outdeg — one
+        # join per iteration against edges instead of separate pr/deg/nodes
+        # joins (3→2 per round, measured on the sf0.1 bench)
         deg = edges.groupBy(F.col("src").alias("node")).agg(
             F.count("*").alias("outdeg")
         )
-        pr = nodes.withColumn("pr", F.lit(_MASS).cast("bigint"))
+        pr = deg.withColumn("pr", F.lit(_MASS).cast("bigint"))
         for _ in range(_ITERS):
             contrib = (
                 edges.join(pr, edges.src == pr.node)
-                .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
                 .groupBy(F.col("dst").alias("node"))
                 # true integer division (`div`), not a double-division cast:
                 # at outdeg > ~5e5 the float quotient can round across an
                 # integer boundary and diverge from the oracle's `//`
                 .agg(F.sum(F.expr("pr div outdeg")).alias("inmass"))
             )
-            pr = nodes.join(contrib, "node", "left").select(
+            pr = deg.join(contrib, "node", "left").select(
                 "node",
+                "outdeg",
                 (
                     F.lit(_MASS * (_D_DEN - _D_NUM) // _D_DEN)
                     + F.expr(
