@@ -107,3 +107,43 @@ def write_sharded(
         .format(fmt)
         .save(path)
     )
+
+
+def read_csv_strict(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    quarantine_corrupt: bool = True,
+) -> DataFrame:
+    """Schema-explicit CSV reader, same contract as read_jsonl: no
+    inference (inference scans twice and guesses types), PERMISSIVE mode
+    with a ``_corrupt_record`` quarantine column instead of job failure,
+    RFC-4180 quoting so embedded commas/quotes/newlines in text fields
+    survive.  multiLine is OFF deliberately: with it, Spark cannot split
+    a file across tasks (one task per file at 100 TB); the writer below
+    escapes newlines instead so files stay splittable."""
+    if quarantine_corrupt:
+        schema = T.StructType(
+            [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+        )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV egress: headered, RFC-4180 double-quote escaping (the form the
+    strict reader and every spreadsheet/warehouse loader agree on)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )

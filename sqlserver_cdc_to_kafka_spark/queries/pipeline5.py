@@ -490,3 +490,45 @@ def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dist <= _ED_MAX_DIST).alias("is_near"),
         )
     )
+
+
+@query(
+    "pipeline_csv_roundtrip",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+FROM documents GROUP BY 1
+""",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus ingest witness (the second interchange format next to
+    pipeline_jsonl_roundtrip): documents written as headered RFC-4180 CSV
+    and read back through the schema-explicit quarantining reader must
+    aggregate identically to the parquet source — proving quoting/escaping
+    round-trips free text and that nothing was quarantined.  The reader
+    stays line-splittable (no multiLine), which is what keeps a 100 TB
+    CSV ingest parallel."""
+    import os
+    import tempfile
+    import uuid
+
+    from sqlserver_cdc_to_kafka_spark.pipeline.corpus_io import (
+        DOCUMENTS_SCHEMA,
+        read_csv_strict,
+        split_corrupt,
+        write_csv,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"csv_rt_{uuid.uuid4().hex[:12]}")
+    write_csv(docs, path)
+    clean, _corrupt = split_corrupt(read_csv_strict(spark, path, DOCUMENTS_SCHEMA))
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+    )
