@@ -83,3 +83,44 @@ def test_sharded_write_is_deterministic_balanced_and_prunable(
         spark.read.parquet(out2).select("doc_id", F.col("shard").cast("bigint")),
         ["doc_id", "shard"],
     ) == _fingerprint(got, ["doc_id", "shard"])
+
+
+def test_csv_corrupt_lines_quarantined_and_quotes_roundtrip(spark, tmp_path):
+    from sqlserver_cdc_to_kafka_spark.pipeline.corpus_io import (
+        read_csv_strict,
+        write_csv,
+    )
+
+    path = tmp_path / "mixedcsv"
+    path.mkdir()
+    with open(path / "part-0.csv", "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        f.write('1,"has, comma and ""quote""",en,s,20\n')
+        f.write("not-an-int,bad row here\n")
+        f.write("2,plain,en,s,5\n")
+    df = read_csv_strict(spark, str(path), DOCUMENTS_SCHEMA)
+    clean, corrupt = split_corrupt(df)
+    assert corrupt.count() == 1
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows == {1: 'has, comma and "quote"', 2: "plain"}
+
+
+def test_csv_writer_reader_roundtrip_free_text(spark, tmp_path):
+    from sqlserver_cdc_to_kafka_spark.pipeline.corpus_io import (
+        read_csv_strict,
+        write_csv,
+    )
+
+    data = [
+        (1, 'text with "quotes", commas, and\ttabs', "en", "s", 36),
+        (2, "unicode: café — emdash", "fr", "s", 20),
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "csvout")
+    write_csv(df, out)
+    clean, corrupt = split_corrupt(read_csv_strict(spark, out, DOCUMENTS_SCHEMA))
+    assert corrupt.count() == 0
+    got = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert got == {1: data[0][1], 2: data[1][1]}
