@@ -226,3 +226,80 @@ def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev_us")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
+            FROM events),
+st AS (
+  SELECT user_id, event_id, us, v,
+         COUNT(*) OVER w AS n_prior,
+         SUM(v) OVER w AS s,
+         SUM(v * v) OVER w AS q
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id, us, v AS v_millis,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       CASE WHEN n_prior < 4 THEN 'insufficient'
+            WHEN (n_prior * v - s) * (n_prior * v - s)
+                 > 9 * (n_prior * q - s * s) THEN 'anomaly'
+            ELSE 'normal' END AS verdict
+FROM st
+""",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flag: an event is anomalous when its value
+    sits more than 3 sigma from the mean of the user's previous ≤9 events.
+
+    The 3-sigma test runs ENTIRELY in integers: with n,s,q the count, sum
+    and sum-of-squares of the milli-scaled window, (n·x−s)² > 9(n·q−s²) is
+    (x−mean)² > (3σ)² multiplied through by n² — no float mean, no float
+    variance (both are summation-order-dependent cross-engine; the
+    rearrangement is what makes an approximate-sounding statistic
+    hash-exact).  Milli not micro scaling keeps v² sums inside int64
+    (µ-scaled squares would overflow at ~9 window values).  One shuffle on
+    user_id, streaming frame evaluation, 'insufficient' below 4 priors."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_micros(ev, "ts")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        (F.col("value").cast("decimal(18,3)") * 1000).cast("bigint").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-9, -1)
+    )
+    st = base.select(
+        "user_id",
+        "event_id",
+        "us",
+        "v",
+        F.count("*").over(w).alias("n_prior"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("q"),
+    )
+    dev = F.col("n_prior") * F.col("v") - F.col("s")
+    var_n2 = F.col("n_prior") * F.col("q") - F.col("s") * F.col("s")
+    return st.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.col("v").alias("v_millis"),
+        F.col("n_prior").cast("bigint").alias("n_prior"),
+        # three-valued STRING verdict, not a nullable boolean: pandas
+        # represents engine nullable-bools with different dtypes and the
+        # gate's dtype-strict compare would flake on identical values
+        F.when(F.col("n_prior") < 4, F.lit("insufficient"))
+        .when(dev * dev > 9 * var_n2, F.lit("anomaly"))
+        .otherwise(F.lit("normal"))
+        .alias("verdict"),
+    )
