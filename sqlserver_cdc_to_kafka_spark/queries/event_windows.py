@@ -373,3 +373,70 @@ def q_stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("total"))
         .select(F.col("depth").cast("bigint").alias("depth"), F.col("bucket").cast("bigint").alias("bucket"), "total")
     )
+
+
+@query(
+    "stream_funnel_stateful",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, MIN(us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, MIN(us) AS t2 FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND us >= t1 GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, MIN(us) AS t3 FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND us >= t2 GROUP BY ev.user_id)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, COUNT(*) AS n_users,
+         CAST(SUM(t1) AS BIGINT) AS t_checksum FROM v
+  UNION ALL
+  SELECT 2, COUNT(*), CAST(SUM(t2) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 3, COUNT(*), CAST(SUM(t3) AS BIGINT) FROM p) f
+""",
+)
+def q_stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND custom stateful streaming operator (the pattern generalizes
+    beyond sessionization): per-user funnel STATE MACHINE via
+    applyInPandasWithState — stage + last-completion-time carried in the
+    state store, step completions emitted the micro-batch they happen.
+    The drained completion stream must reproduce the batch funnel's
+    first-completion semantics exactly — counts AND the summed completion
+    times (t_checksum pins every per-user timestamp, not just
+    cardinality) against the same min-aggregate-chain oracle as
+    events_funnel_conversion."""
+    import os
+    import tempfile
+    import uuid
+
+    from sqlserver_cdc_to_kafka_spark.streaming.stateful import funnel_stateful
+    from sqlserver_cdc_to_kafka_spark.streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    stream = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("event_time").alias("us"),
+    )
+    completions = funnel_stateful(stream)
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"funneldrain_{uuid.uuid4().hex[:12]}"
+    )
+    outdir = os.path.join(scratch, "out")
+    q = (
+        completions.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(outdir)
+        .groupBy("step")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("at_us").cast("bigint").alias("t_checksum"),
+        )
+    )

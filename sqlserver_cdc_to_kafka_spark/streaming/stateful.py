@@ -119,3 +119,68 @@ def batch_closed_sessions(events: DataFrame, ts_us_col: str = "us") -> DataFrame
         .filter(F.col("sess") < F.col("last_sess"))
         .select("user_id", "session_start_us", "session_end_us", "n_events")
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("step", LongType()),
+        StructField("at_us", LongType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("t_prev", LongType()),
+    ]
+)
+
+
+def funnel_stateful(events: DataFrame, steps: tuple = FUNNEL_STEPS) -> DataFrame:
+    """events(user_id, event_type, us, event_id) stream -> step-completion
+    stream: the per-user funnel STATE MACHINE (stage reached + completion
+    time), advanced greedily in event order and carried across
+    micro-batches.  Greedy in-order advancement computes exactly the batch
+    first-completion times (t1 = min view, t2 = min click ≥ t1, ...) —
+    equal-timestamp events process in funnel-step order so a same-instant
+    next-step event still counts, mirroring the oracle's >= comparisons.
+    Emits (user, step, at_us) once per step the moment it completes —
+    the live form of events_funnel_conversion."""
+    rank = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        stage, t_prev = state.get if state.exists else (0, 0)
+        out: list[tuple[Any, ...]] = []
+        rows: list[tuple[int, int, int, str]] = []
+        for pdf in pdfs:
+            for us, ev_id, et in zip(
+                pdf["us"], pdf["event_id"], pdf["event_type"]
+            ):
+                if et in rank:
+                    rows.append((int(us), rank[et], int(ev_id), et))
+        rows.sort()
+        for us, step_rank, _ev_id, _et in rows:
+            if stage < n_steps and step_rank == stage and (
+                stage == 0 or us >= t_prev
+            ):
+                stage += 1
+                t_prev = us
+                out.append((user_id, stage, us))
+        state.update((stage, t_prev))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "step", "at_us"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
