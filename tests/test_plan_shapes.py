@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "join_range_version_intervals",  # broadcast 1-row max-point fold
     "sketch_quantile_histogram",  # broadcast 3-row quantile probes
     "pipeline_kmeans_centroids",  # broadcast k-row centroid matrix (assignment pass)
+    "text_tfidf_topterms",  # broadcast 1-row corpus-size aggregate (scalar join)
 }
 
 
@@ -81,6 +82,9 @@ BROADCAST_ALLOWED = {
     ("queries/olap2.py", "top"),  # scalar aggregate (1 row)
     ("queries/pipeline5.py", "n"),  # scalar aggregate (1 row: corpus size)
     ("queries/pipeline5.py", "tot"),  # scalar aggregate (1 row: doc total)
+    ("queries/olap2.py", "n1"),  # nation alias, fixed 25 rows
+    ("queries/olap2.py", "n2"),  # nation alias, fixed 25 rows
+    ("queries/olap2.py", "region"),  # fixed 5 rows
 }
 
 
