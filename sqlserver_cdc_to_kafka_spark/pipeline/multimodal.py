@@ -402,3 +402,46 @@ def resize_features(
             )
 
     return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def quadrant_sums(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched 2×2 block-sum grid from DECODED pixels: per image
+    quadrant, the sum of r+g+b over its pixels and the pixel count — the
+    resolution-normalizing statistic a perceptual hash quantizes.  Decode
+    runs through the same real PPM parser as extract_features; the numpy
+    reduction is vectorized per image (no per-pixel Python)."""
+
+    def _quads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[Any, ...]] = []
+            for doc_id, raw in zip(pdf[id_col], pdf["payload"]):
+                width, height, arr = decode_ppm(bytes(raw))
+                rgb = arr.reshape(height, width, 3).sum(axis=2, dtype=np.int64)
+                ys = np.arange(height) * 2 // height
+                xs = np.arange(width) * 2 // width
+                for qy in (0, 1):
+                    for qx in (0, 1):
+                        block = rgb[np.ix_(ys == qy, xs == qx)]
+                        out.append(
+                            (
+                                int(doc_id),
+                                int(width),
+                                int(height),
+                                qy,
+                                qx,
+                                int(block.sum()),
+                                int(block.size),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "width", "height", "qy", "qx", "rgb_sum", "n_px"],
+            )
+
+    return df.mapInPandas(
+        _quads,
+        schema=(
+            f"{id_col} bigint, width int, height int, qy int, qx int, "
+            "rgb_sum bigint, n_px bigint"
+        ),
+    )

@@ -532,3 +532,78 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
         F.count_distinct(F.md5("text")).alias("n_unique"),
     )
+
+
+@query(
+    "multimodal_image_phash",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 7 AS h,
+         (doc_id * 31) % 256 AS seed
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         (i.i % w) * 2 // w AS qx,
+         (i.i // w) * 2 // h AS qy,
+         (seed + 3*i.i) % 256 + (seed + 3*i.i + 1) % 256
+           + (seed + 3*i.i + 2) % 256 AS rgb
+  FROM dims CROSS JOIN (SELECT unnest(range(0, 16*9)) AS i) i
+  WHERE i.i < w * h),
+q AS (SELECT doc_id, qy, qx, SUM(rgb) AS rgb_sum, COUNT(*) AS n_px
+      FROM px GROUP BY 1, 2, 3),
+sig AS (
+  SELECT doc_id,
+         'p' || string_agg(CAST(rgb_sum * 8 // (n_px * 766) AS VARCHAR),
+                           '' ORDER BY qy, qx) AS phash
+  FROM q GROUP BY doc_id)
+SELECT doc_id, phash,
+       CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_phash
+FROM sig
+""",
+)
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash + near-dup grouping over the REAL decode
+    path: every payload decodes through the PPM parser, reduces to a 2×2
+    block-mean grid (resolution-normalizing — images of different sizes
+    can collide, which is the point), each block mean quantizes to 3 bits,
+    and the 12-bit signature groups visually-similar images.  The oracle
+    recomputes pixels arithmetically from the generation formula, so any
+    decoder or reduction bug breaks the hash; integer quantization
+    (rgb_sum*8 // (n_px*766)) keeps the signature engine-exact.  Plan:
+    mapInPandas (Arrow) → two hash aggregates; the phash group count is
+    the image-dedup candidate set size."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
+        attach_ppm_payload,
+        quadrant_sums,
+    )
+    from pyspark.sql import Window
+
+    docs = ensure_parallel(load_table(spark, sf_dir, "documents")).select("doc_id")
+    quads = quadrant_sums(attach_ppm_payload(docs, "doc_id"), "doc_id")
+    qdigit = F.expr("cast(rgb_sum * 8 div (n_px * 766) as string)")
+    sig = (
+        quads.withColumn("qdigit", qdigit)
+        .groupBy("doc_id")
+        .agg(
+            F.concat(
+                F.lit("p"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("qy", "qx", F.col("qdigit").alias("d"))
+                            )
+                        ),
+                        lambda s: s["d"],
+                    ),
+                ),
+            ).alias("phash")
+        )
+    )
+    w = Window.partitionBy("phash")
+    return sig.select(
+        "doc_id", "phash", F.count("*").over(w).cast("bigint").alias("n_same_phash")
+    )
