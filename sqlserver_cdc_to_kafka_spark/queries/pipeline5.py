@@ -607,3 +607,68 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id", "phash", F.count("*").over(w).cast("bigint").alias("n_same_phash")
     )
+
+
+_VAD_FRAME = 100  # samples per energy frame
+_VAD_THRESH = 16_384 * _VAD_FRAME  # abs-sum activity threshold (≈ mean level)
+
+
+@query(
+    "multimodal_audio_segments",
+    oracle=f"""
+WITH params AS (
+  SELECT doc_id,
+         200 + doc_id % 701 AS n,
+         (doc_id * 53) % 65536 AS seed
+  FROM documents),
+samp AS (
+  SELECT doc_id, i.i // {_VAD_FRAME} AS frame_idx,
+         abs((seed + 11 * i.i) % 65536 - 32768) AS a
+  FROM params CROSS JOIN (SELECT unnest(range(0, 901)) AS i) i
+  WHERE i.i < n),
+fr AS (
+  SELECT doc_id, frame_idx, SUM(a) AS abs_sum, COUNT(*) AS n_samples
+  FROM samp GROUP BY 1, 2),
+act AS (
+  SELECT doc_id, frame_idx, abs_sum,
+         frame_idx - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx) AS grp
+  FROM fr WHERE abs_sum > {_VAD_THRESH})
+SELECT doc_id,
+       CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+       CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(abs_sum) AS BIGINT) AS energy_sum
+FROM act GROUP BY doc_id, grp
+""",
+)
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation (the VAD shape) over the REAL decode
+    path: every clip parses through the RIFF/WAVE chunk walker, reduces to
+    integer frame abs-sums in one numpy pass (Python only at the codec
+    edge), then CATALYST finds the active segments — classic
+    gaps-and-islands (frame_idx − row_number) over frames above the
+    threshold.  Integer energies keep it engine-exact; the oracle
+    recomputes frames arithmetically from the sample formula, so a chunk-
+    walk or byte-order bug in the decoder breaks the hash.  One shuffle on
+    doc_id for the window + final aggregate."""
+    from pyspark.sql import Window
+
+    from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
+        attach_wav_payload,
+        frame_energy,
+    )
+
+    docs = ensure_parallel(load_table(spark, sf_dir, "documents")).select("doc_id")
+    frames = frame_energy(attach_wav_payload(docs, "doc_id"), "doc_id")
+    active = frames.filter(F.col("abs_sum") > _VAD_THRESH)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    grouped = active.withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return grouped.groupBy("doc_id", "grp").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count("*").alias("n_frames"),
+        F.sum("abs_sum").alias("energy_sum"),
+    ).drop("grp")
