@@ -114,3 +114,65 @@ def asof_join_banded(
     return banded_range_join(
         points, iv, on, point_col, time_col, "__asof_hi", band_width
     ).drop("__asof_hi")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    band_width: int,
+    on: Sequence[str] = (),
+) -> DataFrame:
+    """Interval×interval OVERLAP join (half-open: ``l_lo < r_hi AND
+    r_lo < l_hi``), banded like the point form so it never degenerates to
+    a nested-loop.  Both sides explode into the bands they cover and
+    equi-join on (key…, band); a pair sharing several bands would match
+    once per shared band, so the join keeps only the FIRST shared band —
+    ``band == greatest(l_lo_band, r_lo_band)`` — making each overlapping
+    pair match exactly once with NO downstream distinct (the dedup that
+    usually makes banded interval joins quadratic-ish in band count).
+    Closed intervals only: band count per row is bounded by interval
+    length / band_width."""
+    lband = left.withColumn(
+        "__lband",
+        F.explode(
+            F.sequence(
+                (F.col(l_lo) / band_width).cast("bigint"),
+                F.greatest(
+                    (F.col(l_hi) / band_width).cast("bigint"),
+                    (F.col(l_lo) / band_width).cast("bigint"),
+                ),
+            )
+        ),
+    ).withColumn("__l_lo_band", (F.col(l_lo) / band_width).cast("bigint"))
+    rband = right.withColumn(
+        "__rband",
+        F.explode(
+            F.sequence(
+                (F.col(r_lo) / band_width).cast("bigint"),
+                F.greatest(
+                    (F.col(r_hi) / band_width).cast("bigint"),
+                    (F.col(r_lo) / band_width).cast("bigint"),
+                ),
+            )
+        ),
+    ).withColumn("__r_lo_band", (F.col(r_lo) / band_width).cast("bigint"))
+    cond = lband["__lband"] == rband["__rband"]
+    for k in on:
+        cond = cond & (lband[k] == rband[k])
+    out = (
+        lband.join(rband, cond)
+        .filter(
+            (F.col("__lband") == F.greatest("__l_lo_band", "__r_lo_band"))
+            & (F.col(l_lo) < F.col(r_hi))
+            & (F.col(r_lo) < F.col(l_hi))
+        )
+        .drop("__lband", "__rband", "__l_lo_band", "__r_lo_band")
+    )
+    if on:
+        for k in on:
+            out = out.drop(rband[k])
+    return out

@@ -303,3 +303,121 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("normal"))
         .alias("verdict"),
     )
+
+
+_SESS_GAP_US = 600_000_000  # 10 min view-session gap
+_BURST_GAP_US = 300_000_000  # 5 min error-burst gap
+
+
+@query(
+    "join_interval_overlap_incidents",
+    oracle=f"""
+WITH v AS (SELECT user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'view'),
+vm AS (SELECT user_id, us,
+              CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                        >= {_SESS_GAP_US}
+                   OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   THEN 1 ELSE 0 END AS brk
+       FROM v),
+vs AS (SELECT user_id, us,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sess
+       FROM vm),
+sessions AS (SELECT user_id, MIN(us) AS s_lo,
+                    MAX(us) + {_SESS_GAP_US} AS s_hi
+             FROM vs GROUP BY user_id, sess),
+e AS (SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'error'),
+em AS (SELECT us, CASE WHEN us - lag(us) OVER (ORDER BY us)
+                            >= {_BURST_GAP_US}
+                       OR lag(us) OVER (ORDER BY us) IS NULL
+                       THEN 1 ELSE 0 END AS brk
+       FROM e),
+eb AS (SELECT us, SUM(brk) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING)
+                    AS burst
+       FROM em),
+bursts AS (SELECT MIN(us) AS b_lo, MAX(us) + {_BURST_GAP_US} AS b_hi,
+                  COUNT(*) AS n_errors
+           FROM eb GROUP BY burst)
+SELECT user_id, s_lo AS session_start_us, b_lo AS burst_start_us, n_errors,
+       LEAST(s_hi, b_hi) - GREATEST(s_lo, b_lo) AS overlap_us
+FROM sessions JOIN bursts ON s_lo < b_hi AND b_lo < s_hi
+""",
+)
+def q_interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: which user view-sessions overlapped
+    a global error burst (the incident-impact question).  Both interval
+    sets derive from the same log (gaps-and-islands sessionization at two
+    granularities); the overlap join is the BANDED form
+    (operators/rangejoin.interval_overlap_join): both sides explode into
+    1-hour time bands, equi-join on band, and each pair matches exactly
+    once at its first shared band — a hash join at any scale, where the
+    naive ``s_lo < b_hi AND b_lo < s_hi`` theta join is a nested loop.
+    The oracle runs the naive form (exact at sf scale); results must
+    agree, proving the banding loses and duplicates nothing."""
+    from pyspark.sql import Window
+
+    from sqlserver_cdc_to_kafka_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = _events_us(spark, sf_dir)
+    wv = Window.partitionBy("user_id").orderBy("us")
+    views = ev.filter(F.col("event_type") == "view")
+    sessions = (
+        views.withColumn(
+            "brk",
+            (
+                (F.col("us") - F.lag("us").over(wv) >= _SESS_GAP_US)
+                | F.lag("us").over(wv).isNull()
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess",
+            F.sum("brk").over(wv.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sess")
+        .agg(
+            F.min("us").alias("s_lo"),
+            (F.max("us") + _SESS_GAP_US).alias("s_hi"),
+        )
+        .drop("sess")
+    )
+    we = Window.orderBy("us")
+    bursts = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn(
+            "brk",
+            (
+                (F.col("us") - F.lag("us").over(we) >= _BURST_GAP_US)
+                | F.lag("us").over(we).isNull()
+            ).cast("int"),
+        )
+        .withColumn(
+            "burst",
+            F.sum("brk").over(we.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("burst")
+        .agg(
+            F.min("us").alias("b_lo"),
+            (F.max("us") + _BURST_GAP_US).alias("b_hi"),
+            F.count("*").alias("n_errors"),
+        )
+        .drop("burst")
+    )
+    out = interval_overlap_join(
+        sessions,
+        bursts,
+        l_lo="s_lo",
+        l_hi="s_hi",
+        r_lo="b_lo",
+        r_hi="b_hi",
+        band_width=3_600_000_000,
+    )
+    return out.select(
+        "user_id",
+        F.col("s_lo").alias("session_start_us"),
+        F.col("b_lo").alias("burst_start_us"),
+        "n_errors",
+        (F.least("s_hi", "b_hi") - F.greatest("s_lo", "b_lo")).alias("overlap_us"),
+    )

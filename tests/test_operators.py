@@ -465,3 +465,28 @@ def test_banded_range_join_equals_naive_on_adversarial_data(spark):
         .select("k", "pid", "iid").collect()
     }
     assert got_cl == want_cl and got_cl != want
+
+
+def test_interval_overlap_join_each_pair_once_across_bands(spark):
+    """A pair overlapping through MANY shared bands must match exactly once
+    (first-shared-band filter), and non-overlapping intervals never match."""
+    from sqlserver_cdc_to_kafka_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 1000), (2, 5000, 5010), (3, 100, 200)],
+        "lid long, s_lo long, s_hi long",
+    )
+    right = spark.createDataFrame(
+        [(10, 500, 2000), (11, 150, 160), (12, 3000, 4000)],
+        "rid long, b_lo long, b_hi long",
+    )
+    out = interval_overlap_join(
+        left, right, "s_lo", "s_hi", "b_lo", "b_hi", band_width=10
+    ).select("lid", "rid")
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    # lid=1 spans 100 bands and overlaps rid=10 through 150 of them: once.
+    # lid=1 also contains rid=11 entirely; lid=2/rid=12 never overlap.
+    assert got == {(1, 10), (1, 11), (3, 11)}
+    assert out.count() == 3  # no duplicate matches from shared bands
