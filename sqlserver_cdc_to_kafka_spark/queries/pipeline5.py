@@ -672,3 +672,64 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.sum("abs_sum").alias("energy_sum"),
     ).drop("grp")
+
+
+@query(
+    "pipeline_dataset_diff",
+    oracle="""
+WITH v1 AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+v2 AS (SELECT doc_id, source,
+              md5(CASE WHEN doc_id % 5 = 0 THEN lower(text) ELSE text END) AS h
+       FROM documents
+       WHERE lang = 'en' OR doc_id % 7 <> 0),
+d AS (
+  SELECT COALESCE(v1.source, v2.source) AS source,
+         CASE WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v1.h <> v2.h THEN 'modified'
+              ELSE 'unchanged' END AS change_type
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+SELECT source, change_type, COUNT(*) AS n_docs
+FROM d GROUP BY 1, 2
+""",
+)
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (the corpus governance op behind every release
+    note): v2 simulates a curation pass — a filter drop (non-English docs
+    at doc_id%7=0) and a re-normalization rewrite (lowercasing every 5th
+    doc) — and the diff classifies every doc added/removed/modified/
+    unchanged via ONE full outer join on doc_id comparing content hashes,
+    never the texts themselves (the hash projection keeps the shuffle
+    narrow at 100 TB; text stays in the scan).  Counts per (source,
+    change_type) are the release report."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    v2 = (
+        docs.filter((F.col("lang") == "en") | (F.col("doc_id") % 7 != 0))
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.when(F.col("doc_id") % 5 == 0, F.lower("text")).otherwise(
+                    F.col("text")
+                )
+            ).alias("h"),
+        )
+    )
+    d = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("a.h") != F.col("b.h"), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            change.alias("change_type"),
+        )
+        .groupBy("source", "change_type")
+        .agg(F.count("*").alias("n_docs"))
+    )
