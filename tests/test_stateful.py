@@ -61,3 +61,53 @@ def test_stateful_sessions_match_batch_across_microbatches(spark, sf_dir, tmp_pa
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_funnel_stateful_same_instant_ties_and_order(spark, tmp_path):
+    """Equal-timestamp events must process in funnel-step order (a click at
+    the exact instant of the first view still counts, matching the batch
+    >= semantics), and out-of-order arrival within a batch must not matter."""
+    import pandas as pd
+
+    from sqlserver_cdc_to_kafka_spark.streaming.stateful import funnel_stateful
+
+    rows = [
+        # user 1: all three steps at the same instant -> full funnel
+        (1, "click", 11, 100),
+        (1, "view", 12, 100),
+        (1, "purchase", 13, 100),
+        # user 2: click strictly before first view -> funnel stops at view
+        (2, "purchase", 21, 50),
+        (2, "click", 22, 90),
+        (2, "view", 23, 100),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        rows, columns=["user_id", "event_type", "event_id", "us"]
+    ).to_parquet(src / "a.parquet")
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(str(src))
+    )
+    out = tmp_path / "out"
+    q = (
+        funnel_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["step"], r["at_us"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {
+        (1, 1, 100),
+        (1, 2, 100),
+        (1, 3, 100),
+        (2, 1, 100),
+    }
