@@ -936,3 +936,34 @@ def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(report(name, viol, base))
     return out
+
+
+_SQL_WITNESS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       COUNT(*) AS count_order,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_api_pricing_witness", oracle=_SQL_WITNESS)
+def q_sql_api_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API entry path witness: the SAME ANSI text runs through
+    ``spark.sql`` over registered views AND through DuckDB — one string,
+    two engines, hash-equal results.  Everything else in the registry is
+    DataFrame-API; this pins that a SQL-first user of the engine (BI
+    tools, dbt models) gets identical semantics, including decimal
+    aggregation, timestamp literals against the NTZ-read parquet columns,
+    and COUNT(DISTINCT).  Catalyst plans the text identically to the
+    DataFrame form (same pushdown + partial aggregates — see
+    olap_pricing_summary's plan)."""
+    from sqlserver_cdc_to_kafka_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_WITNESS)
