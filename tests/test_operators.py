@@ -490,3 +490,53 @@ def test_interval_overlap_join_each_pair_once_across_bands(spark):
     # lid=1 also contains rid=11 entirely; lid=2/rid=12 never overlap.
     assert got == {(1, 10), (1, 11), (3, 11)}
     assert out.count() == 3  # no duplicate matches from shared bands
+
+
+def test_interval_overlap_join_equals_naive_theta_join(spark):
+    """Randomized (seeded) equivalence: the banded overlap join must equal
+    the naive l_lo < r_hi AND r_lo < l_hi theta join exactly — across
+    interval lengths far above and below the band width."""
+    import random
+
+    from sqlserver_cdc_to_kafka_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(42)
+    lrows = []
+    for i in range(150):
+        lo = rng.randrange(0, 10_000)
+        lrows.append((i, lo, lo + rng.choice([1, 5, 37, 400, 2_500])))
+    rrows = []
+    for j in range(150):
+        lo = rng.randrange(0, 10_000)
+        rrows.append((j, lo, lo + rng.choice([2, 9, 80, 900])))
+    left = spark.createDataFrame(lrows, "lid long, s_lo long, s_hi long")
+    right = spark.createDataFrame(rrows, "rid long, b_lo long, b_hi long")
+    banded = interval_overlap_join(
+        left, right, "s_lo", "s_hi", "b_lo", "b_hi", band_width=100
+    )
+    got = {(r["lid"], r["rid"]) for r in banded.select("lid", "rid").collect()}
+    want = {
+        (li, rj)
+        for (li, slo, shi) in lrows
+        for (rj, blo, bhi) in rrows
+        if slo < bhi and blo < shi
+    }
+    assert got == want
+    assert banded.count() == len(want)  # exactly-once per pair
+
+
+def test_pagerank_mass_invariants(spark):
+    """Every node retains at least the teleport floor (0.15·MASS), no node
+    exceeds total initial mass, and total mass never grows (integer
+    division only discards)."""
+    from sqlserver_cdc_to_kafka_spark.registry import load_all
+
+    q = load_all()["graph_pagerank_bipartite"]
+    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    total0 = len(rows) * 10**12
+    floor = 10**12 * 15 // 100
+    assert all(r["pr_mass"] >= floor for r in rows)
+    assert sum(r["pr_mass"] for r in rows) <= total0
+    assert max(r["pr_mass"] for r in rows) < total0
