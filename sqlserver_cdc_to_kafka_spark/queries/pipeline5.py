@@ -733,3 +733,57 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "change_type")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "sketch_hll_per_source",
+    oracle="""
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS item
+              FROM documents),
+h AS (SELECT source,
+             CAST('0x' || substr(md5(item), 1, 15) AS BIGINT) AS hv
+      FROM toks),
+r AS (SELECT source, hv % 64 AS bucket, hv // 64 AS v FROM h),
+per_source AS (
+  SELECT source, CAST(bucket AS BIGINT) AS bucket,
+         CAST(MAX(CASE WHEN v = 0 THEN 55
+                       ELSE bit_count((v & -v) - 1) + 1 END) AS INT)
+           AS register
+  FROM r GROUP BY 1, 2)
+SELECT source, bucket, register FROM per_source
+UNION ALL
+SELECT '<all>', bucket, CAST(MAX(register) AS INT)
+FROM per_source GROUP BY bucket
+""",
+)
+def q_hll_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog + merge witness: token-cardinality registers
+    per source, AND the global sketch derived by MERGING the per-source
+    sketches (MAX per bucket) — emitted as the '<all>' rows.  The merge IS
+    the 100 TB story: per-shard/per-day/per-source sketches union by the
+    same MAX that built them, so the '<all>' registers from this query
+    necessarily equal sketch_hll_registers' directly-built global sketch.
+    One shuffle to (source, bucket), then a bucket-only re-aggregate of
+    ≤ sources×64 rows."""
+    docs = ensure_parallel(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("item")
+    )
+    hv = F.conv(F.substring(F.md5(F.col("item")), 1, 15), 16, 10).cast("bigint")
+    r = toks.select(
+        "source",
+        (hv % 64).alias("bucket"),
+        F.shiftright(hv, 6).alias("v"),
+    )
+    rank = F.expr("CASE WHEN v = 0 THEN 55 ELSE bit_count((v & -v) - 1) + 1 END")
+    per_source = (
+        r.withColumn("rank", rank)
+        .groupBy("source", F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(F.max("rank").cast("int").alias("register"))
+    )
+    merged = (
+        per_source.groupBy("bucket")
+        .agg(F.max("register").cast("int").alias("register"))
+        .select(F.lit("<all>").alias("source"), "bucket", "register")
+    )
+    return per_source.unionByName(merged)
