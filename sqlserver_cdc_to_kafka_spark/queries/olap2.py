@@ -740,7 +740,7 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "olap_nation_market_share",
     oracle="""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-       CAST(SUM(CASE WHEN n2.n_name = 'CHINA'
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
                      ELSE 0 END) * 1000000 AS BIGINT) AS nation_micros,
@@ -789,7 +789,7 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.when(F.col("supp_nation") == "CHINA", disc_price).otherwise(
+                    F.when(F.col("supp_nation") == "NATION_3", disc_price).otherwise(
                         F.lit(0)
                     )
                 )
@@ -967,3 +967,104 @@ def q_sql_api_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_WITNESS)
+
+
+@query(
+    "olap_small_quantity_revenue",
+    oracle="""
+WITH stats AS (
+  SELECT l_partkey AS sp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS qsum,
+         COUNT(*) AS qcnt
+  FROM lineitem GROUP BY 1)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+JOIN stats ON sp = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qcnt < qsum
+""",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines below 20% of their part's average quantity —
+    the correlated scalar-AVG-per-group subquery, rewritten as one
+    aggregate + join-back (the decorrelation Catalyst would apply).  The
+    20%-of-average compare runs WITHOUT division: qty·5·count < sum in
+    exact decimal (same no-division trick as Q22's global average) — a
+    float avg is summation-order-dependent and a boundary line could flip
+    between engines.  Both the stats aggregate and the join share the
+    l_partkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("sp")).agg(
+        F.sum(_dec("l_quantity")).cast("decimal(28,2)").alias("qsum"),
+        F.count("*").alias("qcnt"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(stats, li.l_partkey == stats.sp)
+        .filter(_dec("l_quantity") * 5 * F.col("qcnt") < F.col("qsum"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "olap_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 1000000
+            AS BIGINT) AS revenue_micros
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations (the synthetic NATION_1/NATION_2) by ship year — the two-role nation join with a symmetric pair predicate.  The
+    nation filters reduce each broadcast side to one row before the big
+    joins, so the OR-pair predicate evaluates against two 1-row dims, not
+    post-join; supplier/customer joins stay AQE-decided; micro-unit sums
+    keep the gate exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = pair.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = pair.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            (F.sum(disc_price) * 1_000_000).cast("bigint").alias("revenue_micros")
+        )
+    )
