@@ -27,6 +27,7 @@ def _dec(c: str):
 
 @query(
     "olap_forecast_revenue",
+    bench=True,  # the pure-scan cost class: pushdown + pruning dominate
     oracle="""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
