@@ -52,3 +52,41 @@ def incremental_count_by(
         .agg(F.sum("delta").alias("maintained_count"))
         .filter(F.col("maintained_count") != 0)
     )
+
+
+def incremental_sum_by(
+    feed: DataFrame,
+    key_cols: Sequence[str],
+    dim_col: str,
+    value_col,
+    order_col: str = "change_seq",
+    op_col: str = "__operation",
+) -> DataFrame:
+    """(dim, maintained_sum) from deltas alone — the measure-maintenance
+    generalization of incremental_count_by: an insert contributes +value
+    to its dim, an update MOVES the contribution ((prev_dim, −prev_value)
+    + (dim, +value) — both the group and the measure may change), a delete
+    contributes −prev_value.  ``value_col`` must be an exact type (decimal
+    / scaled long): float value deltas would accumulate rounding the
+    recompute doesn't have.  Same plan shape as the count form: one
+    window, one delta projection, one sum."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    val = value_col if not isinstance(value_col, str) else F.col(value_col)
+    with_prev = (
+        feed.withColumn("__val", val)
+        .withColumn("__prev_dim", F.lag(dim_col).over(w))
+        .withColumn("__prev_val", F.lag("__val").over(w))
+    )
+    op = F.col(op_col)
+    plus = with_prev.filter(op.isin(OP_INSERT, OP_POST_UPDATE)).select(
+        F.col(dim_col).alias("dim"), F.col("__val").alias("delta")
+    )
+    minus = with_prev.filter(op.isin(OP_POST_UPDATE, OP_DELETE)).select(
+        F.col("__prev_dim").alias("dim"), (-F.col("__prev_val")).alias("delta")
+    )
+    return (
+        plus.unionByName(minus)
+        .groupBy("dim")
+        .agg(F.sum("delta").alias("maintained_sum"))
+        .filter(F.col("maintained_sum") != 0)
+    )

@@ -632,3 +632,72 @@ def q_stream_snapshot_unified_drain(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select(
         "__operation", "change_seq", "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@query(
+    "cdc_incremental_sum_agg",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+wp AS (SELECT *,
+              lag(o_orderstatus) OVER w AS prev_dim,
+              lag(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 AS BIGINT))
+                OVER w AS prev_val,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+                AS val
+       FROM cdc_events
+       WINDOW w AS (PARTITION BY o_orderkey ORDER BY change_seq)),
+deltas AS (
+  SELECT o_orderstatus AS dim, val AS delta FROM wp WHERE __operation IN (2, 4)
+  UNION ALL
+  SELECT prev_dim, -prev_val FROM wp WHERE __operation IN (4, 1)),
+maintained AS (
+  SELECT dim, CAST(SUM(delta) AS BIGINT) AS maintained_micros
+  FROM deltas GROUP BY dim HAVING SUM(delta) <> 0),
+recomputed AS (
+  SELECT o_orderstatus AS dim,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000
+                       AS BIGINT)) AS BIGINT) AS recomputed_micros
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY change_seq DESC) AS rn
+        FROM cdc_events) WHERE rn = 1 AND __operation <> 1
+  GROUP BY dim)
+SELECT m.dim, maintained_micros, recomputed_micros,
+       maintained_micros = recomputed_micros AS is_match
+FROM maintained m JOIN recomputed r ON m.dim = r.dim
+""",
+)
+def q_incremental_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a MEASURE: grouped revenue
+    maintained purely from CDC value deltas (insert +v, update moves
+    (prev_dim,−prev_v)→(dim,+v), delete −prev_v) must equal the recompute
+    from compacted state — the algebra that lets a 100 TB downstream
+    aggregate update from each micro-batch instead of rescanning.  Values
+    ride as exact integer micros (float deltas would drift from the
+    recompute); the equivalence is asserted per group in the result."""
+    from sqlserver_cdc_to_kafka_spark.operators.compaction import (
+        last_value_per_key,
+    )
+    from sqlserver_cdc_to_kafka_spark.operators.incremental import (
+        incremental_sum_by,
+    )
+
+    feed = cdc_events(spark, sf_dir)
+    micros = (F.col("o_totalprice").cast("decimal(18,2)") * 1_000_000).cast(
+        "bigint"
+    )
+    maintained = incremental_sum_by(
+        feed, ["o_orderkey"], "o_orderstatus", micros
+    ).withColumnRenamed("maintained_sum", "maintained_micros")
+    recomputed = (
+        last_value_per_key(feed, ["o_orderkey"], "change_seq")
+        .groupBy(F.col("o_orderstatus").alias("dim"))
+        .agg(F.sum(micros).cast("bigint").alias("recomputed_micros"))
+    )
+    return maintained.join(recomputed, "dim").select(
+        "dim",
+        F.col("maintained_micros").cast("bigint").alias("maintained_micros"),
+        "recomputed_micros",
+        (F.col("maintained_micros") == F.col("recomputed_micros")).alias(
+            "is_match"
+        ),
+    )
