@@ -1069,3 +1069,50 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(disc_price) * 1_000_000).cast("bigint").alias("revenue_micros")
         )
     )
+
+
+@query(
+    "maintenance_compaction_plan",
+    oracle="""
+WITH listing AS (
+  SELECT source, 'doc_' || CAST(doc_id AS VARCHAR) AS file, n_chars AS bytes
+  FROM documents),
+planned AS (
+  SELECT source, file, bytes,
+         COALESCE(SUM(bytes) OVER (PARTITION BY source
+                                   ORDER BY bytes DESC, file
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0)
+           // 65536 AS compact_group
+  FROM listing)
+SELECT source, CAST(compact_group AS BIGINT) AS compact_group,
+       COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS group_bytes
+FROM planned GROUP BY 1, 2
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/maintenance.py): the
+    documents table stands in for a file listing (source = partition dir,
+    n_chars = file bytes); the planner's prefix-sum bin-pack groups files
+    into ~64 KB compaction jobs per partition in ONE window pass — no
+    driver-side loop, deterministic across runs, group totals bounded by
+    target + max file.  The query reports the plan's group shapes (file
+    count + bytes per group), which is what a maintenance scheduler
+    consumes."""
+    from sqlserver_cdc_to_kafka_spark.operators.maintenance import (
+        plan_compaction,
+    )
+
+    listing = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("file"),
+        F.col("n_chars").alias("bytes"),
+    )
+    plan = plan_compaction(
+        listing, ["source"], "bytes", "file", target_bytes=65536
+    )
+    return plan.groupBy("source", "compact_group").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("group_bytes"),
+    )
