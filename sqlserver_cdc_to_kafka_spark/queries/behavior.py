@@ -421,3 +421,64 @@ def q_interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_errors",
         (F.least("s_hi", "b_hi") - F.greatest("s_lo", "b_lo")).alias("overlap_us"),
     )
+
+
+_HOUR_US_GF = 3_600_000_000
+
+
+@query(
+    "events_gapfill_hourly",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+spans AS (SELECT user_id,
+                 MIN(us) // {_HOUR_US_GF} AS h_lo,
+                 MAX(us) // {_HOUR_US_GF} AS h_hi
+          FROM ev GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(h_lo, h_hi + 1)) AS hour
+         FROM spans),
+actual AS (SELECT user_id, us // {_HOUR_US_GF} AS hour,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT)
+                    AS value_micros
+           FROM ev GROUP BY 1, 2)
+SELECT g.user_id, CAST(g.hour * {_HOUR_US_GF} AS BIGINT) AS hour_us,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+       CAST(COALESCE(a.value_micros, 0) AS BIGINT) AS value_micros,
+       a.n IS NULL AS is_gap
+FROM grid g LEFT JOIN actual a
+  ON g.user_id = a.user_id AND g.hour = a.hour
+""",
+)
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: each user's hourly series densified over
+    their [first, last] activity span — absent hours emitted as explicit
+    zero rows flagged is_gap (the densification every downstream
+    window/forecast op assumes; a timeseries DB's time_bucket_gapfill).
+    The grid generates from a per-user sequence+explode (rows ∝ span
+    hours, no cross join against a global calendar — a user active one
+    day never expands to the corpus's full history), then one
+    co-partitioned left join against the actual hourly aggregate."""
+    ev = _events_us_full(spark, sf_dir)
+    hours = ev.select(
+        "user_id", (F.col("us") / _HOUR_US_GF).cast("bigint").alias("hour"), "value"
+    )
+    spans = hours.groupBy("user_id").agg(
+        F.min("hour").alias("h_lo"), F.max("hour").alias("h_hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("hour"),
+    )
+    actual = hours.groupBy("user_id", "hour").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value").cast("decimal(18,6)") * 1_000_000))
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+    return grid.join(actual, ["user_id", "hour"], "left").select(
+        "user_id",
+        (F.col("hour") * _HOUR_US_GF).alias("hour_us"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("value_micros", F.lit(0)).cast("bigint").alias("value_micros"),
+        F.col("n").isNull().alias("is_gap"),
+    )
