@@ -482,3 +482,71 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("value_micros", F.lit(0)).cast("bigint").alias("value_micros"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "events_gapfill_locf",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+spans AS (SELECT user_id,
+                 MIN(us) // {_HOUR_US_GF} AS h_lo,
+                 MAX(us) // {_HOUR_US_GF} AS h_hi
+          FROM ev GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(h_lo, h_hi + 1)) AS hour FROM spans),
+actual AS (SELECT user_id, us // {_HOUR_US_GF} AS hour,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT)
+                    AS observed_micros
+           FROM ev GROUP BY 1, 2),
+joined AS (
+  SELECT g.user_id, g.hour, a.observed_micros
+  FROM grid g LEFT JOIN actual a
+    ON g.user_id = a.user_id AND g.hour = a.hour)
+SELECT user_id, CAST(hour * {_HOUR_US_GF} AS BIGINT) AS hour_us,
+       observed_micros,
+       last_value(observed_micros IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY hour
+               ROWS UNBOUNDED PRECEDING) AS carried_micros
+FROM joined
+""",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over the gap-filled grid: absent
+    hours inherit the most recent observed hourly total (the imputation
+    behind downsampling/feature windows; a timeseries DB's locf()).  Gap
+    hours stay NULL in observed_micros (distinguishable from a real zero)
+    and the carry is one ignore-nulls last_value window — streaming
+    evaluation within each user partition, no per-gap join."""
+    from pyspark.sql import Window
+
+    ev = _events_us_full(spark, sf_dir)
+    hours = ev.select(
+        "user_id", (F.col("us") / _HOUR_US_GF).cast("bigint").alias("hour"), "value"
+    )
+    spans = hours.groupBy("user_id").agg(
+        F.min("hour").alias("h_lo"), F.max("hour").alias("h_hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("hour"),
+    )
+    actual = hours.groupBy("user_id", "hour").agg(
+        F.sum((F.col("value").cast("decimal(18,6)") * 1_000_000))
+        .cast("bigint")
+        .alias("observed_micros")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(actual, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            (F.col("hour") * _HOUR_US_GF).alias("hour_us"),
+            "observed_micros",
+            F.last("observed_micros", ignorenulls=True)
+            .over(w)
+            .alias("carried_micros"),
+        )
+    )
