@@ -33,10 +33,20 @@ def asof_join(
     right_time: str,
     right_payload: Sequence[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_time <= left_time`` for the same key (``how='left'`` keeps
-    unmatched probe rows with nulls; 'inner' drops them)."""
+    unmatched probe rows with nulls; 'inner' drops them).
+
+    ``direction='forward'`` flips the lookup: the EARLIEST right row with
+    ``right_time >= left_time`` (next-event semantics) — the same
+    union-and-carry pass traversed in descending time, identical cost.
+    Rows tied on time resolve to the version row in both directions
+    (tag 0 sorts first either way); pre-reduce the right side if several
+    versions can share one timestamp."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns if c not in on]
     # the version payload rides as ONE struct: the struct is non-null for
     # every version row even when its fields are null (e.g. a delete event),
@@ -59,9 +69,10 @@ def asof_join(
         payload_struct.alias("__r"),
     )
     unioned = r_tagged.unionByName(l_tagged)
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("__t", "__tag")
+        .orderBy(t_order, "__tag")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

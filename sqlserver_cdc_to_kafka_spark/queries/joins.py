@@ -286,3 +286,70 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
         ).alias("revenue"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+ships AS (
+  -- pre-reduced: one row per (order, shipdate), earliest line number wins
+  SELECT l_orderkey, epoch_us(l_shipdate) AS ship_us,
+         MIN(l_linenumber) AS l_linenumber
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT ce.o_orderkey, ce.change_seq,
+         epoch_us(ce.__event_time) AS event_us,
+         s.ship_us, s.l_linenumber,
+         row_number() OVER (PARTITION BY ce.o_orderkey, ce.change_seq
+                            ORDER BY s.ship_us) AS rn
+  FROM cdc_events ce JOIN ships s
+    ON ce.o_orderkey = s.l_orderkey AND s.ship_us >= epoch_us(ce.__event_time))
+SELECT o_orderkey, change_seq, event_us,
+       ship_us AS next_ship_us, CAST(l_linenumber AS INT) AS next_linenumber
+FROM ranked WHERE rn = 1
+""",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every order change event, the NEXT shipment
+    at or after it (next-event lookup — the reaction-time / fulfillment-
+    latency direction the backward as-of can't answer).  Same
+    union-and-carry operator (operators/asof.py) traversed in descending
+    time: one shuffle, no range explosion; the oracle is the quadratic
+    min-qualifying formulation.  The right side pre-reduces to one row per
+    (order, shipdate) so time ties are impossible."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+    from sqlserver_cdc_to_kafka_spark.operators.asof import asof_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ships = (
+        li.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            epoch_micros(li, "l_shipdate").alias("ship_us"),
+            "l_linenumber",
+        )
+        .groupBy("o_orderkey", "ship_us")
+        .agg(F.min("l_linenumber").alias("l_linenumber"))
+    )
+    ev = cdc_events(spark, sf_dir)
+    probes = ev.select(
+        "o_orderkey",
+        "change_seq",
+        epoch_micros(ev, "__event_time").alias("event_us"),
+    )
+    out = asof_join(
+        probes,
+        ships,
+        on=["o_orderkey"],
+        left_time="event_us",
+        right_time="ship_us",
+        right_payload=["ship_us", "l_linenumber"],
+        direction="forward",
+    )
+    return out.select(
+        "o_orderkey",
+        "change_seq",
+        F.col("__t").alias("event_us"),
+        F.col("ship_us").alias("next_ship_us"),
+        F.col("l_linenumber").cast("int").alias("next_linenumber"),
+    )
