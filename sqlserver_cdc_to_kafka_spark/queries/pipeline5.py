@@ -787,3 +787,75 @@ def q_hll_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("<all>").alias("source"), "bucket", "register")
     )
     return per_source.unionByName(merged)
+
+
+_CT_K = 5  # shingle width for containment
+_CT_MIN = 0.5  # containment threshold
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(ws[i:i+{_CT_K - 1}], ' ') AS shingle
+       FROM toks, LATERAL unnest(range(1, len(ws) - {_CT_K} + 2)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                              AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared,
+       sa.n_sh AS n_a,
+       CAST(n_shared * 1000000 // sa.n_sh AS BIGINT) AS containment_ppm
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+WHERE n_shared * 2 >= sa.n_sh
+""",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup pairs: |A∩B| / |A| ≥ 50% of A's distinct
+    5-shingles appear in B — the DIRECTION-SENSITIVE overlap measure
+    Jaccard misses (a short doc quoted inside a long one scores near-zero
+    Jaccard but full containment; the asymmetry also says which doc to
+    drop).  Ordered pairs by construction.  Same single-shuffle inverted-
+    index candidate generation as the Jaccard op; the threshold test and
+    the reported ratio are integer arithmetic (cross-multiply + ppm
+    integer division) — no float division in the gate."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
+
+    docs = ensure_parallel(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    sh = docs.select("doc_id", word_shingles("text", _CT_K).alias("shingles"))
+    sizes = sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_sh"))
+    idx = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    grouped = (
+        idx.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    # ordered pairs (both directions): containment is asymmetric
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) -> "
+                "transform(filter(docs, y -> y != x), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    shared = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_shared"))
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(F.col("n_shared") * 2 >= F.col("n_sh"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.col("n_sh").alias("n_a"),
+            F.expr("cast(n_shared * 1000000 div n_sh as bigint)").alias(
+                "containment_ppm"
+            ),
+        )
+    )
