@@ -859,3 +859,49 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pipeline_score_rank_normalize",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk,
+       CAST((rnk - 1) * 1000000 // (n_src - 1) AS BIGINT) AS pctl_ppm
+FROM ranked WHERE n_src > 1
+""",
+)
+def q_score_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank normalization of a quality signal (n_chars as the
+    stand-in score): each doc's within-source percentile in integer ppm —
+    the calibration that makes scores COMPARABLE ACROSS SOURCES before a
+    global quality cut (raw score distributions differ per domain; a
+    fixed threshold keeps web spam while dropping good code).  Rank-based,
+    so it is distribution-free and engine-exact (integer rank arithmetic,
+    not percent_rank's float); (score, doc_id) ordering makes ranks
+    total.  One window per source partition."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.count("*").over(wc).alias("n_src"),
+        )
+        .filter(F.col("n_src") > 1)
+        .select(
+            "doc_id",
+            "source",
+            "rnk",
+            F.expr("cast((rnk - 1) * 1000000 div (n_src - 1) as bigint)").alias(
+                "pctl_ppm"
+            ),
+        )
+    )
