@@ -21,6 +21,14 @@ QUERIES = [
     "pipeline_kmeans_centroids",
     "pipeline_pack_sequences",
     "pipeline_shard_assignment",
+    # round-6 order-sensitive shapes: unpartitioned ntile, integer-mass
+    # iteration, ROWS-frame sums, per-source rank windows, group-explode
+    # candidate pairing
+    "olap_customer_value_deciles",
+    "graph_pagerank_bipartite",
+    "events_moving_sum",
+    "pipeline_score_rank_normalize",
+    "dedup_edit_distance_verify",
 ]
 
 
