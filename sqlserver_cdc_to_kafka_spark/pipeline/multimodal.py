@@ -474,3 +474,111 @@ def frame_energy(
         _frames,
         schema=f"{id_col} bigint, frame_idx bigint, n_samples bigint, abs_sum bigint",
     )
+
+
+def encode_ppm_stream(doc_id: int) -> bytes:
+    """A REAL multi-frame container: concatenated binary P6 frames (the
+    netpbm STREAM format — `man ppm`: "a PPM file can contain a sequence
+    of PPM images").  Frame count = 1 + doc_id % 4; frame f reuses the
+    doc's dims with seed shifted by 17·f — deterministic, closed-form for
+    the oracle."""
+    w, h, seed = ppm_dims_for(doc_id)
+    n_frames = 1 + doc_id % 4
+    return b"".join(
+        encode_ppm(w, h, (seed + 17 * f) % 256) for f in range(n_frames)
+    )
+
+
+def decode_ppm_stream(payload: bytes) -> list[tuple[int, int, np.ndarray]]:
+    """Walk a concatenated-P6 stream: parse each frame's header for its
+    raster length, slice it out, continue at the next magic — genuine
+    container demuxing (frame boundaries come from the headers, not from
+    any out-of-band metadata)."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        rest = payload[pos:]
+        if not rest.strip():
+            break
+        w, h, arr = decode_ppm(rest)
+        # recompute this frame's byte length: header + raster
+        header_end = 0
+        fields = 0
+        in_comment = False
+        i = 2  # past magic
+        while fields < 3:
+            c = rest[i : i + 1]
+            if in_comment:
+                in_comment = c != b"\n"
+            elif c == b"#":
+                in_comment = True
+            elif c.isspace():
+                pass
+            else:
+                j = i
+                while not rest[j : j + 1].isspace():
+                    j += 1
+                fields += 1
+                i = j
+                if fields == 3:
+                    header_end = j + 1  # single whitespace after maxval
+                    break
+            i += 1
+        frame_len = header_end + w * h * 3
+        frames.append((w, h, arr))
+        pos += frame_len
+    return frames
+
+
+def attach_ppm_stream_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Generate the multi-frame P6 stream payload per row, Arrow-batched."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [encode_ppm_stream(int(d)) for d in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "video/x-ppm-stream",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _gen, schema=f"{id_col} bigint, payload binary, media_type string"
+    )
+
+
+def stream_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Demux + per-frame stats over the REAL stream container: every frame
+    decoded through the PPM parser, pixel sums from the decoded raster."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[Any, ...]] = []
+            for doc_id, raw in zip(pdf[id_col], pdf["payload"]):
+                for fi, (w, h, arr) in enumerate(decode_ppm_stream(bytes(raw))):
+                    out.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            fi * FRAME_INTERVAL_MS,
+                            int(w),
+                            int(h),
+                            int(arr.astype(np.int64).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "frame_idx", "frame_ts_ms", "width", "height", "px_sum"
+                ],
+            )
+
+    return df.mapInPandas(
+        _stats,
+        schema=(
+            f"{id_col} bigint, frame_idx int, frame_ts_ms int, "
+            "width int, height int, px_sum bigint"
+        ),
+    )

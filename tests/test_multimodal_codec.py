@@ -120,3 +120,26 @@ def test_resize_nearest_exact_indexing():
         for x in range(8):
             sx, sy = (x * w) // 8, (y * h) // 5
             assert (small[y, x] == arr[sy, sx]).all()
+
+
+def test_ppm_stream_demux_walks_frames_by_header():
+    """Stream demux must slice frames by their own parsed headers — a
+    mixed-dims stream (impossible with fixed out-of-band metadata)
+    round-trips frame-exactly."""
+    import numpy as np
+
+    from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
+        decode_ppm_stream,
+        encode_ppm,
+    )
+
+    stream = (
+        encode_ppm(4, 3, 7)
+        + encode_ppm(16, 9, 250)  # wraps mod 256 mid-raster
+        + encode_ppm(5, 5, 0)
+    )
+    frames = decode_ppm_stream(stream)
+    assert [(w, h) for w, h, _ in frames] == [(4, 3), (16, 9), (5, 5)]
+    for (w, h, arr), seed in zip(frames, (7, 250, 0)):
+        want = (seed + np.arange(w * h * 3)) % 256
+        assert (arr.flatten() == want).all()
