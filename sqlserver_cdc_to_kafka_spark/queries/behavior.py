@@ -550,3 +550,57 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("carried_micros"),
         )
     )
+
+
+_RANGE_US = 3_600_000_000  # trailing 1 h by event-time VALUE
+
+
+@query(
+    "events_range_frame_sum",
+    oracle=f"""
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+            FROM events)
+SELECT user_id, event_id, us,
+       CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN {_RANGE_US} PRECEDING
+                                   AND CURRENT ROW) AS BIGINT)
+         AS trailing_hour_micros,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN {_RANGE_US} PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+         AS n_in_hour
+FROM ev
+""",
+)
+def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the user's value total over the
+    trailing HOUR BY EVENT-TIME VALUE — the frame type ROWS can't express
+    (a quiet hour contributes nothing regardless of how many rows back it
+    is; same-timestamp peers are IN the frame even 'after' the current
+    row, which is what distinguishes RANGE semantics and what the oracle
+    pins).  Integer micro sums keep it engine-exact; one shuffle on
+    user_id with streaming frame evaluation over the sorted partition."""
+    from pyspark.sql import Window
+
+    ev = _events_us_full(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_RANGE_US, Window.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.sum("v").over(w).cast("bigint").alias("trailing_hour_micros"),
+        F.count("*").over(w).cast("bigint").alias("n_in_hour"),
+    )
