@@ -1116,3 +1116,86 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_files"),
         F.sum("bytes").cast("bigint").alias("group_bytes"),
     )
+
+
+@query(
+    "olap_cube_status_priority",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
+       COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS grouping_lvl,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four aggregation granularities of
+    (status, priority) — both margins and the grand total — in ONE
+    Expand+HashAggregate pass (vs four unioned scans).  ROLLUP
+    (olap_rollup_revenue) covers the hierarchy direction; CUBE is the
+    cross-tab direction every BI layer generates.  grouping_id
+    disambiguates subtotal rows from real NULL keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("grouping_lvl"),
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            "grouping_lvl",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "olap_multiset_except",
+    oracle="""
+WITH returned AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+finished AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'),
+diff AS (SELECT l_orderkey FROM returned EXCEPT ALL
+         SELECT l_orderkey FROM finished),
+isect AS (SELECT l_orderkey FROM returned INTERSECT ALL
+          SELECT l_orderkey FROM finished)
+SELECT (SELECT COUNT(*) FROM returned) AS n_returned,
+       (SELECT COUNT(*) FROM finished) AS n_finished,
+       (SELECT COUNT(*) FROM diff) AS n_except_all,
+       (SELECT COUNT(*) FROM isect) AS n_intersect_all,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM diff) d)
+         AS n_except_keys
+""",
+)
+def q_multiset_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations: EXCEPT ALL / INTERSECT ALL preserve
+    duplicate multiplicity (per key: max(m−n, 0) and min(m, n) copies) —
+    semantics a DISTINCT-based except silently changes, and exactly what
+    reconciliation of at-least-once feeds needs (how many EXTRA copies,
+    not just which keys).  Spark's exceptAll/intersectAll lower to a
+    count-aggregate + replicate plan, not a quadratic join; the five
+    scalar counts pin both multiset sizes against their key-distinct
+    shadow."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    finished = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    diff = returned.exceptAll(finished)
+    isect = returned.intersectAll(finished)
+
+    def one(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias(name))
+
+    out = one(returned, "n_returned")
+    for frame in (
+        one(finished, "n_finished"),
+        one(diff, "n_except_all"),
+        one(isect, "n_intersect_all"),
+        one(diff.distinct(), "n_except_keys"),
+    ):
+        out = out.crossJoin(frame)
+    return out
