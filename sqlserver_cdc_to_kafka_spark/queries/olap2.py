@@ -1199,3 +1199,69 @@ def q_multiset_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.crossJoin(frame)
     return out
+
+
+@query(
+    "olap_yearly_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 1000000 AS BIGINT)
+           AS revenue_micros
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT n_name, order_year, revenue_micros,
+       lag(revenue_micros) OVER (PARTITION BY n_name ORDER BY order_year)
+         AS prev_year_micros,
+       CAST(CASE WHEN lag(revenue_micros) OVER (PARTITION BY n_name
+                                                ORDER BY order_year) > 0
+            THEN (revenue_micros
+                  - lag(revenue_micros) OVER (PARTITION BY n_name
+                                              ORDER BY order_year)) * 10000
+                 // lag(revenue_micros) OVER (PARTITION BY n_name
+                                              ORDER BY order_year)
+            ELSE NULL END AS BIGINT) AS growth_bps
+FROM yearly
+""",
+)
+def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: per nation, yearly revenue next to the
+    prior year and the growth rate in integer basis points ((cur−prev)·
+    10⁴ div prev — no float division in the gate).  The lag window runs
+    over the AGGREGATE (≤ nations×years rows), never the fact table — the
+    window-after-shrink ordering that keeps trend reports cheap at any
+    scale."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            (F.sum(_dec("o_totalprice")) * 1_000_000)
+            .cast("bigint")
+            .alias("revenue_micros")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("order_year")
+    prev = F.lag("revenue_micros").over(w)
+    return yearly.select(
+        "n_name",
+        "order_year",
+        "revenue_micros",
+        prev.alias("prev_year_micros"),
+        F.when(
+            prev > 0,
+            F.expr(
+                "cast((revenue_micros - lag(revenue_micros) over "
+                "(partition by n_name order by order_year)) * 10000 div "
+                "lag(revenue_micros) over (partition by n_name order by "
+                "order_year) as bigint)"
+            ),
+        ).alias("growth_bps"),
+    )
