@@ -1265,3 +1265,76 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("growth_bps"),
     )
+
+
+@query(
+    "audit_table_stats",
+    oracle="""
+SELECT * FROM (
+  SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_key,
+         CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS n_null_probe,
+         CAST(MIN(o_orderkey) AS BIGINT) AS key_min,
+         CAST(MAX(o_orderkey) AS BIGINT) AS key_max
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', COUNT(*),
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT),
+         CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+         CAST(MIN(l_orderkey) AS BIGINT), CAST(MAX(l_orderkey) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer', COUNT(*),
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+         CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT),
+         CAST(MIN(c_custkey) AS BIGINT), CAST(MAX(c_custkey) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'events', COUNT(*),
+         CAST(COUNT(DISTINCT event_id) AS BIGINT),
+         CAST(COUNT(*) - COUNT(value) AS BIGINT),
+         CAST(MIN(event_id) AS BIGINT), CAST(MAX(event_id) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'documents', COUNT(*),
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+         CAST(COUNT(*) - COUNT(text) AS BIGINT),
+         CAST(MIN(doc_id) AS BIGINT), CAST(MAX(doc_id) AS BIGINT)
+  FROM documents) s
+""",
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics collection: per table, row count, key
+    NDV, null count of a probe column, and the key min/max envelope — the
+    stats a cost-based optimizer (and the Z-order/partition planners here)
+    consume.  Each table is ONE full-width aggregate pass (count, distinct,
+    nulls, extrema share a scan — not one scan per statistic); at 100 TB
+    you run this per partition after ingest and merge, since every
+    statistic here is mergeable (counts add, NDV via HLL, extrema by
+    min/max)."""
+    specs = [
+        ("orders", "o_orderkey", "o_orderdate"),
+        ("lineitem", "l_orderkey", "l_shipdate"),
+        ("customer", "c_custkey", "c_acctbal"),
+        ("events", "event_id", "value"),
+        ("documents", "doc_id", "text"),
+    ]
+    out = None
+    for table, key, probe in specs:
+        t = load_table(spark, sf_dir, table)
+        part = t.agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(key).alias("n_distinct_key"),
+            (F.count("*") - F.count(probe)).alias("n_null_probe"),
+            F.min(key).cast("bigint").alias("key_min"),
+            F.max(key).cast("bigint").alias("key_max"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            "n_rows",
+            "n_distinct_key",
+            "n_null_probe",
+            "key_min",
+            "key_max",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
