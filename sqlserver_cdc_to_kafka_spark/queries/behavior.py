@@ -604,3 +604,84 @@ def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").over(w).cast("bigint").alias("trailing_hour_micros"),
         F.count("*").over(w).cast("bigint").alias("n_in_hour"),
     )
+
+
+_ATTR_WINDOW_US = 3_600_000_000  # credit clicks within 1 h before purchase
+
+
+@query(
+    "events_attribution_linear",
+    oracle=f"""
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'),
+touches AS (
+  SELECT p.user_id, purchase_id, click_id, c_us, p_us,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY c_us DESC, click_id DESC) AS recency
+  FROM p JOIN c ON p.user_id = c.user_id
+                AND c_us <= p_us AND c_us > p_us - {_ATTR_WINDOW_US})
+SELECT user_id, purchase_id, click_id,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(1000000 // n_touches
+            + CASE WHEN recency = 1 THEN 1000000 % n_touches ELSE 0 END
+            AS BIGINT) AS credit_ppm
+FROM touches
+""",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every purchase's credit split
+    evenly across the user's clicks in the preceding hour, in integer ppm
+    — floor share to every touch, remainder to the MOST RECENT (so each
+    purchase's credits sum to exactly 1,000,000; float shares would leak
+    ppm off the total and order-depend).  The touch join is the
+    stream-stream attribution shape (equi-key + time band); the per-
+    purchase window runs over touch groups bounded by the time window,
+    not the log."""
+    from pyspark.sql import Window
+
+    ev = _events_us(spark, sf_dir)
+    ev_id = load_table(spark, sf_dir, "events")
+    base = ev_id.select(
+        "user_id", "event_id", "event_type", epoch_micros(ev_id, "ts").alias("us")
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("us").alias("c_us"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("us").alias("p_us")
+    )
+    touches = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_us <= purchases.p_us)
+        & (clicks.c_us > purchases.p_us - _ATTR_WINDOW_US),
+    )
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_us").desc(), F.col("click_id").desc()
+    )
+    return touches.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.count("*").over(wn).cast("bigint").alias("n_touches"),
+        F.row_number().over(wr).alias("recency"),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "n_touches",
+        (
+            F.expr("1000000 div n_touches")
+            + F.when(F.col("recency") == 1, F.expr("1000000 % n_touches")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("credit_ppm"),
+    )

@@ -701,3 +701,52 @@ def q_incremental_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_match"
         ),
     )
+
+
+_TT_AS_OF_US = 852_076_800_000_000  # 1997-01-01 00:00:00 UTC
+
+
+@query(
+    "cdc_time_travel_snapshot",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY change_seq DESC) AS rn
+  FROM cdc_events
+  WHERE epoch_us(__event_time) <= {_TT_AS_OF_US})
+SELECT o_orderkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+         AS totalprice_micros,
+       change_seq AS version_seq
+FROM ranked WHERE rn = 1 AND __operation <> 1
+""",
+)
+def q_time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL: the orders table's full state AS OF 1997-01-01,
+    reconstructed from the change feed alone — latest version at or before
+    the cutoff per key, keys whose latest pre-cutoff operation is a delete
+    absent (they did not exist then).  This is the query behind `SELECT …
+    FOR TIMESTAMP AS OF` in lakehouse formats, expressed over the raw
+    feed: one filtered scan (the cutoff pushes into the scan) + one
+    per-key window — no checkpoint/manifest machinery needed for a
+    point-in-time read, though compaction (W4) gives the same result
+    cheaper for the common latest-state case."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+    from pyspark.sql import Window
+
+    feed = cdc_events(spark, sf_dir)
+    cut = feed.filter(epoch_micros(feed, "__event_time") <= _TT_AS_OF_US)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("change_seq").desc())
+    return (
+        cut.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("__operation") != 1))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 1_000_000)
+            .cast("bigint")
+            .alias("totalprice_micros"),
+            F.col("change_seq").alias("version_seq"),
+        )
+    )
