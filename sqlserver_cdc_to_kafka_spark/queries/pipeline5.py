@@ -951,3 +951,66 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallel(load_table(spark, sf_dir, "documents")).select("doc_id")
     return stream_frame_stats(attach_ppm_stream_payload(docs, "doc_id"), "doc_id")
+
+
+_VOCAB_K = 64  # vocabulary size (top-K corpus words)
+
+
+@query(
+    "pipeline_vocab_coverage",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+freq AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+vocab AS (SELECT w FROM freq ORDER BY n DESC, w LIMIT {_VOCAB_K}),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks LEFT JOIN vocab v USING (w)
+  GROUP BY 1, 2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+       CAST(SUM(n_oov) * 1000000 // SUM(n_tokens) AS BIGINT) AS oov_ppm
+FROM per_doc GROUP BY source
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage: induce a top-{_VOCAB_K} word vocab
+    from corpus frequency (ties broken lexically — deterministic), then
+    measure per-source out-of-vocabulary rates in integer ppm — the
+    coverage analysis run before fixing a tokenizer's vocab size (high
+    OOV on a source = that domain will fragment into bytes).  The vocab
+    is a bounded top-K (TakeOrderedAndProject, never a global sort) that
+    AQE broadcasts into the membership join; one tokenize-explode feeds
+    both the frequency aggregate and the coverage join."""
+    docs = ensure_parallel(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(vocab, "w", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_oov").cast("bigint").alias("n_oov"),
+        F.expr(
+            "cast(sum(n_oov) * 1000000 div sum(n_tokens) as bigint)"
+        ).alias("oov_ppm"),
+    )
