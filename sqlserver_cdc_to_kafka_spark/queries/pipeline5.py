@@ -977,7 +977,7 @@ FROM per_doc GROUP BY source
 """,
 )
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer vocabulary coverage: induce a top-{_VOCAB_K} word vocab
+    """Tokenizer vocabulary coverage: induce a top-K (=64) word vocab
     from corpus frequency (ties broken lexically — deterministic), then
     measure per-source out-of-vocabulary rates in integer ppm — the
     coverage analysis run before fixing a tokenizer's vocab size (high
