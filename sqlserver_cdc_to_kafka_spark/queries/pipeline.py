@@ -617,3 +617,114 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return extract_audio_features(attach_wav_payload(docs, "doc_id"), "doc_id")
+
+
+def _minhash_audit_oracle() -> str:
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
+        MINHASH_MERSENNE,
+        MINHASH_SEEDS,
+        _minhash_params,
+    )
+
+    sig_exprs = ", ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_MERSENNE}) AS sig_{s}"
+        for s, (a, b) in enumerate(_minhash_params(MINHASH_SEEDS))
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || ',' || ".join(
+            f"CAST(sig_{4 * band + i} AS VARCHAR)" for i in range(4)
+        )
+        + f") AS bh_{band}"
+        for band in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, bh_{band} AS bh FROM banded"
+        for band in range(4)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN sa.sig_{s} = sb.sig_{s} THEN 1 ELSE 0 END"
+        for s in range(MINHASH_SEEDS)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+hashed AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+           FROM shingled),
+sigs AS (SELECT doc_id, {sig_exprs} FROM hashed GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+bands AS ({band_union}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bh = b2.bh
+         WHERE a.doc_id < b2.doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+          FROM shingled a JOIN shingled b ON a.shingle = b.shingle
+                                         AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY 1)
+SELECT cand.doc_a, cand.doc_b,
+       CAST({match_expr} AS BIGINT) AS n_match,
+       CAST(({match_expr}) * 1000000 // {MINHASH_SEEDS} AS BIGINT) AS est_ppm,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS n_inter,
+       CAST(COALESCE(i.c, 0) * 1000000
+            // (za.sz + zb.sz - COALESCE(i.c, 0)) AS BIGINT) AS exact_ppm
+FROM cand
+JOIN sigs sa ON sa.doc_id = cand.doc_a
+JOIN sigs sb ON sb.doc_id = cand.doc_b
+JOIN sizes za ON za.doc_id = cand.doc_a
+JOIN sizes zb ON zb.doc_id = cand.doc_b
+LEFT JOIN inter i ON i.da = cand.doc_a AND i.db = cand.doc_b
+"""
+
+
+@query("dedup_minhash_estimate_audit", oracle=_minhash_audit_oracle())
+def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR CALIBRATION: for every LSH candidate pair, the
+    signature-agreement estimate (matching minima / 16, in integer ppm)
+    next to the exact shingle Jaccard — the audit that justifies trusting
+    the sketch at 100 TB where exact verification is only affordable on
+    candidates.  Both columns are integer-exact (agreement count and
+    cross-multiplied ratio), so the hash gate pins an APPROXIMATION's
+    quality measurement, not just its output.  Signatures and exact
+    intersections reuse the same one-shuffle machinery as their standalone
+    queries; the joins touch only the (small) candidate set."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
+        MINHASH_SEEDS,
+        minhash_lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_candidate_pairs(docs, "doc_id").select("doc_a", "doc_b")
+    sigs = minhash_signatures(docs, "doc_id")
+    sh = docs.select(
+        "doc_id", word_shingles("text", 3).alias("shingles")
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig_vector").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig_vector").alias("sb"))
+    za = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    zb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    n_match = F.expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))")
+    n_inter = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("n_match", n_match.cast("bigint"))
+        .withColumn("n_inter", n_inter.cast("bigint"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            F.expr(f"cast(n_match * 1000000 div {MINHASH_SEEDS} as bigint)").alias(
+                "est_ppm"
+            ),
+            "n_inter",
+            F.expr(
+                "cast(n_inter * 1000000 div "
+                "(size(sha) + size(shb) - n_inter) as bigint)"
+            ).alias("exact_ppm"),
+        )
+    )
