@@ -685,3 +685,72 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("credit_ppm"),
     )
+
+
+@query(
+    "events_trend_regression",
+    oracle="""
+WITH t0 AS (SELECT MIN(epoch_us(ts)) AS base_us FROM events),
+ev AS (SELECT event_type,
+              (epoch_us(ts) - base_us) // 3600000000 AS x,
+              CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y
+       FROM events, t0)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den,
+       CAST((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1000
+            // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS BIGINT)
+         AS slope_milli_per_hour
+FROM ev GROUP BY event_type
+""",
+)
+def q_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise least-squares TREND: per event type, the OLS slope of
+    value against time, computed entirely from exact integer moment sums —
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) emitted as an integer
+    rational (numerator/denominator) plus its milli-units/hour integer
+    quotient.  Float OLS is summation-order-dependent; the moment-sum
+    form is one hash aggregate (each moment a map-side partial) and the
+    division happens once per GROUP, after aggregation.  x rescales to
+    hours-since-corpus-start so x² sums stay far inside int64 (raw
+    epoch-micros squares overflow at one row)."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_micros(ev, "ts")
+    base = ev.agg(F.min(us).alias("base_us"))
+    evn = (
+        ev.select(
+            "event_type",
+            us.alias("us"),
+            (F.col("value").cast("decimal(18,3)") * 1000)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .crossJoin(F.broadcast(base))
+        .withColumn("x", F.expr("(us - base_us) div 3600000000"))
+    )
+    agg = evn.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+    )
+    num = F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    den = F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    return agg.select(
+        "event_type",
+        "n",
+        F.col("sum_x").cast("bigint").alias("sum_x"),
+        F.col("sum_y").cast("bigint").alias("sum_y"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.expr(
+            "cast((n * sum_xy - sum_x * sum_y) * 1000 div "
+            "(n * sum_xx - sum_x * sum_x) as bigint)"
+        ).alias("slope_milli_per_hour"),
+    )
