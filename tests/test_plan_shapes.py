@@ -85,6 +85,7 @@ BROADCAST_ALLOWED = {
     ("queries/olap2.py", "n1"),  # nation alias, fixed 25 rows
     ("queries/olap2.py", "n2"),  # nation alias, fixed 25 rows
     ("queries/olap2.py", "region"),  # fixed 5 rows
+    ("queries/behavior.py", "base"),  # scalar aggregate (1 row: corpus t0)
 }
 
 
