@@ -440,3 +440,61 @@ def q_stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("at_us").cast("bigint").alias("t_checksum"),
         )
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+WITH dup AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+  UNION ALL
+  SELECT user_id, event_type, event_id, epoch_us(ts) FROM events
+  WHERE event_id % 3 = 0)
+SELECT user_id, event_type, event_id, us
+FROM dup GROUP BY user_id, event_type, event_id, us
+""",
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``dropDuplicatesWithinWatermark`` end-to-end: the stream
+    carries every third event DUPLICATED (the at-least-once redelivery
+    shape), and the built-in watermark-bounded dedup must emit each
+    event_id exactly once — hash-matched against the batch DISTINCT of
+    the same duplicated input.  Unlike plain dropDuplicates (whose state
+    grows with every key ever seen), the WithinWatermark form expires key
+    state once the watermark passes it — the bounded-state guarantee that
+    makes streaming dedup viable over an unbounded feed.  Drained through
+    the append-mode parquet sink."""
+    import os
+    import tempfile
+    import uuid
+
+    from sqlserver_cdc_to_kafka_spark.streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "event_time",
+        F.unix_micros("event_time").alias("us"),
+    )
+    dup_stream = base.unionByName(base.filter(F.col("event_id") % 3 == 0))
+    deduped = (
+        dup_stream.withWatermark("event_time", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("user_id", "event_type", "event_id", "us")
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"dedupwm_{uuid.uuid4().hex[:12]}"
+    )
+    outdir = os.path.join(scratch, "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(outdir)
