@@ -184,3 +184,79 @@ def funnel_stateful(events: DataFrame, steps: tuple = FUNNEL_STEPS) -> DataFrame
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("us", LongType()),
+        StructField("running_n", LongType()),
+        StructField("running_value_micros", LongType()),
+    ]
+)
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Per-user LIFETIME running aggregates via ``transformWithStateInPandas``
+    — the Spark 4 stateful-processor API (typed ValueState handles, explicit
+    init/close lifecycle), distinct from the applyInPandasWithState surface
+    the sessionizer and funnel use.  Every event emits the user's running
+    event count and value total INCLUDING itself, in (us, event_id) order —
+    a running-aggregate changelog.  State = one (n, total) tuple per user,
+    carried across micro-batches; within a batch rows sort by event time
+    (bounded-replay ordering assumption, same as the sessionizer).
+
+    ENVIRONMENT GATE: the transformWithState runtime speaks protobuf to
+    the JVM; where google.protobuf is absent/broken the query START raises
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE) — hence this operator
+    is witnessed by a skippable test, not a registered driver query (this
+    container ships a broken protobuf; applyInPandasWithState operators
+    above need no protobuf and carry the registered stateful witnesses)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, total BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0
+            buf = []
+            for pdf in rows:
+                for ev_id, us, v in zip(
+                    pdf["event_id"], pdf["us"], pdf["v_micros"]
+                ):
+                    buf.append((int(us), int(ev_id), int(v)))
+            buf.sort()
+            out = []
+            for us, ev_id, v in buf:
+                n += 1
+                total += v
+                out.append((user_id, ev_id, us, n, total))
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "event_id", "us", "running_n",
+                    "running_value_micros",
+                ],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -111,3 +111,53 @@ def test_funnel_stateful_same_instant_ties_and_order(spark, tmp_path):
         (1, 3, 100),
         (2, 1, 100),
     }
+
+
+def test_running_totals_transform_with_state(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas operator: per-user running
+    totals must equal the batch prefix-sum window. Skips where the
+    transformWithState protobuf runtime is unavailable."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState runtime needs it")
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from sqlserver_cdc_to_kafka_spark.streaming.stateful import (
+        running_totals_stateful,
+    )
+
+    rows = [(1, 10, 100, 5), (1, 11, 200, 7), (2, 20, 150, 3), (1, 12, 300, 2)]
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        rows, columns=["user_id", "event_id", "us", "v_micros"]
+    ).to_parquet(src / "a.parquet")
+    batch = spark.read.parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = tmp_path / "out"
+    q = (
+        running_totals_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["event_id"]): (r["running_n"], r["running_value_micros"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {
+        (1, 10): (1, 5),
+        (1, 11): (2, 12),
+        (1, 12): (3, 14),
+        (2, 20): (1, 3),
+    }
