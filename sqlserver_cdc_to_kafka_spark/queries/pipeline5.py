@@ -1014,3 +1014,51 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(n_oov) * 1000000 div sum(n_tokens) as bigint)"
         ).alias("oov_ppm"),
     )
+
+
+_CV_FOLDS = 5
+
+
+@query(
+    "pipeline_cv_folds",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cv:42'), 1, 8)
+              AS BIGINT) % {_CV_FOLDS} AS fold
+  FROM documents)
+SELECT CAST(fold AS BIGINT) AS fold, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM assigned GROUP BY 1, 2
+""",
+)
+def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    salted-id-hash mod k — reproducible on any engine/partitioning (never
+    rand()), re-saltable per experiment, and INDEPENDENT of the
+    train/eval split hash and the shard hash (different salt → different
+    hash stream, so fold membership doesn't correlate with either).  The
+    per-(fold, source) counts audit balance; the id checksum pins exact
+    membership, not just sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cv:42"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CV_FOLDS
+    )
+    return (
+        docs.select("doc_id", "source", fold.alias("fold"))
+        .groupBy("fold", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
