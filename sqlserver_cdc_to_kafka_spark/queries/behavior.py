@@ -754,3 +754,64 @@ def q_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n * sum_xx - sum_x * sum_x) as bigint)"
         ).alias("slope_milli_per_hour"),
     )
+
+
+@query(
+    "events_correlation",
+    oracle="""
+WITH t0 AS (SELECT MIN(epoch_us(ts)) AS base_us FROM events),
+ev AS (SELECT event_type,
+              (epoch_us(ts) - base_us) // 3600000000 AS x,
+              CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y
+       FROM events, t0),
+mo AS (SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * y) AS BIGINT) AS sxy,
+              CAST(SUM(x * x) AS BIGINT) AS sxx,
+              CAST(SUM(y * y) AS BIGINT) AS syy
+       FROM ev GROUP BY event_type)
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS pearson_r
+FROM mo
+""",
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of value against time per event type — from the
+    SAME exact integer moment sums as the trend regression, so the only
+    float ops are the final per-group expression (int→double conversion,
+    two multiplies, sqrt, divide — every one IEEE-correctly-rounded, so
+    both engines produce the identical double, unlike corr()'s streaming
+    float accumulation which is order-dependent and engine-specific).
+    One hash aggregate; the statistic is assembled after it."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_micros(ev, "ts")
+    base = ev.agg(F.min(us).alias("base_us"))
+    evn = (
+        ev.select(
+            "event_type",
+            us.alias("us"),
+            (F.col("value").cast("decimal(18,3)") * 1000)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .crossJoin(F.broadcast(base))
+        .withColumn("x", F.expr("(us - base_us) div 3600000000"))
+    )
+    mo = evn.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return mo.select("event_type", "n", F.round(r, 6).alias("pearson_r"))
