@@ -498,3 +498,62 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination()
     return spark.read.parquet(outdir)
+
+
+_DG_SHORT_US = 300_000_000  # 5 min gap for click bursts
+_DG_LONG_US = 1_200_000_000  # 20 min gap otherwise
+
+
+@query(
+    "window_session_dynamic_gap",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN {_DG_SHORT_US}
+              ELSE {_DG_LONG_US} END AS gap
+  FROM events),
+marked AS (
+  SELECT user_id, us, gap,
+         CASE WHEN lag(us + gap) OVER w IS NULL
+              OR us >= max(us + gap) OVER (PARTITION BY user_id ORDER BY us
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+grouped AS (
+  SELECT user_id, us, gap,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us + gap) AS session_end_us,
+       COUNT(*) AS n_events
+FROM grouped GROUP BY user_id, sess
+""",
+)
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression — clicks extend a
+    session only 5 min, other events 20 min (burst interactions shouldn't
+    hold a session open as long as a purchase does).  Spark's
+    session_window accepts a gap COLUMN natively; the oracle reproduces
+    the exact semantics with gaps-and-islands where a new session starts
+    iff the event is at/after the MAX extent (us+gap) of all prior events
+    — note max-of-prefix, not lag: a long-gap event can outlast several
+    short-gap successors, which a lag-based oracle would get wrong."""
+    ev = _events_with_time(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "click",
+        F.expr(f"make_interval(0, 0, 0, 0, 0, 0, {_DG_SHORT_US / 1e6})"),
+    ).otherwise(F.expr(f"make_interval(0, 0, 0, 0, 0, 0, {_DG_LONG_US / 1e6})"))
+    return (
+        ev.groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
