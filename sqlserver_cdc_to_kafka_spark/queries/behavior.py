@@ -815,3 +815,63 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
     return mo.select("event_type", "n", F.round(r, 6).alias("pearson_r"))
+
+
+@query(
+    "events_winsorized_stats",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(SUM(CAST(CAST(
+              CASE WHEN value < lo THEN lo
+                   WHEN value > hi THEN hi
+                   ELSE value END AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+            AS BIGINT) AS winsorized_sum_micros
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type
+""",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) robust statistics per event type — the
+    outlier-hardened aggregate behind robust feature scaling and SLA
+    reporting.  Thresholds come from the exact interpolated percentile
+    (deterministic-double precedent pinned by olap_value_percentiles),
+    broadcast back as a per-group bound table; each value clips and the
+    clipped sum rides in exact integer micros.  Two passes by necessity
+    (quantiles before clipping); the bound table is |groups| rows, so the
+    join is broadcast-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy(F.col("event_type").alias("b_type")).agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = (
+        ev.join(bounds, ev.event_type == bounds.b_type)
+        .withColumn(
+            "w",
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value")),
+        )
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.sum((F.col("w").cast("decimal(18,6)") * 1_000_000).cast("bigint"))
+        .cast("bigint")
+        .alias("winsorized_sum_micros"),
+    )
