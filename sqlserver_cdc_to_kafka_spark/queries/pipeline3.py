@@ -729,3 +729,107 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle cap OFF; `incremental_dedup_status(max_doc_freq=N)` is the
     scale knob (see that docstring)."""
     return incremental_dedup_status(_docs(spark, sf_dir))
+
+
+_SEMDEDUP_COS = 0.4
+
+
+def _semdedup_oracle() -> str:
+    """SemDeDup oracle: the k-means CTE chain (same construction as
+    _kmeans_oracle) feeding a WITHIN-CLUSTER cosine pair join and the
+    greedy keep-lowest-id drop rule."""
+    base = _kmeans_oracle()
+    # reuse the full kmeans SQL as a subquery producing (vec_id, cid):
+    # strip its final SELECT and keep the CTE chain by rebuilding here
+    head, _, _tail = base.rpartition("SELECT cid, CAST(COUNT(*) AS BIGINT)")
+    assert head, "kmeans oracle shape changed"
+    return (
+        head
+        + f"""
+, ev AS (
+  SELECT f.vec_id, f.cid,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM final f JOIN embeddings e USING (vec_id)),
+pairs AS (
+  SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ev a JOIN ev b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_COS}),
+dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pairs)
+SELECT ev.cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM ev
+LEFT JOIN dropped d ON ev.vec_id = d.vec_id
+LEFT JOIN (SELECT cid, COUNT(*) AS n_pairs FROM pairs GROUP BY cid) p
+  ON ev.cid = p.cid
+GROUP BY ev.cid, p.n_pairs
+"""
+    )
+
+
+@query("pipeline_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al.: semantic dedup via embedding clustering):
+    k-means partitions the corpus, cosine near-dup pairs are sought ONLY
+    WITHIN clusters (the trick that makes semantic dedup sub-quadratic —
+    cross-cluster pairs are excluded by construction), and within each
+    pair the higher id drops (greedy keep-first).  Per cluster: vector
+    count, qualifying pair count, dropped count.  The within-cluster
+    self-join is bounded by the largest cluster, not the corpus; at 100 TB
+    k scales with corpus size to cap cluster width, and the pair pass
+    reuses the exact-cosine expressions of the ANN baseline."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.clustering import kmeans_fit
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
+        as_double_array,
+        dot,
+        l2_norm,
+    )
+
+    emb = _emb(spark, sf_dir)
+    assigned, _cents = kmeans_fit(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    ev = (
+        emb.join(assigned.select("vec_id", "cid"), "vec_id")
+        .select("vec_id", "cid", as_double_array("embedding").alias("v"))
+        .withColumn("n", l2_norm(F.col("v")))
+    )
+    a = ev.select(
+        F.col("cid").alias("p_cid"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = ev.select(
+        F.col("cid").alias("b_cid"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (a.p_cid == b.b_cid) & (a.vec_a < b.vec_b))
+        .withColumn(
+            "cos", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cos") >= _SEMDEDUP_COS)
+        .select(F.col("p_cid").alias("cid"), "vec_a", "vec_b")
+    )
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    pair_counts = pairs.groupBy("cid").agg(F.count("*").alias("n_pairs"))
+    return (
+        ev.join(dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .join(pair_counts, "cid", "left")
+        .select(
+            "cid",
+            "n_vectors",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            "n_dropped",
+        )
+    )
