@@ -1062,3 +1062,86 @@ def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+_HY_JACCARD = 0.3
+_HY_COS = 0.4
+
+
+@query(
+    "dedup_hybrid_consensus",
+    oracle=f"""
+WITH docsh AS (
+  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+    list_distinct(list_transform(range(1, len(words) - 1),
+                  i -> array_to_string(words[i:i+2], ' ')))
+    ELSE [] END AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+shingled AS (SELECT doc_id, unnest(shingles) AS shingle FROM docsh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM shingled a JOIN shingled b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+tpairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6)
+        >= {_HY_JACCARD}),
+ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+epairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_HY_COS}),
+u AS (
+  SELECT COALESCE(t.doc_a, e.doc_a) AS doc_a,
+         COALESCE(t.doc_b, e.doc_b) AS doc_b,
+         CASE WHEN t.doc_a IS NOT NULL AND e.doc_a IS NOT NULL THEN 'both'
+              WHEN t.doc_a IS NOT NULL THEN 'text_only'
+              ELSE 'embedding_only' END AS consensus
+  FROM tpairs t FULL OUTER JOIN epairs e
+    ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b)
+SELECT consensus, COUNT(*) AS n_pairs
+FROM u GROUP BY consensus
+""",
+)
+def q_hybrid_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID dedup consensus: near-dup pairs found by lexical 3-gram
+    Jaccard vs by embedding cosine, full-outer-joined into a three-way
+    agreement report (both / text_only / embedding_only) — the signal-
+    reconciliation audit run before committing to one dedup stack
+    (embedding-only pairs = paraphrases lexical dedup misses; text-only =
+    template twins whose embeddings diverge).  Joins exploit the aligned
+    doc_id/vec_id key space; each side reuses its standalone machinery
+    (inverted shingle index; exact cosine baseline — production swaps in
+    the LSH variant at scale, same interface)."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import ngram_jaccard_pairs
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
+        cosine_threshold_pairs,
+    )
+
+    docs = ensure_parallel(load_table(spark, sf_dir, "documents"))
+    emb = ensure_parallel(load_table(spark, sf_dir, "embeddings"))
+    tpairs = ngram_jaccard_pairs(docs, "doc_id", threshold=_HY_JACCARD).select(
+        "doc_a", "doc_b"
+    )
+    epairs = cosine_threshold_pairs(emb, "vec_id", "embedding", _HY_COS).select(
+        F.col("vec_a").alias("e_a"), F.col("vec_b").alias("e_b")
+    )
+    u = tpairs.join(
+        epairs,
+        (tpairs.doc_a == epairs.e_a) & (tpairs.doc_b == epairs.e_b),
+        "full_outer",
+    )
+    consensus = (
+        F.when(F.col("doc_a").isNotNull() & F.col("e_a").isNotNull(), "both")
+        .when(F.col("doc_a").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+    )
+    return (
+        u.select(consensus.alias("consensus"))
+        .groupBy("consensus")
+        .agg(F.count("*").alias("n_pairs"))
+    )
