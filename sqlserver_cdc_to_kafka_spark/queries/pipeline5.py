@@ -1145,3 +1145,58 @@ def q_hybrid_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("consensus")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT DISTINCT doc_id,
+              ws[i] || ' ' || ws[i+1] AS bigram
+       FROM toks, LATERAL unnest(range(1, len(ws))) AS t(i)),
+df AS (SELECT bigram, COUNT(*) AS docfreq FROM bg GROUP BY bigram),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN docfreq = 1 THEN 1 ELSE 0 END) AS n_unique_to_doc
+  FROM bg JOIN df USING (bigram) GROUP BY doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_unique_to_doc AS BIGINT) AS n_unique_to_doc,
+       CAST(n_unique_to_doc * 1000000 // n_bigrams AS BIGINT) AS novelty_ppm
+FROM per_doc WHERE n_bigrams > 0
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY score: per document, the fraction of its distinct
+    bigrams that occur in NO other document (corpus docfreq = 1) — the
+    self-information signal data curation uses opposite dedup: low
+    novelty ≈ boilerplate/templated, high novelty ≈ unique content worth
+    upweighting.  One bigram-explode feeds both the corpus doc-frequency
+    aggregate and the per-doc rollup (co-shuffled join on the bigram);
+    the ppm ratio is integer division.  The docfreq side is exactly the
+    inverted index the dedup ops build — same machinery, inverted
+    purpose."""
+    docs = ensure_parallel(load_table(spark, sf_dir, "documents"))
+    from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
+
+    bg = docs.select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("bigram")
+    )
+    df_tab = bg.groupBy("bigram").agg(F.count("*").alias("docfreq"))
+    per_doc = (
+        bg.join(df_tab, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0)).alias(
+                "n_unique_to_doc"
+            ),
+        )
+    )
+    return per_doc.filter(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("n_unique_to_doc").cast("bigint").alias("n_unique_to_doc"),
+        F.expr(
+            "cast(n_unique_to_doc * 1000000 div n_bigrams as bigint)"
+        ).alias("novelty_ppm"),
+    )
