@@ -11,6 +11,7 @@ from sqlserver_cdc_to_kafka_spark.queries import pipeline2  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import pipeline3  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import pipeline4  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import pipeline5  # noqa: F401
+from sqlserver_cdc_to_kafka_spark.queries import pipeline6  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import behavior  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import graph  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import pipeline  # noqa: F401

@@ -1,0 +1,491 @@
+"""Round-6 (continued) pipeline additions: tokenizer-training and
+curriculum/sampling operators a large-scale training-data pipeline needs.
+
+- BPE pair counting (the inner step of byte-pair-encoding tokenizer
+  training) run over the *word vocabulary* weighted by word frequency —
+  the classic compression that makes BPE training tractable at corpus
+  scale (pair counts shuffle O(|vocab|) rows, never O(corpus tokens)).
+- Tokenizer fertility audit (tokens per word / bytes per token by source)
+  — the go/no-go metric when choosing a tokenizer for a corpus mix.
+- Curriculum staging (difficulty-quartile assignment with deterministic
+  tie-breaks) for curriculum-learning schedules.
+- Log2 length histogram (sequence-length planning for packing/batching).
+- Quality-proportional rejection sampling with a per-source expected-vs-
+  actual audit — deterministic hash thresholding, NEVER rand().
+- ANN recall audit: measured recall@k of a deterministic sign-bucket
+  index against the exact cosine top-k — the evaluation loop that decides
+  whether an approximate index is good enough to replace brute force.
+
+All are engine-portable (md5-derived hashes, integer ppm ratios, rounded
+cosines with id tie-breaks) so the driver's hash-exact gate applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlserver_cdc_to_kafka_spark.registry import query
+from sqlserver_cdc_to_kafka_spark.tables import ensure_parallel, load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_parallel(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_bpe_pair_counts",
+    oracle="""
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+  FROM words, LATERAL unnest(range(1, CAST(length(word) AS BIGINT))) AS t(i)),
+agg AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+         CAST(COUNT(*) AS BIGINT) AS n_word_types
+  FROM pairs GROUP BY pair)
+SELECT pair, pair_count, n_word_types
+FROM agg
+QUALIFY row_number() OVER (ORDER BY pair_count DESC, pair) <= 40
+""",
+    bench=True,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training inner step: count adjacent symbol pairs over
+    the corpus and surface the top merge candidates.  Uses the standard
+    vocabulary compression: first reduce the corpus to a (word, freq)
+    table — one token explode + one shuffle on the word — then expand each
+    DISTINCT word into its adjacent character pairs and sum pair counts
+    weighted by word frequency.  At 100 TB the (word, freq) table is
+    bounded by vocabulary size (Heaps' law, ~millions), so the per-pair
+    shuffle is tiny no matter the corpus size; the raw-token explode
+    pre-aggregates map-side.  Top-40 by (count, pair) with the pair as a
+    deterministic tie-break."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1),"
+                   " i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("pair_count"),
+        F.count("*").cast("bigint").alias("n_word_types"),
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("pair", "pair_count", "n_word_types")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility
+# ---------------------------------------------------------------------------
+
+_TOK_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+@query(
+    "pipeline_tokenizer_fertility",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{_TOK_RE}')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+              AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_bytes
+  FROM documents
+  WHERE length(replace(text, ' ', '')) > 0)
+SELECT source,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(SUM(n_words) AS BIGINT) AS words,
+       CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+       CAST(SUM(n_tokens) * 1000000 // SUM(n_words) AS BIGINT)
+         AS fertility_ppm,
+       CAST(SUM(n_bytes) * 1000000 // SUM(n_tokens) AS BIGINT)
+         AS bytes_per_token_ppm
+FROM per_doc GROUP BY source
+""",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit per source: tokens-per-word and
+    bytes-per-token under a regex tokenizer (lowercase runs, single
+    digits, single punctuation — the GPT-2-style pre-tokenizer shape).
+    High fertility on a source means the tokenizer fragments it (costly
+    context window); the per-source rollup is what drives tokenizer
+    retraining or corpus re-weighting decisions.  Pure built-in
+    expressions (regexp_count + integer ppm ratios), single grouped
+    aggregate — one map-side-combinable shuffle at any scale."""
+    docs = _docs(spark, sf_dir).filter(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) > 0
+    )
+    per_doc = docs.select(
+        "source",
+        F.expr(f"cast(regexp_count(text, '{_TOK_RE}') as bigint)").alias(
+            "n_tokens"
+        ),
+        F.expr(
+            "cast(size(filter(split(text, ' '), w -> length(w) > 0)) as bigint)"
+        ).alias("n_words"),
+        F.length("text").cast("bigint").alias("n_bytes"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+        F.sum("n_words").cast("bigint").alias("words"),
+        F.sum("n_bytes").cast("bigint").alias("bytes"),
+        F.expr("cast(sum(n_tokens) * 1000000 div sum(n_words) as bigint)").alias(
+            "fertility_ppm"
+        ),
+        F.expr(
+            "cast(sum(n_bytes) * 1000000 div sum(n_tokens) as bigint)"
+        ).alias("bytes_per_token_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum staging
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_curriculum_stages",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(length(replace(text, ' ', '')) * 1000000
+              // len(list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0))
+              AS BIGINT) AS difficulty_ppm
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), w -> length(w) > 0)) > 0),
+staged AS (
+  SELECT doc_id, difficulty_ppm,
+         CAST(ntile(4) OVER (ORDER BY difficulty_ppm, doc_id) AS BIGINT)
+           AS stage
+  FROM scored)
+SELECT doc_id, difficulty_ppm, stage FROM staged
+""",
+)
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning STAGE assignment: score each document's
+    difficulty (mean word length in ppm — a cheap syntactic-complexity
+    proxy), then ntile(4) into easy→hard training stages with (score,
+    doc_id) ordering so ties are deterministic.  The global ntile is a
+    single total-order window — exact and fine up to ~1e9 rows; the 100 TB
+    path swaps the window for approxQuantile(difficulty, [.25,.5,.75])
+    thresholds (one pass, no global sort) at the cost of boundary-exact
+    stage sizes, same output schema.  Stage is the shuffle/sort key the
+    training dataloader consumes."""
+    docs = _docs(spark, sf_dir).filter(
+        F.expr("size(filter(split(text, ' '), w -> length(w) > 0)) > 0")
+    )
+    scored = docs.select(
+        "doc_id",
+        F.expr(
+            "cast(length(replace(text, ' ', '')) * 1000000 div "
+            "size(filter(split(text, ' '), w -> length(w) > 0)) as bigint)"
+        ).alias("difficulty_ppm"),
+    )
+    w = Window.orderBy("difficulty_ppm", "doc_id")
+    return scored.select(
+        "doc_id",
+        "difficulty_ppm",
+        F.ntile(4).over(w).cast("bigint").alias("stage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log2 length histogram
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_length_histogram",
+    oracle="""
+WITH b AS (
+  SELECT source,
+         CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+         n_chars
+  FROM documents WHERE n_chars > 0),
+h AS (
+  SELECT source, log2_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+  FROM b GROUP BY source, log2_bucket)
+SELECT source, log2_bucket, n_docs, sum_chars, min_chars, max_chars,
+       CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY log2_bucket
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_docs
+FROM h
+""",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG2 length histogram per source with a cumulative count — the
+    sequence-length distribution that sizes packing buckets and batch
+    shapes (how many docs fit a 2^k context window).  The bucket is
+    computed integer-exactly as bit-length minus one (length(bin(n)) - 1),
+    never floor(log2(x)) on doubles, so engines agree at exact powers of
+    two.  One grouped aggregate plus a tiny per-source window over ≤64
+    bucket rows — nothing here grows with corpus size except the first
+    map-side-combined shuffle."""
+    docs = _docs(spark, sf_dir)
+    b = docs.filter(F.col("n_chars") > 0).select(
+        "source",
+        (F.length(F.bin("n_chars")) - 1).cast("bigint").alias("log2_bucket"),
+        "n_chars",
+    )
+    h = b.groupBy("source", "log2_bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("log2_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return h.select(
+        "source",
+        "log2_bucket",
+        "n_docs",
+        "sum_chars",
+        "min_chars",
+        "max_chars",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-proportional rejection sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_rejection_sample",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                            w -> length(w) > 0))) * 100
+              // len(list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0))
+              AS BIGINT) AS quality_pct,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8) AS BIGINT)
+           % 100 AS coin
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), w -> length(w) > 0)) > 0)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.quality_pct) AS BIGINT) AS sum_quality_pct,
+       CAST(COUNT(*) FILTER (WHERE s.coin < s.quality_pct) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(s.quality_pct) // 100 AS BIGINT) AS expected_kept
+FROM scored s GROUP BY s.source
+""",
+)
+def q_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-PROPORTIONAL rejection sampling audit: each doc is kept
+    with probability quality/100 where quality is its type-token ratio
+    (distinct words / words, a lexical-diversity proxy), decided by a
+    deterministic md5 coin (chars 17-24 of the id hash — a hash slice
+    DISJOINT from the split and shard hashes, so sampling is independent
+    of both) — NEVER rand(): reruns, retries and any partitioning keep
+    the exact same docs.  The per-source audit compares actual keeps to
+    the analytic expectation sum(quality)/100, the drift check run after
+    every sampling job.  One scan, one grouped aggregate."""
+    docs = _docs(spark, sf_dir)
+    words = "filter(split(text, ' '), w -> length(w) > 0)"
+    docs = docs.filter(F.expr(f"size({words}) > 0"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"cast(size(array_distinct({words})) * 100 div size({words})"
+            " as bigint)"
+        ).alias("quality_pct"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        ).alias("coin"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("quality_pct").cast("bigint").alias("sum_quality_pct"),
+        F.sum(F.when(F.col("coin") < F.col("quality_pct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.expr("cast(sum(quality_pct) div 100 as bigint)").alias(
+            "expected_kept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+
+
+@query(
+    "ann_recall_audit",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST(CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS bucket
+  FROM embeddings),
+q AS (SELECT * FROM ev WHERE vec_id % 10 = 0 AND vec_id < 10000),
+exact AS (
+  SELECT vec_id, c_id FROM (
+    SELECT q.vec_id, c.vec_id AS c_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                      c.vec_id
+           ) AS rnk
+    FROM q JOIN ev c ON c.vec_id <> q.vec_id)
+  WHERE rnk <= {_RECALL_K}),
+cand AS (
+  SELECT q.vec_id, c.vec_id AS c_id, q.v AS qv, c.v AS cv
+  FROM q JOIN ev c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+ncand AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM cand GROUP BY vec_id),
+approx AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, c_id
+           ) AS rnk
+    FROM cand)
+  WHERE rnk <= {_RECALL_K}),
+hits AS (
+  SELECT e.vec_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact e JOIN approx a ON e.vec_id = a.vec_id AND e.c_id = a.c_id
+  GROUP BY e.vec_id)
+SELECT q.vec_id,
+       CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) * 1000000 // {_RECALL_K} AS BIGINT)
+         AS recall_ppm
+FROM q
+LEFT JOIN ncand n ON n.vec_id = q.vec_id
+LEFT JOIN hits h ON h.vec_id = q.vec_id
+""",
+)
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index RECALL@k audit: for a deterministic query sample (every
+    10th vector), compare the exact cosine top-{_RECALL_K} against the
+    top-{_RECALL_K} retrieved from a sign-bucket index (3 leading-
+    dimension signs → 8 buckets — the smallest honest stand-in for the
+    LSH/IVF candidate generators in pipeline/similarity.py, chosen here
+    because it is reproducible in portable SQL).  Output per query:
+    candidate-set size, hits, recall in ppm.  This is the evaluation loop
+    that gates replacing brute force with an approximate index.  Scale
+    shape: the query side is broadcast both times; the exact arm is the
+    documented O(q·n) baseline you run on a sample, the bucket arm's join
+    is an equality join on the bucket key.  Ranks tie-break on
+    (rounded cosine, id) so engines agree under float jitter."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
+        as_double_array,
+        dot,
+        l2_norm,
+    )
+
+    emb = ensure_parallel(load_table(spark, sf_dir, "embeddings"))
+    ev = emb.select(
+        "vec_id",
+        as_double_array("embedding").alias("v"),
+        (
+            F.when(F.element_at("embedding", 1) >= 0, 4).otherwise(0)
+            + F.when(F.element_at("embedding", 2) >= 0, 2).otherwise(0)
+            + F.when(F.element_at("embedding", 3) >= 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    q = ev.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 10000)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+
+    exact = (
+        ev.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RECALL_K)
+        .select("q_id", F.col("vec_id").alias("e_cid"))
+    )
+    cand = (
+        ev.join(
+            F.broadcast(q), F.col("bucket") == F.col("q_bucket"), "inner"
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+    )
+    ncand = cand.groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    approx = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RECALL_K)
+        .select(F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_cid"))
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.q_id == approx.a_qid) & (exact.e_cid == approx.a_cid),
+            "inner",
+        )
+        .groupBy(exact.q_id)
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    base = q.select(F.col("q_id").alias("vec_id"))
+    out = (
+        base.join(ncand, base.vec_id == ncand.q_id, "left")
+        .drop(ncand.q_id)
+        .join(hits, base.vec_id == hits.q_id, "left")
+        .drop(hits.q_id)
+    )
+    return out.select(
+        "vec_id",
+        F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias(
+            "n_candidates"
+        ),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.expr(
+            f"cast(coalesce(n_hit, 0) * 1000000 div {_RECALL_K} as bigint)"
+        ).alias("recall_ppm"),
+    )
