@@ -15,7 +15,7 @@ are epoch numbers — hashes identical under any session timezone."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
@@ -874,4 +874,157 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("w").cast("decimal(18,6)") * 1_000_000).cast("bigint"))
         .cast("bigint")
         .alias("winsorized_sum_micros"),
+    )
+
+
+@query(
+    "events_json_props_rollup",
+    oracle="""
+WITH ex AS (
+  SELECT event_type,
+         CAST(props->>'$.k' AS BIGINT) AS k
+  FROM events WHERE props IS NOT NULL)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM ex GROUP BY event_type
+""",
+)
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction + rollup: the events
+    feed carries a free-form ``props`` JSON payload (the reference
+    transports it opaquely; an analytics engine must open it).  Parsed
+    with an EXPLICIT schema via from_json — never schema inference, which
+    at 100 TB means a second full scan and nondeterministic drift as new
+    keys appear; unknown keys are simply not projected, malformed JSON
+    degrades to NULL (PERMISSIVE) and drops out via the filter.  The
+    extraction is a JVM-side expression (JsonToStructs) inside
+    whole-stage codegen — no Python, one map-side-combined shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k bigint")["k"]
+    ex = ev.filter(F.col("props").isNotNull()).select(
+        "event_type", k.alias("k")
+    )
+    return ex.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+            FROM events),
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS prev_type
+  FROM ev),
+t AS (SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS prob_ppm
+FROM t
+""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix over per-user event sequences:
+    lag(event_type) within each user's (ts, event_id)-ordered stream, then
+    a (prev, curr) count with row-normalized probabilities in integer ppm.
+    The per-user window partitions on user_id (no global sort); the
+    transition matrix is |types|² rows, so the normalizing window is
+    negligible.  This is the sequence-model feature extraction (next-event
+    prediction priors, anomalous-transition detection) run downstream of
+    the CDC event feed."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        epoch_micros(ev, "ts").alias("us"),
+        "event_id",
+    ).withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+        ),
+    )
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return t.select(
+        "prev_type",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "cast(n * 1000000 div sum(n) over (partition by prev_type)"
+            " as bigint)"
+        ).alias("prob_ppm"),
+    )
+
+
+_CAP_N = 10
+
+
+@query(
+    "events_contribution_cap",
+    oracle=f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS rn
+  FROM ev)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS raw_events,
+       CAST(COUNT(*) FILTER (WHERE rn <= {_CAP_N}) AS BIGINT)
+         AS capped_events,
+       CAST(SUM(cents) AS BIGINT) AS raw_value_cents,
+       CAST(COALESCE(SUM(cents) FILTER (WHERE rn <= {_CAP_N}), 0) AS BIGINT)
+         AS capped_value_cents
+FROM ranked GROUP BY event_type
+""",
+)
+def q_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CONTRIBUTION CAPPING (the differential-privacy /
+    robust-aggregation prep step): keep each user's earliest {_CAP_N}
+    events — rank by (ts, event_id) within user, deterministic — and
+    report raw-vs-capped counts and value sums per event type, so the
+    sensitivity of every downstream aggregate is bounded by the cap.
+    Value rides as integer cents (round(value*100) — two-decimal fixture
+    currency, identical IEEE arithmetic in both engines).  One per-user
+    window (partitioned, no global sort) + one hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        epoch_micros(ev, "ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+        ),
+    )
+    capped = F.col("rn") <= _CAP_N
+    return ranked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("raw_events"),
+        F.sum(F.when(capped, 1).otherwise(0)).cast("bigint").alias(
+            "capped_events"
+        ),
+        F.sum("cents").cast("bigint").alias("raw_value_cents"),
+        F.coalesce(F.sum(F.when(capped, F.col("cents"))), F.lit(0))
+        .cast("bigint")
+        .alias("capped_value_cents"),
     )
