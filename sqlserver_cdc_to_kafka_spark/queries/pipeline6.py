@@ -489,3 +489,77 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(coalesce(n_hit, 0) * 1000000 div {_RECALL_K} as bigint)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate overlap matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle="""
+WITH h AS (
+  SELECT md5(substr(text, 1, 80)) AS th, source,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+              ELSE a.c * b.c END AS np
+  FROM h a JOIN h b ON a.th = b.th AND a.source <= b.source
+  WHERE a.source < b.source OR (a.source = b.source AND a.c > 1))
+SELECT source_a, source_b, CAST(SUM(np) AS BIGINT) AS n_dup_pairs
+FROM pairs GROUP BY source_a, source_b
+""",
+)
+def q_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE duplicate overlap matrix — corpus forensics: for every
+    source pair (a ≤ b), how many duplicate document pairs (by leading-span fingerprint —
+    md5 of the first 80 chars, the cheap prefix key crawl forensics uses
+    because scraped copies share openings even when tails diverge) span
+    them.  High off-diagonal cells mean two crawls scraped the same sites
+    (drop one); high diagonal cells mean a source self-duplicates.
+
+    Never materializes document pairs: docs reduce to per-(hash, source)
+    COUNTS first, and the matrix sums c_a·c_b products over the hash join
+    — the join fan-out per hash is bounded by the number of sources
+    holding that text, so the shuffle is O(distinct texts · sources), not
+    O(duplicate pairs).  Same-source cells use C(c,2)."""
+    docs = _docs(spark, sf_dir)
+    h = docs.groupBy(
+        F.md5(F.substring("text", 1, 80)).alias("th"), "source"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    a = h.select(
+        F.col("th"),
+        F.col("source").alias("source_a"),
+        F.col("c").alias("ca"),
+    )
+    b = h.select(
+        F.col("th").alias("th_b"),
+        F.col("source").alias("source_b"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.th == b.th_b) & (a.source_a <= b.source_b),
+            "inner",
+        )
+        .filter(
+            (F.col("source_a") < F.col("source_b"))
+            | ((F.col("source_a") == F.col("source_b")) & (F.col("ca") > 1))
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("ca * (ca - 1) div 2"),
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .alias("np"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum("np").cast("bigint").alias("n_dup_pairs")
+    )
