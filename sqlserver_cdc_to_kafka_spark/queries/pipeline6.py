@@ -563,3 +563,97 @@ def q_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("source_a", "source_b").agg(
         F.sum("np").cast("bigint").alias("n_dup_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_threshold_sweep",
+    oracle="""
+WITH docsh AS (
+  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+    list_distinct(list_transform(range(1, len(words) - 1),
+                  i -> array_to_string(words[i:i+2], ' ')))
+    ELSE [] END AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+shingled AS (SELECT doc_id, unnest(shingles) AS shingle FROM docsh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM shingled a JOIN shingled b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+banded AS (
+  SELECT CAST(inter * 10 // (sa.sz + sb.sz - inter) AS BIGINT) AS band
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b),
+hist AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM banded GROUP BY band)
+SELECT band, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_pairs_at_or_above
+FROM hist
+""",
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD SENSITIVITY sweep: the full Jaccard-similarity
+    histogram of candidate pairs in integer deciles (band = ⌊10·J⌋), with
+    a descending cumulative column = exactly how many pairs a threshold
+    of band/10 would flag.  This is the one-pass answer to "what does
+    moving the dedup threshold from 0.8 to 0.7 cost?" — otherwise
+    answered by re-running the dedup once per candidate threshold.
+
+    Same single-shuffle inverted-index candidate generation as
+    ngram_jaccard_pairs (grouped shingle → in-group pair explode), no
+    similarity filter at the end — every co-shingled pair lands in one
+    decile bucket, the histogram is ≤11 rows, and the cumulative window
+    runs over those 11 rows on one partition."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", word_shingles("text").alias("shingles"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    idx = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    grouped = idx.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    pairs = (
+        grouped.filter(F.size("docs") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), y -> "
+                    "struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    banded = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr("cast(inter * 10 div (sz_a + sz_b - inter) as bigint)").alias(
+                "band"
+            )
+        )
+    )
+    hist = banded.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    w = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        "band",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_at_or_above"),
+    )
