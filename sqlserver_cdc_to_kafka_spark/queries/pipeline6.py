@@ -657,3 +657,120 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_at_or_above"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostic
+# ---------------------------------------------------------------------------
+
+@query(
+    "audit_key_skew",
+    oracle="""
+WITH freq AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys FROM freq),
+ranked AS (
+  SELECT user_id, n,
+         row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+  FROM freq)
+SELECT r.rnk AS rank, r.user_id, r.n,
+       CAST(r.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+       CAST(r.n * t.n_keys * 1000 // t.total AS BIGINT)
+         AS x1000_vs_uniform,
+       t.n_keys
+FROM ranked r CROSS JOIN tot t
+WHERE r.rnk <= 10
+""",
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW diagnostic — the "should this join be salted?"
+    report: top-10 heaviest keys of the events user_id (the engine's most
+    common join/window partition key) with each key's traffic share in
+    ppm and its multiple of the uniform expectation (×1000).  A key at
+    many times uniform is exactly what AQE's skew-join split or the
+    salted-join operator (operators/skew.py) exists for; this query is
+    the measurement that justifies turning either on.  Shape: one
+    map-side-combined count shuffle (|keys| rows), a scalar total, and a
+    top-10 over the per-key counts — the full-key frequency table never
+    leaves the executors unranked."""
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+    tot = freq.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), "user_id")),
+    ).filter(F.col("rank") <= 10)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "user_id",
+        "n",
+        F.expr("cast(n * 1000000 div total as bigint)").alias("share_ppm"),
+        F.expr("cast(n * n_keys * 1000 div total as bigint)").alias(
+            "x1000_vs_uniform"
+        ),
+        "n_keys",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest with order-independent checksums
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SHARDS = 16
+_CKSUM_MOD = 2_147_483_647
+
+
+@query(
+    "pipeline_shard_manifest",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS BIGINT)
+           % {_MANIFEST_SHARDS} AS shard,
+         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS content_h,
+         CAST(length(text) AS BIGINT) AS n_bytes
+  FROM documents)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(SUM(content_h) % {_CKSUM_MOD} AS BIGINT) AS content_checksum,
+       CAST(SUM(doc_id) % {_CKSUM_MOD} AS BIGINT) AS id_checksum
+FROM assigned GROUP BY shard
+""",
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATALOADER MANIFEST: per output shard (same content-stable hash as
+    pipeline_shard_assignment, so the two agree), the row count, byte
+    size, and two ORDER-INDEPENDENT checksums — a modular sum of per-doc
+    content hashes and of doc ids.  This is the artifact a training job
+    verifies before reading a shard (did the writer drop/duplicate/corrupt
+    rows?) and the equality witness between two independently-produced
+    copies of the corpus: commutative sums mean any partitioning or write
+    order yields the same manifest.  One grouped aggregate; the checksums
+    are 31-bit modular so they never overflow bigint accumulation."""
+    docs = _docs(spark, sf_dir)
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("bigint") % _MANIFEST_SHARDS
+    content_h = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    assigned = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        content_h.alias("content_h"),
+        F.length("text").cast("bigint").alias("n_bytes"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        (F.sum("content_h") % _CKSUM_MOD).cast("bigint").alias(
+            "content_checksum"
+        ),
+        (F.sum("doc_id") % _CKSUM_MOD).cast("bigint").alias("id_checksum"),
+    )
