@@ -774,3 +774,179 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum("doc_id") % _CKSUM_MOD).cast("bigint").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding distribution drift between splits
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_embedding_drift",
+    oracle="""
+WITH e AS (
+  SELECT d.source,
+         CASE WHEN CAST('0x' || substr(md5(CAST(v.vec_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 95
+              THEN 'train' ELSE 'eval' END AS split,
+         list_transform(v.embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
+pm AS (
+  SELECT source, split, CAST(i AS BIGINT) AS pos,
+         CAST(SUM(CAST(floor(vec[CAST(i AS INT)] * 1000000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sv
+  FROM e, LATERAL unnest(range(1, 1 + len(vec))) AS t(i)
+  GROUP BY 1, 2, 3),
+tr AS (SELECT source, pos, sv FROM pm WHERE split = 'train'),
+ev AS (SELECT source, pos, sv FROM pm WHERE split = 'eval'),
+dotp AS (
+  SELECT tr.source,
+         SUM(CAST(tr.sv AS DECIMAL(38,0)) * CAST(ev.sv AS DECIMAL(38,0)))
+           AS dp,
+         SUM(CAST(tr.sv AS DECIMAL(38,0)) * CAST(tr.sv AS DECIMAL(38,0)))
+           AS na,
+         SUM(CAST(ev.sv AS DECIMAL(38,0)) * CAST(ev.sv AS DECIMAL(38,0)))
+           AS nb
+  FROM tr JOIN ev ON tr.source = ev.source AND tr.pos = ev.pos
+  GROUP BY tr.source),
+counts AS (
+  SELECT source,
+         CAST(COUNT(*) FILTER (WHERE split = 'train') AS BIGINT)
+           AS n_train_vecs,
+         CAST(COUNT(*) FILTER (WHERE split = 'eval') AS BIGINT)
+           AS n_eval_vecs
+  FROM e GROUP BY source)
+SELECT c.source, c.n_train_vecs, c.n_eval_vecs,
+       ROUND(CAST(d.dp AS DOUBLE)
+             / (sqrt(CAST(d.na AS DOUBLE)) * sqrt(CAST(d.nb AS DOUBLE))),
+             6) AS centroid_cos
+FROM counts c JOIN dotp d ON c.source = d.source
+""",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DISTRIBUTION DRIFT between the train and eval splits, per
+    source: cosine between the two split centroids — the shift audit run
+    before trusting an eval set (centroid_cos ≪ 1 means the split is not
+    i.i.d. and eval loss will mislead).  Uses the same md5 split hash as
+    pipeline_split_train_eval so it audits the REAL split.
+
+    Hash-exact by construction: per-dimension values quantize to integer
+    micro-units (floor(x·1e6 + 0.5), the engine-portable rounding used by
+    the int8 quantizer) and only their exact integer SUMS cross the
+    shuffle; because cosine is scale-invariant, cos(centroid_a,
+    centroid_b) = cos(sum_a, sum_b), so no division by counts ever
+    happens and the one floating-point expression is the final cosine of
+    identical integers in both engines.  Shape: one posexplode shuffle to
+    (source, split, dim) — 64·|sources|·2 rows out — then a tiny join;
+    the raw embedding matrix is read once."""
+    emb = ensure_parallel(load_table(spark, sf_dir, "embeddings"))
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    e = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source",
+        F.when(bucket < 95, "train").otherwise("eval").alias("split"),
+        "embedding",
+    )
+    exploded = e.select(
+        "source",
+        "split",
+        F.posexplode(F.col("embedding")).alias("pos0", "x"),
+    ).select(
+        "source",
+        "split",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.floor(F.col("x").cast("double") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("micro"),
+    )
+    pm = exploded.groupBy("source", "split", "pos").agg(
+        F.sum("micro").cast("bigint").alias("sv")
+    )
+    tr = pm.filter(F.col("split") == "train").select(
+        "source", "pos", F.col("sv").alias("tv")
+    )
+    ev = pm.filter(F.col("split") == "eval").select(
+        F.col("source").alias("e_source"), F.col("pos").alias("e_pos"),
+        F.col("sv").alias("evv"),
+    )
+    joined = tr.join(
+        ev, (tr.source == ev.e_source) & (tr.pos == ev.e_pos)
+    ).select(
+        "source",
+        F.col("tv").cast("decimal(19,0)").alias("tv"),
+        F.col("evv").cast("decimal(19,0)").alias("evv"),
+    )
+    dotp = joined.groupBy("source").agg(
+        F.sum(F.col("tv") * F.col("evv")).alias("dp"),
+        F.sum(F.col("tv") * F.col("tv")).alias("na"),
+        F.sum(F.col("evv") * F.col("evv")).alias("nb"),
+    )
+    counts = e.groupBy("source").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train_vecs"),
+        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_eval_vecs"),
+    )
+    return counts.join(dotp, "source").select(
+        "source",
+        "n_train_vecs",
+        "n_eval_vecs",
+        F.round(
+            F.col("dp").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_compression_ratio",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         CAST(length(text) - 3 AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(list_transform(
+                range(1, CAST(length(text) AS BIGINT) - 2),
+                i -> substr(text, CAST(i AS INT), 4)))) AS BIGINT)
+           AS n_distinct
+  FROM documents WHERE length(text) >= 4)
+SELECT doc_id, n_grams, n_distinct,
+       CAST(n_distinct * 1000000 // n_grams AS BIGINT) AS distinct_ppm
+FROM g
+""",
+)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSIBILITY proxy quality signal: distinct character-4-grams
+    over total 4-grams per document, in ppm — the dependency-free stand-in
+    for the gzip-ratio filter every web-corpus pipeline runs (template/
+    boilerplate text compresses well → low distinct ratio → drop or
+    downweight).  Pure array expressions (transform + array_distinct),
+    no shuffle at all beyond the scan — embarrassingly parallel at any
+    scale."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 4)
+    return docs.select(
+        "doc_id",
+        (F.length("text") - 3).cast("bigint").alias("n_grams"),
+        F.expr(
+            "cast(size(array_distinct(transform("
+            "sequence(1, length(text) - 3),"
+            " i -> substring(text, i, 4)))) as bigint)"
+        ).alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.expr("cast(n_distinct * 1000000 div n_grams as bigint)").alias(
+            "distinct_ppm"
+        ),
+    )
