@@ -950,3 +950,154 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship policy
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_survivorship",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, n_chars, md5(substr(text, 1, 80)) AS grp
+  FROM documents),
+sized AS (SELECT grp, COUNT(*) AS n FROM fp GROUP BY grp HAVING COUNT(*) > 1),
+ranked AS (
+  SELECT fp.grp, fp.doc_id, fp.n_chars,
+         row_number() OVER (PARTITION BY fp.grp
+                            ORDER BY fp.n_chars DESC, fp.doc_id) AS rnk
+  FROM fp JOIN sized USING (grp))
+SELECT grp AS group_hash,
+       CAST(MAX(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT)
+         AS canonical_doc_id,
+       CAST(MAX(CASE WHEN rnk = 1 THEN n_chars END) AS BIGINT)
+         AS canonical_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY grp
+""",
+)
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP policy: within each duplicate group (leading-span
+    fingerprint), keep the BEST document — longest content, doc_id as the
+    deterministic tie-break — not the arbitrary min-id the naive dedup
+    picks.  This is the curation-quality refinement every production
+    dedup ends up needing (the shortest copy is usually the truncated
+    scrape).  Per-group window partitioned on the fingerprint (no global
+    sort); groups are pre-filtered to size > 1 so the window only runs
+    over actual duplicates."""
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.substring("text", 1, 80)).alias("grp"),
+    )
+    sized = fp.groupBy("grp").agg(F.count("*").alias("n")).filter(
+        F.col("n") > 1
+    )
+    ranked = fp.join(sized, "grp").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        ),
+    )
+    return ranked.groupBy(F.col("grp").alias("group_hash")).agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("canonical_doc_id"),
+        F.max(F.when(F.col("rnk") == 1, F.col("n_chars")))
+        .cast("bigint")
+        .alias("canonical_chars"),
+        F.count("*").cast("bigint").alias("n_members"),
+        (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event dwell-time percentiles (exact, discrete)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_dwell_percentiles",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+            FROM events),
+gaps AS (
+  SELECT event_type,
+         us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS gap_us
+  FROM ev),
+g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+ranked AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM g)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS BIGINT)
+         AS p50_gap_us,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END) AS BIGINT)
+         AS p90_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM ranked GROUP BY event_type
+""",
+)
+def q_dwell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete dwell-time percentiles: the inter-event gap (time
+    since the user's previous event, attributed to the later event's
+    type) profiled as p50/p90/max per event type — the latency-
+    distribution audit behind session-gap and debounce threshold choices.
+    Percentiles are EXACT order statistics (value at rank ⌈p·n⌉ via
+    row_number), not percentile_approx: approximate sketches cannot pass
+    a hash-exact gate and the per-type rank window partitions on the
+    type, so nothing sorts globally.  Integer microseconds throughout."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        epoch_micros(ev, "ts").alias("us"),
+        "event_id",
+    )
+    gaps = base.withColumn(
+        "gap_us",
+        F.col("us")
+        - F.lag("us").over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    ranked = (
+        gaps.select("event_type", "gap_us")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("gap_us")
+            ),
+        )
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_us"))
+        )
+        .cast("bigint")
+        .alias("p50_gap_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("gap_us")
+            )
+        )
+        .cast("bigint")
+        .alias("p90_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
