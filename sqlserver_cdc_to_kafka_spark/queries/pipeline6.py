@@ -1101,3 +1101,178 @@ def q_dwell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence (market-basket lift)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_type_cooccurrence",
+    oracle="""
+WITH s AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+singles AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM s a JOIN s b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.n_both,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(p.n_both * u.n_users * 1000 // (sa.n * sb.n) AS BIGINT)
+         AS lift_x1000
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN u
+""",
+)
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type CO-OCCURRENCE with market-basket lift: for every type
+    pair, the number of users exhibiting both, and the lift ratio
+    P(a∧b)/(P(a)·P(b)) in integer thousandths — the association signal
+    behind recommendation and funnel-design decisions.  The self-join
+    runs on the DISTINCT (user, type) set — at most |types| rows per user
+    — so its size is bounded by 5·|users|, never |events|²; singles and
+    the user total are tiny broadcast relations."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("user_id", "event_type").distinct()
+    u = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    singles = s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = s.select("user_id", F.col("event_type").alias("type_a"))
+    b = s.select(
+        F.col("user_id").alias("b_uid"), F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.user_id == b.b_uid) & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .crossJoin(F.broadcast(u))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(n_both * n_users * 1000 div (n_a * n_b) as bigint)"
+            ).alias("lift_x1000"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order backlog time series (interval counting)
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_order_backlog",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS start_day
+  FROM orders),
+c AS (
+  SELECT l_orderkey,
+         CAST(MAX(epoch_us(l_shipdate) // 86400000000) AS BIGINT) AS end_day
+  FROM lineitem GROUP BY l_orderkey),
+iv AS (SELECT o.start_day, c.end_day
+       FROM o JOIN c ON c.l_orderkey = o.o_orderkey),
+deltas AS (
+  SELECT day, SUM(opened) AS n_opened, SUM(closed) AS n_closed
+  FROM (
+    SELECT start_day AS day, 1 AS opened, 0 AS closed FROM iv
+    UNION ALL
+    SELECT end_day + 1 AS day, 0 AS opened, 1 AS closed FROM iv) d
+  GROUP BY day)
+SELECT day,
+       CAST(n_opened AS BIGINT) AS n_opened,
+       CAST(n_closed AS BIGINT) AS n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
+                                           ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS backlog
+FROM deltas
+""",
+)
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order BACKLOG time series by interval counting: each order is open
+    from its order date until its last lineitem ships; the daily backlog
+    is the running sum of +1/−1 boundary deltas — the classic O(n)
+    interval-counting rewrite of the quadratic "count intervals covering
+    each day" join.  Raw orders/lineitems reduce to per-DAY deltas before
+    any ordered window runs, so the global cumulative sum touches only
+    |distinct days| rows (bounded by the calendar, ~2.4k here) — the same
+    bounded-domain exception the gap-fill queries document.  Day is
+    integer epoch-days; no session-timezone dependence."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.select(
+        "o_orderkey",
+        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
+        .cast("bigint")
+        .alias("start_day"),
+    )
+    c = li.select(
+        "l_orderkey",
+        (epoch_micros(li, "l_shipdate") / F.lit(86400000000))
+        .cast("bigint")
+        .alias("ship_day"),
+    ).groupBy("l_orderkey").agg(F.max("ship_day").alias("end_day"))
+    iv = o.join(c, o.o_orderkey == c.l_orderkey).select(
+        "start_day", "end_day"
+    )
+    deltas = (
+        iv.select(
+            F.col("start_day").alias("day"),
+            F.lit(1).alias("opened"),
+            F.lit(0).alias("closed"),
+        )
+        .unionAll(
+            iv.select(
+                (F.col("end_day") + 1).alias("day"),
+                F.lit(0).alias("opened"),
+                F.lit(1).alias("closed"),
+            )
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("opened").cast("bigint").alias("n_opened"),
+            F.sum("closed").cast("bigint").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return deltas.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .cast("bigint")
+        .alias("backlog"),
+    )
