@@ -1276,3 +1276,233 @@ def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("backlog"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-margin confidence audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_label_margin",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                  AS BIGINT)) AS vm
+  FROM embeddings),
+cent AS (
+  SELECT label, CAST(i AS BIGINT) AS pos,
+         CAST(SUM(vm[CAST(i AS INT)]) AS BIGINT) AS sv
+  FROM e, LATERAL unnest(range(1, 1 + len(vm))) AS t(i)
+  GROUP BY 1, 2),
+cnorm AS (
+  SELECT label,
+         SUM(CAST(sv AS DECIMAL(38,0)) * CAST(sv AS DECIMAL(38,0))) AS nc
+  FROM cent GROUP BY label),
+vx AS (
+  SELECT vec_id, label AS own_label, CAST(i AS BIGINT) AS pos,
+         vm[CAST(i AS INT)] AS x
+  FROM e, LATERAL unnest(range(1, 1 + len(vm))) AS t(i)),
+vnorm AS (
+  SELECT vec_id,
+         SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS nv
+  FROM vx GROUP BY vec_id),
+dots AS (
+  SELECT v.vec_id, v.own_label, c.label AS cand_label,
+         SUM(CAST(v.x AS DECIMAL(38,0)) * CAST(c.sv AS DECIMAL(38,0))) AS dp
+  FROM vx v JOIN cent c ON c.pos = v.pos
+  GROUP BY 1, 2, 3),
+cos AS (
+  SELECT d.vec_id, d.own_label, d.cand_label,
+         ROUND(CAST(d.dp AS DOUBLE)
+               / (sqrt(CAST(vn.nv AS DOUBLE)) * sqrt(CAST(cn.nc AS DOUBLE))),
+               6) AS c
+  FROM dots d
+  JOIN vnorm vn ON vn.vec_id = d.vec_id
+  JOIN cnorm cn ON cn.label = d.cand_label)
+SELECT vec_id, CAST(own_label AS BIGINT) AS label,
+       MAX(CASE WHEN cand_label = own_label THEN c END) AS own_cos,
+       MAX(CASE WHEN cand_label <> own_label THEN c END) AS best_other_cos,
+       ROUND(MAX(CASE WHEN cand_label = own_label THEN c END)
+             - MAX(CASE WHEN cand_label <> own_label THEN c END), 6)
+         AS margin
+FROM cos GROUP BY vec_id, own_label
+""",
+)
+def q_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-MARGIN confidence audit (nearest-class-mean classifier):
+    every vector's cosine to its OWN label centroid minus its best cosine
+    to any OTHER label centroid — negative margin flags probable label
+    noise, the per-example signal behind confident-learning cleanup.
+
+    Numerics follow pipeline_embedding_drift: vectors quantize once to
+    integer micro-units, centroids stay as exact integer SUM vectors
+    (cosine's scale-invariance makes dividing by counts unnecessary), dot
+    products and norms accumulate in decimal(38,0) so nothing overflows
+    at any corpus size, and the only float op is the final cosine of
+    identical integers.  The per-(vector, label) dot-product relation is
+    |vecs|·dim·|labels| exploded rows — co-shuffled on the dimension key,
+    map-side combinable, no quadratic anywhere."""
+    emb = ensure_parallel(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"
+        ).alias("vm"),
+    )
+    vx = e.select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.posexplode("vm").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "own_label",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "x",
+    )
+    cent = (
+        vx.groupBy(F.col("own_label").alias("label"), "pos")
+        .agg(F.sum("x").cast("bigint").alias("sv"))
+    )
+    dec = "decimal(38,0)"
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("sv").cast(dec) * F.col("sv").cast(dec)).alias("nc")
+    )
+    vnorm = vx.groupBy("vec_id").agg(
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("nv")
+    )
+    dots = (
+        vx.join(
+            cent.select(
+                F.col("label").alias("cand_label"),
+                F.col("pos").alias("c_pos"),
+                "sv",
+            ),
+            F.col("pos") == F.col("c_pos"),
+        )
+        .groupBy("vec_id", "own_label", "cand_label")
+        .agg(F.sum(F.col("x").cast(dec) * F.col("sv").cast(dec)).alias("dp"))
+    )
+    cos = (
+        dots.join(vnorm, "vec_id")
+        .join(cnorm, dots.cand_label == cnorm.label)
+        .select(
+            "vec_id",
+            "own_label",
+            "cand_label",
+            F.round(
+                F.col("dp").cast("double")
+                / (
+                    F.sqrt(F.col("nv").cast("double"))
+                    * F.sqrt(F.col("nc").cast("double"))
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    own = F.max(
+        F.when(F.col("cand_label") == F.col("own_label"), F.col("c"))
+    )
+    other = F.max(
+        F.when(F.col("cand_label") != F.col("own_label"), F.col("c"))
+    )
+    return cos.groupBy(
+        "vec_id", F.col("own_label").cast("bigint").alias("label")
+    ).agg(
+        own.alias("own_cos"),
+        other.alias("best_other_cos"),
+        F.round(own - other, 6).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-noise detection
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_knn_label_agreement",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+q AS (SELECT * FROM ev WHERE vec_id % 10 = 0 AND vec_id < 10000),
+nn AS (
+  SELECT vec_id, n_label FROM (
+    SELECT q.vec_id, c.label AS n_label,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                      c.vec_id
+           ) AS rnk
+    FROM q JOIN ev c ON c.vec_id <> q.vec_id)
+  WHERE rnk <= {_RECALL_K})
+SELECT q.vec_id, CAST(q.label AS BIGINT) AS label,
+       CAST(COUNT(*) FILTER (WHERE nn.n_label = q.label) AS BIGINT)
+         AS n_same_label,
+       CAST(COUNT(*) FILTER (WHERE nn.n_label = q.label) * 1000000
+            // {_RECALL_K} AS BIGINT) AS agree_ppm
+FROM q JOIN nn ON nn.vec_id = q.vec_id
+GROUP BY q.vec_id, q.label
+""",
+)
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN LABEL AGREEMENT — noisy-label detection: for the bounded query
+    sample, what fraction of each vector's exact top-{_RECALL_K} cosine
+    neighbors share its label.  Low agreement flags the examples
+    confident-learning workflows re-annotate first.  Same bounded-sample
+    broadcast + exact-top-k arm as ann_recall_audit (ranks tie-break on
+    (rounded cosine, id)); the label join rides the same row, so the
+    whole audit is one scan over the corpus per query batch."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
+        as_double_array,
+        dot,
+        l2_norm,
+    )
+
+    emb = ensure_parallel(load_table(spark, sf_dir, "embeddings"))
+    ev = emb.select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    q = ev.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 10000)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    nn = (
+        ev.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("n_label"),
+            cos.alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RECALL_K)
+    )
+    return nn.groupBy(
+        F.col("q_id").alias("vec_id"),
+        F.col("q_label").cast("bigint").alias("label"),
+    ).agg(
+        F.sum(F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_same_label"),
+        F.expr(
+            f"cast(sum(case when n_label = q_label then 1 else 0 end)"
+            f" * 1000000 div {_RECALL_K} as bigint)"
+        ).alias("agree_ppm"),
+    )
