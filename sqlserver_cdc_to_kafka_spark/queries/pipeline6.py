@@ -1,20 +1,18 @@
-"""Round-6 (continued) pipeline additions: tokenizer-training and
-curriculum/sampling operators a large-scale training-data pipeline needs.
+"""Round-6 (continued) pipeline additions — tokenizer-training, curriculum,
+sampling, and audit operators a large-scale training-data pipeline needs.
 
-- BPE pair counting (the inner step of byte-pair-encoding tokenizer
-  training) run over the *word vocabulary* weighted by word frequency —
-  the classic compression that makes BPE training tractable at corpus
-  scale (pair counts shuffle O(|vocab|) rows, never O(corpus tokens)).
-- Tokenizer fertility audit (tokens per word / bytes per token by source)
-  — the go/no-go metric when choosing a tokenizer for a corpus mix.
-- Curriculum staging (difficulty-quartile assignment with deterministic
-  tie-breaks) for curriculum-learning schedules.
-- Log2 length histogram (sequence-length planning for packing/batching).
-- Quality-proportional rejection sampling with a per-source expected-vs-
-  actual audit — deterministic hash thresholding, NEVER rand().
-- ANN recall audit: measured recall@k of a deterministic sign-bucket
-  index against the exact cosine top-k — the evaluation loop that decides
-  whether an approximate index is good enough to replace brute force.
+Text/tokenizer: BPE pair counting over the weighted word vocabulary;
+tokenizer fertility; compression-ratio (distinct 4-gram) quality signal.
+Curriculum & sampling: difficulty-quartile staging; log2 length histogram;
+quality-proportional rejection sampling (md5 coin, never rand()).
+Dedup forensics: cross-source duplicate matrix; Jaccard threshold sweep;
+survivorship policy (best-member canonical).
+Embedding audits: ANN recall@k vs exact top-k; train/eval centroid drift;
+label-margin and kNN label-agreement noise detection — all hash-exact via
+integer micro-unit sum vectors and decimal(38,0) accumulators.
+Scale ops: join-key skew diagnostic; shard manifest with commutative
+checksums; event-type co-occurrence lift; order-backlog interval counting;
+exact dwell-time percentiles.
 
 All are engine-portable (md5-derived hashes, integer ppm ratios, rounded
 cosines with id tie-breaks) so the driver's hash-exact gate applies.
@@ -1505,4 +1503,107 @@ def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(sum(case when n_label = q_label then 1 else 0 end)"
             f" * 1000000 div {_RECALL_K} as bigint)"
         ).alias("agree_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue coverage
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_revenue_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT o.o_custkey AS custkey, n.n_name AS nation,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev_cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT nation, custkey, rev_cents,
+         SUM(rev_cents) OVER (PARTITION BY nation
+                              ORDER BY rev_cents DESC, custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         SUM(rev_cents) OVER (PARTITION BY nation) AS tot_cents,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY rev_cents DESC, custkey) AS rnk
+  FROM rev),
+hit AS (
+  SELECT nation, rnk, cum_cents, tot_cents,
+         CASE WHEN cum_cents * 5 >= tot_cents * 4 THEN 1 ELSE 0 END
+           AS covered
+  FROM ranked)
+SELECT nation,
+       CAST(MAX(rnk) AS BIGINT) AS n_customers,
+       CAST(MIN(CASE WHEN covered = 1 THEN rnk END) AS BIGINT)
+         AS n_for_80pct,
+       CAST(MIN(CASE WHEN covered = 1 THEN rnk END) * 1000000
+            // MAX(rnk) AS BIGINT) AS concentration_ppm
+FROM hit GROUP BY nation
+""",
+)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE PARETO concentration per nation: the smallest number of
+    customers whose (descending) revenue covers 80% of the nation's total
+    — the 80/20 concentration audit behind account-prioritization and
+    risk analysis.  The 80% test is integer-exact (cum·5 ≥ tot·4 on
+    cents, no float share).  Revenue first collapses to one row per
+    customer (hash aggregate), so the per-nation rank window runs over
+    customers, not lineitems; partitioning by nation keeps every sort
+    local to its group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,2)")
+                * 100
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    wcum = (
+        Window.partitionBy("nation")
+        .orderBy(F.col("rev_cents").desc(), "custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("nation")
+    wrnk = Window.partitionBy("nation").orderBy(
+        F.col("rev_cents").desc(), "custkey"
+    )
+    ranked = rev.select(
+        "nation",
+        F.sum("rev_cents").over(wcum).alias("cum_cents"),
+        F.sum("rev_cents").over(wtot).alias("tot_cents"),
+        F.row_number().over(wrnk).alias("rnk"),
+    ).withColumn(
+        "covered",
+        F.when(
+            F.col("cum_cents") * 5 >= F.col("tot_cents") * 4, 1
+        ).otherwise(0),
+    )
+    return ranked.groupBy("nation").agg(
+        F.max("rnk").cast("bigint").alias("n_customers"),
+        F.min(F.when(F.col("covered") == 1, F.col("rnk")))
+        .cast("bigint")
+        .alias("n_for_80pct"),
+        F.expr(
+            "cast(min(case when covered = 1 then rnk end) * 1000000"
+            " div max(rnk) as bigint)"
+        ).alias("concentration_ppm"),
     )
