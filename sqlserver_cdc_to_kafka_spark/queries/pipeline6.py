@@ -1607,3 +1607,87 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div max(rnk) as bigint)"
         ).alias("concentration_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary pruning sweep (coverage curve)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SWEEP = (16, 32, 64, 128)
+
+
+@query(
+    "pipeline_vocab_prune_sweep",
+    oracle=f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w),
+ranked AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n DESC, w) AS rnk,
+         SUM(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+  FROM freq),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_words FROM freq),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _VOCAB_SWEEP)}]) AS vocab_k)
+SELECT CAST(k.vocab_k AS BIGINT) AS vocab_k,
+       CAST(LEAST(k.vocab_k, t.n_words) AS BIGINT) AS n_vocab_words,
+       CAST(MAX(r.cum) AS BIGINT) AS covered_tokens,
+       t.total AS total_tokens,
+       CAST(MAX(r.cum) * 1000000 // t.total AS BIGINT) AS coverage_ppm
+FROM ks k CROSS JOIN tot t
+JOIN ranked r ON r.rnk <= k.vocab_k
+GROUP BY k.vocab_k, t.n_words, t.total
+""",
+)
+def q_vocab_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary PRUNING SWEEP — the tokenizer-sizing curve: corpus token
+    coverage at vocab sizes {_VOCAB_SWEEP}, from ONE frequency pass (the
+    per-K alternative re-joins the corpus once per candidate size).  The
+    rank/cumulative window runs over the word-frequency table — bounded
+    by vocabulary (Heaps' law), not corpus size — and each sweep point
+    reads its cumulative coverage off that one relation via a 4-row
+    broadcast join.  Integer ppm output."""
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wrank = Window.orderBy(F.col("n").desc(), "w")
+    ranked = freq.select(
+        "n",
+        F.row_number().over(wrank).alias("rnk"),
+        F.sum("n")
+        .over(wrank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    tot = freq.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_words"),
+    )
+    ks = docs.sparkSession.createDataFrame(
+        [(k,) for k in _VOCAB_SWEEP], "vocab_k int"
+    )
+    return (
+        ranked.join(
+            F.broadcast(ks), F.col("rnk") <= F.col("vocab_k"), "inner"
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("vocab_k").cast("bigint").alias("vocab_k"),
+            "n_words",
+            "total",
+        )
+        .agg(F.max("cum").cast("bigint").alias("covered_tokens"))
+        .select(
+            "vocab_k",
+            F.least(F.col("vocab_k"), F.col("n_words"))
+            .cast("bigint")
+            .alias("n_vocab_words"),
+            "covered_tokens",
+            F.col("total").alias("total_tokens"),
+            F.expr(
+                "cast(covered_tokens * 1000000 div total as bigint)"
+            ).alias("coverage_ppm"),
+        )
+    )
