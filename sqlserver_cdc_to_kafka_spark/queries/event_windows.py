@@ -557,3 +557,102 @@ def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "stream_markov_transitions_drain",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+            FROM events),
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS prev_type
+  FROM ev),
+t AS (SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS prob_ppm
+FROM t
+""",
+)
+def q_stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Markov transition matrix: events stream through the
+    ``applyInPandasWithState`` transition operator (per-user last-event
+    state carried across micro-batches, so boundary-straddling pairs are
+    never lost), drain to an append-mode parquet sink, and the drained
+    pair stream aggregates into the SAME matrix the batch lag() window
+    produces — hash-exact, because unlike sessionization no transition is
+    ever left open.  Types ride the state store as integer ranks (fixed-
+    width state rows); the rank→name map is a sorted 5-element broadcast."""
+    import os
+    import tempfile
+    import uuid
+
+    from sqlserver_cdc_to_kafka_spark.streaming.stateful import (
+        markov_transitions_stateful,
+    )
+    from sqlserver_cdc_to_kafka_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    types = tuple(
+        r.event_type
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .orderBy("event_type")
+        .collect()
+    )
+    ev = read_events_stream(spark, sf_dir)
+    stream = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("event_time").alias("us"),
+        "event_id",
+    )
+    pairs = markov_transitions_stateful(stream, types)
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"markovdrain_{uuid.uuid4().hex[:12]}"
+    )
+    outdir = os.path.join(scratch, "out")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.read.parquet(outdir)
+    names = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(types)], "r long, name string"
+    )
+    t = (
+        drained.join(
+            names.select(
+                F.col("r").alias("prev_rank"), F.col("name").alias("prev_type")
+            ),
+            "prev_rank",
+        )
+        .join(
+            names.select(
+                F.col("r").alias("curr_rank"),
+                F.col("name").alias("event_type"),
+            ),
+            "curr_rank",
+        )
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return t.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.expr(
+            "cast(n * 1000000 div sum(n) over (partition by prev_type)"
+            " as bigint)"
+        ).alias("prob_ppm"),
+    )

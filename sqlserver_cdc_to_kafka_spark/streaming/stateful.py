@@ -260,3 +260,73 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+TRANSITION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_rank", LongType()),
+        StructField("curr_rank", LongType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_rank", LongType()),
+    ]
+)
+
+
+def markov_transitions_stateful(
+    events: DataFrame, type_order: tuple[str, ...]
+) -> DataFrame:
+    """events(user_id, event_type, us, event_id) stream -> transition
+    stream: one (prev_rank, curr_rank) row per consecutive event pair in
+    each user's (us, event_id)-ordered history, with the LAST event
+    carried in the state store so pairs that straddle a micro-batch
+    boundary are still emitted — the live form of
+    events_markov_transitions (the batch lag() window).
+
+    Event types ride as integer ranks from the caller-supplied
+    ``type_order`` (state rows are fixed-width longs; the caller maps
+    ranks back to names).  Unlike sessionization nothing ever stays
+    pending: every transition is closed the moment its second event
+    arrives, so a bounded drain reproduces the batch matrix EXACTLY."""
+    rank = {t: i for i, t in enumerate(type_order)}
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_us, last_id, last_rank = state.get
+        else:
+            last_us = last_id = last_rank = None
+        rows: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            for us, ev_id, et in zip(
+                pdf["us"], pdf["event_id"], pdf["event_type"]
+            ):
+                rows.append((int(us), int(ev_id), rank[et]))
+        rows.sort()
+        out: list[tuple[int, int, int]] = []
+        for us, ev_id, r in rows:
+            if last_rank is not None:
+                out.append((user_id, last_rank, r))
+            last_us, last_id, last_rank = us, ev_id, r
+        if last_rank is not None:
+            state.update((last_us, last_id, last_rank))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "prev_rank", "curr_rank"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

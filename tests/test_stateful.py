@@ -161,3 +161,74 @@ def test_running_totals_transform_with_state(spark, tmp_path):
         (1, 12): (3, 14),
         (2, 20): (1, 3),
     }
+
+
+def test_markov_transitions_stateful_across_microbatches(spark, sf_dir, tmp_path):
+    """Boundary-straddling pairs: the last event of batch 1 must pair with
+    the first event of batch 2 via carried state — the transition multiset
+    must equal the batch lag() result exactly."""
+    from pyspark.sql import Window
+
+    from sqlserver_cdc_to_kafka_spark.streaming.stateful import (
+        markov_transitions_stateful,
+    )
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev_raw.select(
+        "user_id",
+        "event_type",
+        epoch_micros(ev_raw, "ts").alias("us"),
+        "event_id",
+    )
+    types = tuple(
+        r.event_type
+        for r in ev.select("event_type").distinct().orderBy("event_type").collect()
+    )
+    cut = ev.approxQuantile("us", [0.5], 0.001)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, part in enumerate(
+        [ev.filter(F.col("us") <= cut), ev.filter(F.col("us") > cut)]
+    ):
+        stage = tmp_path / f"mstage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copyfile(
+            next(stage.glob("part-*.parquet")), src / f"{chr(97 + i)}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        markov_transitions_stateful(stream, types)
+        .writeStream.format("memory")
+        .queryName("markov_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from collections import Counter
+
+    got = Counter(
+        (r["user_id"], r["prev_rank"], r["curr_rank"])
+        for r in spark.sql("SELECT * FROM markov_out").collect()
+    )
+    rank = {t: i for i, t in enumerate(types)}
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    batch = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("user_id", "prev_type", "event_type")
+        .collect()
+    )
+    want = Counter(
+        (r["user_id"], rank[r["prev_type"]], rank[r["event_type"]]) for r in batch
+    )
+    assert got == want
+    assert sum(got.values()) > 0
