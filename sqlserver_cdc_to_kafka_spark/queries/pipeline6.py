@@ -1691,3 +1691,68 @@ def q_vocab_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface witness (lateral chunk expansion)
+# ---------------------------------------------------------------------------
+
+_UDTF_CHUNK = 500
+_UDTF_STRIDE = 400
+
+
+@query(
+    "fn_udtf_chunker",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (SELECT doc_id, text,
+             unnest(range(0, 1 + (greatest(n - {_UDTF_CHUNK}, 0)
+                                  + {_UDTF_STRIDE} - 1)
+                             // {_UDTF_STRIDE})) AS idx
+      FROM d)
+SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+       CAST(length(substr(text, CAST(idx * {_UDTF_STRIDE} + 1 AS INT),
+                          {_UDTF_CHUNK})) AS BIGINT) AS chunk_chars,
+       md5(substr(text, CAST(idx * {_UDTF_STRIDE} + 1 AS INT),
+                  {_UDTF_CHUNK})) AS chunk_hash
+FROM c
+""",
+)
+def q_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface WITNESS: the overlapping chunker re-expressed
+    as a Spark 4 user-defined table function applied via SQL LATERAL —
+    one input row fans out to a variable number of output rows inside the
+    UDTF's ``eval`` generator, the API for expansions too irregular for
+    ``explode(transform(...))``.  Must stay hash-identical to the
+    pure-expression chunker (pipeline_chunk_overlap), which remains the
+    scale path: a UDTF crosses the Python boundary per row, so it's the
+    capability witness, not the hot path — same fencing rationale as the
+    Avro wire codec witness.  Defined inside the query fn (cloudpickle by
+    value, the repo's worker-import rule for Python-side code)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: bigint, chunk_chars: bigint, chunk_hash: string")
+    class Chunker:
+        def eval(self, text: str):
+            import hashlib
+
+            if text is None:
+                return
+            n = len(text)
+            n_chunks = 1 + max(0, (max(n - _UDTF_CHUNK, 0) + _UDTF_STRIDE - 1)
+                               // _UDTF_STRIDE)
+            for i in range(n_chunks):
+                piece = text[i * _UDTF_STRIDE: i * _UDTF_STRIDE + _UDTF_CHUNK]
+                yield (
+                    i,
+                    len(piece),
+                    hashlib.md5(piece.encode("utf-8")).hexdigest(),
+                )
+
+    spark.udtf.register("chunker_udtf", Chunker)
+    docs = _docs(spark, sf_dir)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_chars, c.chunk_hash "
+        "FROM _udtf_docs d, LATERAL chunker_udtf(d.text) c"
+    )
