@@ -780,6 +780,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_embedding_drift",
+    bench=True,
     oracle="""
 WITH e AS (
   SELECT d.source,
@@ -1282,6 +1283,7 @@ def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_label_margin",
+    bench=True,
     oracle="""
 WITH e AS (
   SELECT vec_id, label,
