@@ -11,7 +11,6 @@ from sqlserver_cdc_to_kafka_spark.queries import pipeline2  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import pipeline3  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import pipeline4  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import pipeline5  # noqa: F401
-from sqlserver_cdc_to_kafka_spark.queries import pipeline6  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import behavior  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import graph  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import pipeline  # noqa: F401
@@ -22,3 +21,7 @@ from sqlserver_cdc_to_kafka_spark.queries import cdc  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import event_windows  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import functions  # noqa: F401
 from sqlserver_cdc_to_kafka_spark.queries import joins  # noqa: F401
+# pipeline6 registers LAST: its round-6-continuation queries are the newest,
+# so in the never-driver-checked tier (ties broken by registration order)
+# they queue BEHIND queries that have been waiting since earlier sessions.
+from sqlserver_cdc_to_kafka_spark.queries import pipeline6  # noqa: F401
