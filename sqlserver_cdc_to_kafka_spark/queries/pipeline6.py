@@ -1758,3 +1758,135 @@ def q_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.chunk_chars, c.chunk_hash "
         "FROM _udtf_docs d, LATERAL chunker_udtf(d.text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket part affinity
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_basket_affinity",
+    oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_orders_both
+  FROM b a JOIN b b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2)
+SELECT part_a, part_b, n_orders_both
+FROM pairs
+QUALIFY row_number() OVER (ORDER BY n_orders_both DESC, part_a, part_b) <= 20
+""",
+)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET affinity: the top-20 part pairs most often bought in
+    the same order — the association-rule support count behind
+    cross-sell/bundling.  Baskets reduce to DISTINCT (order, part) first;
+    the within-order self-join fan-out is Σ C(|basket|,2), bounded by the
+    small per-order basket (≈4–7 parts on this schema) — linear in
+    orders, never |lineitem|².  The top-20 is a bounded
+    TakeOrderedAndProject over the pair counts, not a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b2 = b.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b2,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_orders_both"))
+    )
+    w = Window.orderBy(
+        F.col("n_orders_both").desc(), "part_a", "part_b"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("part_a", "part_b", "n_orders_both")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer churn gap
+# ---------------------------------------------------------------------------
+
+_CHURN_DAYS = 365
+
+
+@query(
+    "olap_customer_churn",
+    oracle=f"""
+WITH last_order AS (
+  SELECT o_custkey,
+         CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+           AS last_day
+  FROM orders GROUP BY o_custkey),
+horizon AS (SELECT CAST(MAX(last_day) AS BIGINT) AS end_day FROM last_order),
+gaps AS (
+  SELECT n.n_name AS nation, h.end_day - lo.last_day AS gap_days
+  FROM last_order lo
+  JOIN customer c ON c.c_custkey = lo.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  CROSS JOIN horizon h)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) FILTER (WHERE gap_days > {_CHURN_DAYS}) AS BIGINT)
+         AS n_churned,
+       CAST(COUNT(*) FILTER (WHERE gap_days > {_CHURN_DAYS}) * 1000000
+            // COUNT(*) AS BIGINT) AS churn_ppm,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps GROUP BY nation
+""",
+)
+def q_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer CHURN rollup: per nation, how many active customers have
+    not ordered within {_CHURN_DAYS} days of the corpus horizon (the max
+    last-order day — a scalar aggregate broadcast, so "today" is derived
+    from the data, not the wall clock: deterministic under replay).
+    Integer epoch-day arithmetic throughout; one aggregate per customer,
+    one per nation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    last_order = orders.select(
+        "o_custkey",
+        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
+        .cast("bigint")
+        .alias("day"),
+    ).groupBy("o_custkey").agg(F.max("day").alias("last_day"))
+    horizon = last_order.agg(
+        F.max("last_day").cast("bigint").alias("end_day")
+    )
+    gaps = (
+        last_order.join(cust, last_order.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.col("end_day") - F.col("last_day")).alias("gap_days"),
+        )
+    )
+    churned = F.sum(
+        F.when(F.col("gap_days") > _CHURN_DAYS, 1).otherwise(0)
+    )
+    return gaps.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        churned.cast("bigint").alias("n_churned"),
+        F.expr(
+            f"cast(sum(case when gap_days > {_CHURN_DAYS} then 1 else 0 end)"
+            " * 1000000 div count(*) as bigint)"
+        ).alias("churn_ppm"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+    )
