@@ -1890,3 +1890,126 @@ def q_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("churn_ppm"),
         F.max("gap_days").cast("bigint").alias("max_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search (user activity profiles)
+# ---------------------------------------------------------------------------
+
+_TS_DAY_US = 86_400_000_000
+
+
+@query(
+    "ts_user_similarity_topk",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us,
+              CAST((MAX(us) - MIN(us)) // {_TS_DAY_US} + 1 AS BIGINT)
+                AS n_buckets
+       FROM ev),
+counts AS (
+  SELECT user_id,
+         CAST((us - t0.start_us) // {_TS_DAY_US} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev CROSS JOIN t0 GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM ev),
+grid AS (
+  SELECT u.user_id, CAST(b AS BIGINT) AS bucket
+  FROM users u CROSS JOIN t0, LATERAL unnest(range(0, t0.n_buckets)) AS g(b)),
+dense AS (
+  SELECT g.user_id, g.bucket, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c
+    ON c.user_id = g.user_id AND c.bucket = g.bucket),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2
+  FROM dense a JOIN dense b
+    ON a.bucket = b.bucket AND a.user_id < b.user_id
+  GROUP BY 1, 2)
+SELECT user_a, user_b, dist2
+FROM pairs
+QUALIFY row_number() OVER (ORDER BY dist2, user_a, user_b) <= 20
+""",
+)
+def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES SIMILARITY search: each user becomes a daily activity-
+    count vector on a data-derived grid (min-timestamp origin — replay-
+    deterministic, no wall clock), and the top-20 most similar user pairs
+    are ranked by INTEGER squared-L2 distance — fully exact, no floats
+    anywhere.  This is the distributed form of the streaming-similarity
+    problem (EDBT'19 shape): profile vectors aggregate first (|users| ≪
+    |events|), the pair space is the documented exact baseline over the
+    aggregate, and the scale path reuses the sign-LSH banding from
+    pipeline/similarity.py over the same vectors.  Zero-filled grid via a
+    broadcast (user × bucket) frame so absent days count as distance, not
+    as missing rows; top-20 is a bounded TakeOrdered, never a global
+    sort."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", epoch_micros(events, "ts").alias("us")
+    )
+    t0 = ev.agg(
+        F.min("us").cast("bigint").alias("start_us"),
+        (
+            (F.max("us") - F.min("us")) / F.lit(_TS_DAY_US)
+        ).cast("bigint").alias("nb_minus"),
+    ).select(
+        "start_us", (F.col("nb_minus") + 1).alias("n_buckets")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "user_id",
+            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(t0)).select(
+        "user_id",
+        F.explode(F.expr("sequence(0, n_buckets - 1)")).alias("bucket"),
+    )
+    dense = (
+        grid.join(counts, ["user_id", "bucket"], "left")
+        .select(
+            "user_id", "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    a = dense.select(
+        F.col("user_id").alias("user_a"),
+        F.col("bucket").alias("ba"),
+        F.col("c").alias("ca"),
+    )
+    b = dense.select(
+        F.col("user_id").alias("user_b"),
+        F.col("bucket").alias("bb"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("user_a") < F.col("user_b")),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+            )
+            .cast("bigint")
+            .alias("dist2")
+        )
+    )
+    w = Window.orderBy("dist2", "user_a", "user_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("user_a", "user_b", "dist2")
+    )
