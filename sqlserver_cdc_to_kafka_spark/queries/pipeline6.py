@@ -2013,3 +2013,60 @@ def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("user_a", "user_b", "dist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Path mining: top event-type trigrams
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_top_paths",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+            FROM events),
+seq AS (
+  SELECT user_id, event_type AS t3,
+         lag(event_type, 1) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+paths AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+  FROM seq WHERE t1 IS NOT NULL GROUP BY 1)
+SELECT path, CAST(n AS BIGINT) AS n
+FROM paths
+QUALIFY row_number() OVER (ORDER BY n DESC, path) <= 15
+""",
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATH MINING: the 15 most common 3-step event-type sequences across
+    all user histories — the "what do users actually do" report that
+    seeds funnel definitions (events_funnel_conversion then measures the
+    chosen one).  Two lag() taps over one per-user window (partitioned,
+    ordered by (ts, event_id) — no global sort), a hash count on the
+    |types|³-bounded path space, and a bounded top-15."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_type",
+        epoch_micros(events, "ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).groupBy("path").agg(F.count("*").cast("bigint").alias("n"))
+    wtop = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 15)
+        .select("path", "n")
+    )
