@@ -2070,3 +2070,111 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 15)
         .select("path", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact KS drift statistic between splits
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_ks_length_drift",
+    oracle="""
+WITH d AS (
+  SELECT source, n_chars,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 95
+              THEN 1 ELSE 0 END AS is_train
+  FROM documents),
+tot AS (
+  SELECT source,
+         CAST(SUM(is_train) AS BIGINT) AS n_train,
+         CAST(SUM(1 - is_train) AS BIGINT) AS n_eval
+  FROM d GROUP BY source
+  HAVING SUM(is_train) > 0 AND SUM(1 - is_train) > 0),
+vals AS (
+  SELECT source, n_chars,
+         CAST(SUM(is_train) AS BIGINT) AS ct,
+         CAST(SUM(1 - is_train) AS BIGINT) AS ce
+  FROM d GROUP BY source, n_chars),
+cum AS (
+  SELECT source,
+         SUM(ct) OVER (PARTITION BY source ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS cum_t,
+         SUM(ce) OVER (PARTITION BY source ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS cum_e
+  FROM vals),
+ks AS (
+  SELECT c.source,
+         CAST(MAX(abs(c.cum_t * t.n_eval - c.cum_e * t.n_train)) AS BIGINT)
+           AS max_cross
+  FROM cum c JOIN tot t USING (source)
+  GROUP BY c.source)
+SELECT t.source, t.n_train, t.n_eval,
+       CAST(k.max_cross * 1000000 // (t.n_train * t.n_eval) AS BIGINT)
+         AS ks_ppm
+FROM tot t JOIN ks k USING (source)
+""",
+)
+def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov drift statistic between the
+    train and eval splits, per source, on the document-length
+    distribution — the text-side complement of pipeline_embedding_drift
+    (same md5 split hash, so it audits the REAL split).  The KS supremum
+    is computed INTEGER-EXACTLY: D = max |cumT·nE − cumE·nT| / (nT·nE)
+    over observed values, in ppm — no float CDFs, so the hash gate
+    applies.  Lengths first collapse to per-(source, value) counts, so
+    the ordered window runs over distinct lengths per source (bounded
+    domain), not over documents."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    d = docs.select(
+        "source",
+        "n_chars",
+        F.when(bucket < 95, 1).otherwise(0).alias("is_train"),
+    )
+    tot = (
+        d.groupBy("source")
+        .agg(
+            F.sum("is_train").cast("bigint").alias("n_train"),
+            F.sum(1 - F.col("is_train")).cast("bigint").alias("n_eval"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_eval") > 0))
+    )
+    vals = d.groupBy("source", "n_chars").agg(
+        F.sum("is_train").cast("bigint").alias("ct"),
+        F.sum(1 - F.col("is_train")).cast("bigint").alias("ce"),
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vals.select(
+        "source",
+        F.sum("ct").over(wcum).alias("cum_t"),
+        F.sum("ce").over(wcum).alias("cum_e"),
+    )
+    ks = (
+        cum.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_t") * F.col("n_eval")
+                    - F.col("cum_e") * F.col("n_train")
+                )
+            )
+            .cast("bigint")
+            .alias("max_cross")
+        )
+    )
+    return tot.join(ks, "source").select(
+        "source",
+        "n_train",
+        "n_eval",
+        F.expr(
+            "cast(max_cross * 1000000 div (n_train * n_eval) as bigint)"
+        ).alias("ks_ppm"),
+    )
