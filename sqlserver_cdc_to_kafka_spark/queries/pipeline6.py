@@ -2178,3 +2178,87 @@ def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(max_cross * 1000000 div (n_train * n_eval) as bigint)"
         ).alias("ks_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinctive vocabulary per source (keyness)
+# ---------------------------------------------------------------------------
+
+_KEY_MIN_COUNT = 20
+
+
+@query(
+    "text_source_keyness",
+    oracle=f"""
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+cws AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1, 2),
+cs AS (SELECT source, CAST(SUM(n) AS BIGINT) AS src_total
+       FROM cws GROUP BY source),
+cw AS (SELECT w, CAST(SUM(n) AS BIGINT) AS word_total FROM cws GROUP BY w),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS corpus_total FROM cws),
+scored AS (
+  SELECT c.source, c.w AS word, c.n,
+         CAST(c.n * t.corpus_total * 1000000
+              // (s.src_total * w.word_total) AS BIGINT) AS keyness_ppm
+  FROM cws c
+  JOIN cs s ON s.source = c.source
+  JOIN cw w ON w.w = c.w
+  CROSS JOIN tot t
+  WHERE c.n >= {_KEY_MIN_COUNT})
+SELECT source, word, n, keyness_ppm FROM scored
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY keyness_ppm DESC, word) <= 3
+""",
+)
+def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYNESS analysis — each source's most DISTINCTIVE vocabulary: the
+    lift p(word|source)/p(word|corpus) in integer ppm (observed·total /
+    (row-total·column-total) — the numerator of the chi-squared/log-odds
+    family, kept divisionless-exact), top-3 per source above a minimum
+    support.  This is the corpus-forensics report that names what a
+    source is actually about before mixing decisions.  One token explode
+    feeds all three aggregates; the scalar corpus total broadcasts; the
+    top-3 is a per-source window over the already-filtered scored
+    relation.  Headroom note: n·corpus_total·1e6 must stay under 2^63 —
+    true through ~1e5-doc-per-word corpora at 1e12 total tokens; past
+    that, promote the numerator to decimal(38,0) (one cast, both
+    engines), as pipeline_label_margin does."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    cws = toks.groupBy("source", "w").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    cs = cws.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("src_total")
+    )
+    cw = cws.groupBy("w").agg(
+        F.sum("n").cast("bigint").alias("word_total")
+    )
+    tot = cws.agg(F.sum("n").cast("bigint").alias("corpus_total"))
+    scored = (
+        cws.filter(F.col("n") >= _KEY_MIN_COUNT)
+        .join(cs, "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("w").alias("word"),
+            "n",
+            F.expr(
+                "cast(n * corpus_total * 1000000"
+                " div (src_total * word_total) as bigint)"
+            ).alias("keyness_ppm"),
+        )
+    )
+    wtop = Window.partitionBy("source").orderBy(
+        F.col("keyness_ppm").desc(), "word"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select("source", "word", "n", "keyness_ppm")
+    )
