@@ -158,3 +158,58 @@ def test_cross_source_matrix_symmetric_contract(spark, sf_dir):
     for r in rows:
         assert r.source_a <= r.source_b
         assert r.n_dup_pairs > 0
+
+
+def test_backlog_conservation(spark, sf_dir):
+    """Every order eventually closes, so the running backlog must return
+    to zero after the last delta day — the interval-counting conservation
+    law."""
+    rows = sorted(
+        _q("olap_order_backlog")(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert rows
+    assert rows[-1].backlog == 0
+    assert all(r.backlog >= 0 for r in rows)
+    assert sum(r.n_opened for r in rows) == sum(r.n_closed for r in rows)
+
+
+def test_pareto_bounds(spark, sf_dir):
+    for r in _q("olap_revenue_pareto")(spark, sf_dir).collect():
+        assert 1 <= r.n_for_80pct <= r.n_customers
+        assert 0 < r.concentration_ppm <= 1_000_000
+
+
+def test_ks_bounds(spark, sf_dir):
+    rows = _q("pipeline_ks_length_drift")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.ks_ppm <= 1_000_000
+
+
+def test_vocab_sweep_monotone(spark, sf_dir):
+    rows = sorted(
+        _q("pipeline_vocab_prune_sweep")(spark, sf_dir).collect(),
+        key=lambda r: r.vocab_k,
+    )
+    assert len(rows) == 4
+    for a, b in zip(rows, rows[1:]):
+        assert b.covered_tokens >= a.covered_tokens
+        assert b.coverage_ppm >= a.coverage_ppm
+    assert rows[-1].coverage_ppm <= 1_000_000
+
+
+def test_ts_similarity_ordering(spark, sf_dir):
+    rows = _q("ts_user_similarity_topk")(spark, sf_dir).collect()
+    assert len(rows) == 20
+    dists = [r.dist2 for r in rows]
+    assert all(d >= 0 for d in dists)
+    for r in rows:
+        assert r.user_a < r.user_b
+
+
+def test_embedding_drift_cosine_range(spark, sf_dir):
+    rows = _q("pipeline_embedding_drift")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.centroid_cos <= 1.0
+        assert r.n_train_vecs > 0 and r.n_eval_vecs >= 0
