@@ -428,6 +428,7 @@ _HOUR_US_GF = 3_600_000_000
 
 @query(
     "events_gapfill_hourly",
+    bench=True,
     oracle=f"""
 WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
 spans AS (SELECT user_id,

@@ -147,6 +147,7 @@ def q_window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "topk_orders_per_priority",
+    bench=True,
     oracle="""
 SELECT o_orderpriority, o_orderkey, o_totalprice,
        CAST(row_number() OVER (PARTITION BY o_orderpriority

@@ -1073,6 +1073,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "maintenance_compaction_plan",
+    bench=True,
     oracle="""
 WITH listing AS (
   SELECT source, 'doc_' || CAST(doc_id AS VARCHAR) AS file, n_chars AS bytes
@@ -1269,6 +1270,7 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "audit_table_stats",
+    bench=True,
     oracle="""
 SELECT * FROM (
   SELECT 'orders' AS table_name, COUNT(*) AS n_rows,

@@ -1901,6 +1901,7 @@ _TS_DAY_US = 86_400_000_000
 
 @query(
     "ts_user_similarity_topk",
+    bench=True,
     oracle=f"""
 WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
 t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us,
