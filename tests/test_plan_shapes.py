@@ -23,6 +23,7 @@ BNLJ_ALLOWED = {
     "sketch_quantile_histogram",  # broadcast 3-row quantile probes
     "pipeline_kmeans_centroids",  # broadcast k-row centroid matrix (assignment pass)
     "text_tfidf_topterms",  # broadcast 1-row corpus-size aggregate (scalar join)
+    "ts_user_similarity_topk",  # broadcast 1-row grid-origin scalar (t0)
 }
 
 
@@ -45,7 +46,11 @@ def test_bench_plans_have_no_scale_antipatterns(spark, sf_dir):
             # the child (next plan line) must be a partial SCALAR aggregate:
             # the funnel then carries one row per map task, not the data
             child = lines[i + 1] if i + 1 < len(lines) else ""
-            assert re.search(r"HashAggregate\(keys=\[\], functions=\[partial_", child), (
+            # partial_ (2-phase) or merge_ (multi-phase, e.g. distinct-agg
+            # funnels) — both carry one row per upstream task, not the data
+            assert re.search(
+                r"HashAggregate\(keys=\[\], functions=\[(partial_|merge_)", child
+            ), (
                 f"{name}: Exchange SinglePartition over a non-scalar child "
                 f"({child.strip()[:80]}) — a global sort/window funnel"
             )
