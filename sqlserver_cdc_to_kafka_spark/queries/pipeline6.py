@@ -2263,3 +2263,166 @@ def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", "word", "n", "keyness_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tolerance-bounded as-of join (incident attribution)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+            FROM events),
+p AS (SELECT user_id, us, event_id FROM ev WHERE event_type = 'purchase'),
+e AS (SELECT user_id, us AS err_us FROM ev WHERE event_type = 'error'),
+m AS (
+  SELECT p.user_id, p.event_id, p.us,
+         MAX(e.err_us) AS last_err_us
+  FROM p LEFT JOIN e
+    ON e.user_id = p.user_id AND e.err_us <= p.us
+  GROUP BY 1, 2, 3)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(*) FILTER (
+         WHERE last_err_us IS NOT NULL
+           AND us - last_err_us <= {_ASOF_TOL_US}) AS BIGINT)
+         AS n_after_recent_error,
+       CAST(COUNT(*) FILTER (
+         WHERE last_err_us IS NOT NULL
+           AND us - last_err_us <= {_ASOF_TOL_US}) * 1000000
+         // COUNT(*) AS BIGINT) AS flagged_ppm
+FROM m GROUP BY user_id
+""",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOLERANCE-BOUNDED as-of join — incident attribution: each purchase
+    looks up the user's latest PRIOR error, but only counts it if within
+    a 1-hour tolerance (the sensor-fusion/alert-correlation refinement of
+    a plain as-of: stale matches are noise, not signal).  Reuses the
+    union-and-carry as-of operator (one co-partitioned window, no range
+    join explosion); the tolerance is a post-carry filter, so the join
+    cost is identical to the unbounded as-of.  Per-user rollup in
+    integer ppm."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+    from sqlserver_cdc_to_kafka_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_type",
+        epoch_micros(events, "ts").alias("us"),
+        "event_id",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us", "event_id"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("us").alias("err_us")
+    ).groupBy("user_id", "err_us").agg(F.count("*").alias("_n"))
+    matched = asof_join(
+        p,
+        e.select("user_id", "err_us"),
+        on=["user_id"],
+        left_time="us",
+        right_time="err_us",
+        right_payload=["err_us"],
+        how="left",
+    )
+    flagged = F.sum(
+        F.when(
+            F.col("err_us").isNotNull()
+            & (F.col("us") - F.col("err_us") <= _ASOF_TOL_US),
+            1,
+        ).otherwise(0)
+    )
+    return matched.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        flagged.cast("bigint").alias("n_after_recent_error"),
+        F.expr(
+            f"cast(sum(case when err_us is not null and us - err_us <= "
+            f"{_ASOF_TOL_US} then 1 else 0 end) * 1000000 div count(*)"
+            " as bigint)"
+        ).alias("flagged_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy mixture-budget allocation
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_mixture_budget",
+    oracle="""
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0))) AS BIGINT) AS tokens,
+         CAST(SUM(len(list_distinct(list_filter(string_split(text, ' '),
+                                    w -> length(w) > 0))) * 100
+                  // greatest(len(list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0)), 1)) * 100
+              // COUNT(*) AS BIGINT) AS avg_quality_x100
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(tokens) // 2 AS BIGINT) AS budget FROM src),
+ranked AS (
+  SELECT source, tokens, avg_quality_x100,
+         COALESCE(SUM(tokens) OVER (
+           ORDER BY avg_quality_x100 DESC, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev
+  FROM src)
+SELECT r.source, r.tokens, r.avg_quality_x100,
+       CAST(GREATEST(0, LEAST(r.tokens, t.budget - r.cum_prev)) AS BIGINT)
+         AS allocated_tokens,
+       CAST(GREATEST(0, LEAST(r.tokens, t.budget - r.cum_prev)) * 1000000
+            // t.budget AS BIGINT) AS weight_ppm
+FROM ranked r CROSS JOIN tot t
+""",
+)
+def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY MIXTURE-BUDGET allocation: spend a 50%-of-corpus token
+    budget on sources in descending quality order (type-token ratio,
+    deterministic source tie-break), each source taking min(its tokens,
+    what's left) — the data-budget planning step (Chinchilla-style) that
+    turns quality audits into actual mixture weights.  Entirely integer:
+    quality in basis points, the prefix-sum window runs over |sources|
+    rows, the budget is a broadcast scalar.  Output weights in ppm of
+    budget."""
+    words = "filter(split(text, ' '), w -> length(w) > 0)"
+    docs = _docs(spark, sf_dir)
+    src = docs.groupBy("source").agg(
+        F.expr(f"cast(sum(size({words})) as bigint)").alias("tokens"),
+        F.expr(
+            f"cast(sum(size(array_distinct({words})) * 100 div "
+            f"greatest(size({words}), 1)) * 100 div count(*) as bigint)"
+        ).alias("avg_quality_x100"),
+    )
+    tot = src.agg(
+        F.expr("cast(sum(tokens) div 2 as bigint)").alias("budget")
+    )
+    wprev = (
+        Window.orderBy(F.col("avg_quality_x100").desc(), "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = src.withColumn(
+        "cum_prev", F.coalesce(F.sum("tokens").over(wprev), F.lit(0))
+    )
+    alloc = F.greatest(
+        F.lit(0), F.least(F.col("tokens"), F.col("budget") - F.col("cum_prev"))
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "avg_quality_x100",
+        alloc.cast("bigint").alias("allocated_tokens"),
+        F.expr(
+            "cast(greatest(0, least(tokens, budget - cum_prev)) * 1000000"
+            " div budget as bigint)"
+        ).alias("weight_ppm"),
+    )
