@@ -69,6 +69,13 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--find-truncation-candidates", action="store_true")
     # progress_reset_tool analog (reference progress_reset_tool.py flags)
     p.add_argument("--reset-progress", action="store_true")
+    p.add_argument("--run-query", default=None, metavar="NAME[,NAME...]",
+                   help="run registered queries by name against --sf-dir and "
+                        "print rows as JSON lines (see --list-queries)")
+    p.add_argument("--list-queries", action="store_true",
+                   help="print every registered query name and exit")
+    p.add_argument("--limit", type=int, default=20,
+                   help="max rows printed per --run-query result")
     p.add_argument("--topic-names", default=None,
                    help="comma-separated topics for --reset-progress")
     p.add_argument("--progress-kind", default="change_rows",
@@ -209,9 +216,32 @@ def main(argv: Sequence[str] | None = None) -> int:
     if args.reset_progress:
         return _reset_progress(args)
 
+    if args.list_queries:
+        from sqlserver_cdc_to_kafka_spark.registry import load_all
+
+        for name in sorted(load_all()):
+            print(name)
+        return 0
+
     from sqlserver_cdc_to_kafka_spark.session import get_spark
 
     spark = get_spark("cdc-engine-cli")
+
+    if args.run_query:
+        from sqlserver_cdc_to_kafka_spark.registry import load_all
+
+        reg = load_all()
+        for name in (n.strip() for n in args.run_query.split(",")):
+            if name not in reg:
+                print(f"error: unknown query {name!r} (see --list-queries)",
+                      file=sys.stderr)
+                return 2
+            df = reg[name].fn(spark, args.sf_dir)
+            rows = df.limit(args.limit).collect()
+            _emit("query", name=name, n_shown=len(rows),
+                  rows=[r.asDict() for r in rows])
+        return 0
+
     read_only = (
         cfg.run_validations
         or cfg.report_progress_only

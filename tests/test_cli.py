@@ -132,3 +132,21 @@ def test_reset_progress_tool(spark, sf_dir, tmp_path, capsys):
     mb = MicroBatcher(feed, "orders_cdc", batch_size=700)
     mb._offset = sinks["orders_cdc"].last_progress()
     assert mb.run_once() == 700
+
+
+def test_run_query_and_list(spark, sf_dir, capsys):
+    rc = main(["--list-queries"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert "cdc_count_by_operation" in names and len(names) > 200
+
+    rc = main(["--run-query", "cdc_count_by_operation", "--sf-dir", sf_dir,
+               "--limit", "2"])
+    assert rc == 0
+    (row,) = [r for r in _emitted(capsys) if r["kind"] == "query"]
+    assert row["name"] == "cdc_count_by_operation"
+    assert 1 <= row["n_shown"] <= 2
+    assert all("__operation" in r for r in row["rows"])
+
+    rc = main(["--run-query", "no_such_query", "--sf-dir", sf_dir])
+    assert rc == 2
