@@ -2426,3 +2426,189 @@ def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div budget as bigint)"
         ).alias("weight_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling weekly active users (sliding distinct)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_weekly_active_users",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us FROM ev),
+ud AS (
+  SELECT DISTINCT user_id,
+         CAST((us - t0.start_us) // {_TS_DAY_US} AS BIGINT) AS day
+  FROM ev CROSS JOIN t0),
+days AS (SELECT DISTINCT day FROM ud),
+wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day)
+SELECT w.day, d.dau, w.wau,
+       CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+FROM wau w JOIN dau d ON d.day = w.day
+""",
+)
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling WEEKLY ACTIVE USERS with DAU/WAU stickiness: the sliding
+    COUNT DISTINCT that plain window frames cannot express (distinct
+    doesn't decompose over a sliding frame).  Events first collapse to
+    the DISTINCT (user, day) relation — the only thing that grows — and
+    the 7-day window becomes a bounded range join from the day grid onto
+    that relation (≤7 match days per grid day, |days| bounded by the
+    calendar).  All engines count the same exact distinct; stickiness
+    rides as integer ppm."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("user_id", epoch_micros(events, "ts").alias("us"))
+    t0 = ev.agg(F.min("us").cast("bigint").alias("start_us"))
+    ud = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "user_id",
+            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    wau = (
+        days.alias("d")
+        .join(
+            ud.alias("u"),
+            F.col("u.day").between(F.col("d.day") - 6, F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    return wau.join(dau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("cast(dau * 1000000 div wau as bigint)").alias(
+            "stickiness_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_hard_negatives",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+q AS (SELECT * FROM ev WHERE vec_id % 10 = 0 AND vec_id < 10000),
+scored AS (
+  SELECT q.vec_id, q.label AS q_label, c.vec_id AS c_id, c.label AS c_label,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
+  FROM q JOIN ev c ON c.vec_id <> q.vec_id),
+hard_neg AS (
+  SELECT vec_id, c_id AS hard_negative_id, cos AS hard_negative_cos
+  FROM (SELECT vec_id, c_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, c_id) AS rnk
+        FROM scored WHERE c_label <> q_label)
+  WHERE rnk = 1),
+pos AS (
+  SELECT vec_id, cos AS nearest_positive_cos
+  FROM (SELECT vec_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, c_id) AS rnk
+        FROM scored WHERE c_label = q_label)
+  WHERE rnk = 1)
+SELECT q.vec_id, CAST(q.label AS BIGINT) AS label,
+       h.hard_negative_id, h.hard_negative_cos, p.nearest_positive_cos,
+       ROUND(p.nearest_positive_cos - h.hard_negative_cos, 6) AS margin
+FROM q
+JOIN hard_neg h ON h.vec_id = q.vec_id
+JOIN pos p ON p.vec_id = q.vec_id
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: for each sampled
+    anchor, the most similar vector with a DIFFERENT label (the hard
+    negative a triplet/contrastive loss needs) and the most similar
+    same-label vector, with their margin — negative margin means the
+    hardest negative outranks every positive, the pairs that matter most
+    in batch construction.  Same bounded-sample broadcast scan as
+    ann_recall_audit; both rankings come from ONE scored relation (one
+    corpus pass), ranks tie-break on (rounded cosine, id)."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
+        as_double_array,
+        dot,
+        l2_norm,
+    )
+
+    emb = ensure_parallel(load_table(spark, sf_dir, "embeddings"))
+    ev = emb.select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    q = ev.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 10000)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    scored = (
+        ev.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("c_id"),
+            F.col("label").alias("c_label"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    hard_neg = (
+        scored.filter(F.col("c_label") != F.col("q_label"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("q_id").alias("hn_qid"),
+            F.col("c_id").alias("hard_negative_id"),
+            F.col("cos").alias("hard_negative_cos"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("c_label") == F.col("q_label"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("q_id").alias("p_qid"),
+            F.col("cos").alias("nearest_positive_cos"),
+        )
+    )
+    return (
+        q.join(hard_neg, q.q_id == hard_neg.hn_qid)
+        .join(pos, q.q_id == pos.p_qid)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("q_label").cast("bigint").alias("label"),
+            "hard_negative_id",
+            "hard_negative_cos",
+            "nearest_positive_cos",
+            F.round(
+                F.col("nearest_positive_cos") - F.col("hard_negative_cos"), 6
+            ).alias("margin"),
+        )
+    )
