@@ -2612,3 +2612,98 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth witness
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_window_suite",
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS pri,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+win AS (
+  SELECT pri, o_orderkey, day, cents,
+         row_number() OVER w AS rn,
+         CAST(rank() OVER (PARTITION BY pri ORDER BY cents DESC) AS BIGINT)
+           AS price_rank,
+         CAST(dense_rank() OVER (PARTITION BY pri ORDER BY cents DESC)
+              AS BIGINT) AS price_dense_rank,
+         ROUND(percent_rank() OVER (PARTITION BY pri ORDER BY cents), 6)
+           AS price_pct_rank,
+         ROUND(cume_dist() OVER (PARTITION BY pri ORDER BY cents), 6)
+           AS price_cume_dist,
+         CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_key,
+         CAST(last_value(o_orderkey) OVER
+                (PARTITION BY pri ORDER BY day, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS last_key,
+         CAST(nth_value(o_orderkey, 3) OVER
+                (PARTITION BY pri ORDER BY day, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS third_key
+  FROM o
+  WINDOW w AS (PARTITION BY pri ORDER BY day, o_orderkey))
+SELECT pri, o_orderkey, price_rank, price_dense_rank, price_pct_rank,
+       price_cume_dist, first_key, last_key, third_key
+FROM win WHERE rn <= 3
+""",
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW-FUNCTION breadth witness: rank, dense_rank, percent_rank,
+    cume_dist, first/last/nth_value with explicit full frames, all in one
+    partitioned pass over orders — the API-surface proof that every SQL
+    window shape a reference user relies on translates (the full-frame
+    last_value/nth_value is the classic correctness trap: the DEFAULT
+    frame stops at CURRENT ROW).  Partitioned by priority (no global
+    sort); output trimmed to 3 rows per partition by a row_number from
+    the same window definition."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
+        .cast("bigint")
+        .alias("day"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("pri").orderBy("day", "o_orderkey")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wprice = Window.partitionBy("pri").orderBy(F.col("cents").desc())
+    wprice_asc = Window.partitionBy("pri").orderBy("cents")
+    win = o.select(
+        "pri",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wprice).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(wprice).cast("bigint").alias("price_dense_rank"),
+        F.round(F.percent_rank().over(wprice_asc), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(wprice_asc), 6).alias("price_cume_dist"),
+        F.first("o_orderkey").over(w).cast("bigint").alias("first_key"),
+        F.last("o_orderkey").over(wfull).cast("bigint").alias("last_key"),
+        F.nth_value("o_orderkey", 3).over(wfull).cast("bigint").alias(
+            "third_key"
+        ),
+    )
+    return win.filter(F.col("rn") <= 3).select(
+        "pri",
+        "o_orderkey",
+        "price_rank",
+        "price_dense_rank",
+        "price_pct_rank",
+        "price_cume_dist",
+        "first_key",
+        "last_key",
+        "third_key",
+    )
