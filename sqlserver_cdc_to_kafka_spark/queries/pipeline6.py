@@ -2707,3 +2707,109 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_key",
         "third_key",
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert percentiles
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_funnel_timing",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, MIN(us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, MIN(us) AS t2 FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND us >= t1 GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, MIN(us) AS t3 FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND us >= t2 GROUP BY ev.user_id),
+gaps AS (
+  SELECT 'view_to_click' AS step, c.t2 - v.t1 AS gap_us
+  FROM c JOIN v USING (user_id)
+  UNION ALL
+  SELECT 'click_to_purchase', p.t3 - c.t2
+  FROM p JOIN c USING (user_id)),
+ranked AS (
+  SELECT step, gap_us,
+         row_number() OVER (PARTITION BY step ORDER BY gap_us) AS rn,
+         COUNT(*) OVER (PARTITION BY step) AS n
+  FROM gaps)
+SELECT step,
+       CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS BIGINT)
+         AS p50_gap_us,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END) AS BIGINT)
+         AS p90_gap_us
+FROM ranked GROUP BY step
+""",
+)
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel TIME-TO-CONVERT: exact p50/p90 of the gap between funnel
+    steps (first view → first subsequent click → first subsequent
+    purchase), the latency companion to events_funnel_conversion's
+    counts — slow conversion steps are where product work goes.  Same
+    shrinking min-aggregate chain as the funnel (each step joins only
+    prior completers), then exact order-statistic percentiles over the
+    per-user gaps (rank windows partitioned by step — converter counts,
+    not event counts)."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_type", epoch_micros(events, "ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("us") >= F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("us") >= F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    g1 = (
+        c.join(v, "user_id")
+        .select(
+            F.lit("view_to_click").alias("step"),
+            (F.col("t2") - F.col("t1")).alias("gap_us"),
+        )
+    )
+    g2 = (
+        p.join(c, "user_id")
+        .select(
+            F.lit("click_to_purchase").alias("step"),
+            (F.col("t3") - F.col("t2")).alias("gap_us"),
+        )
+    )
+    gaps = g1.unionByName(g2)
+    ranked = gaps.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("step").orderBy("gap_us")),
+    ).withColumn("n", F.count("*").over(Window.partitionBy("step")))
+    return ranked.groupBy("step").agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_us"))
+        )
+        .cast("bigint")
+        .alias("p50_gap_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("gap_us")
+            )
+        )
+        .cast("bigint")
+        .alias("p90_gap_us"),
+    )
