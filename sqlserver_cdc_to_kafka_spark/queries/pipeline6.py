@@ -2813,3 +2813,123 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Farthest-point-sampling coreset selection
+# ---------------------------------------------------------------------------
+
+_CORESET_K = 8
+
+
+def _coreset_oracle_sql(k: int) -> str:
+    """Generate the unrolled k-center greedy as chained CTEs: step i picks
+    the point with the largest running min-distance to the chosen set
+    (ties -> smallest id), exactly what the Spark driver loop does."""
+    dist = (
+        "list_sum(list_transform(range(1, 1 + len(e.vm)), "
+        "i -> (e.vm[CAST(i AS INT)] - c.vm[CAST(i AS INT)])"
+        " * (e.vm[CAST(i AS INT)] - c.vm[CAST(i AS INT)])))"
+    )
+    parts = [
+        """ev AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                  AS BIGINT)) AS vm
+  FROM embeddings)""",
+        "s0 AS (SELECT MIN(vec_id) AS c_id FROM ev)",
+        f"""d0 AS (
+  SELECT e.vec_id, CAST({dist} AS BIGINT) AS d
+  FROM ev e JOIN ev c ON c.vec_id = (SELECT c_id FROM s0))""",
+    ]
+    sel = ["SELECT 0 AS center_rank, (SELECT c_id FROM s0) AS vec_id, "
+           "CAST(0 AS BIGINT) AS sel_dist2"]
+    for i in range(1, k):
+        prev = f"d{i - 1}"
+        parts.append(
+            f"""s{i} AS (
+  SELECT vec_id, d FROM {prev} ORDER BY d DESC, vec_id LIMIT 1)"""
+        )
+        if i < k - 1:
+            parts.append(
+                f"""d{i} AS (
+  SELECT e.vec_id, LEAST(p.d, CAST({dist} AS BIGINT)) AS d
+  FROM ev e
+  JOIN {prev} p ON p.vec_id = e.vec_id
+  JOIN ev c ON c.vec_id = (SELECT vec_id FROM s{i}))"""
+            )
+        sel.append(
+            f"SELECT {i}, (SELECT vec_id FROM s{i}),"
+            f" CAST((SELECT d FROM s{i}) AS BIGINT)"
+        )
+    union = "\nUNION ALL\n".join(sel)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(center_rank AS BIGINT) AS center_rank, vec_id,"
+        f" sel_dist2 FROM ({union})"
+    )
+
+
+@query("pipeline_coreset_fps", oracle=_coreset_oracle_sql(_CORESET_K))
+def q_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORESET selection by farthest-point sampling (k-center greedy):
+    start from the smallest id, then repeatedly add the point FARTHEST
+    from the chosen set (largest running min-distance, smallest-id ties)
+    — the data-pruning/diversity-selection primitive (herding, active
+    learning seeds, k-center coresets).  Exact integer micro-unit
+    squared-L2 throughout, so the greedy trajectory is deterministic and
+    the oracle (the same greedy unrolled as chained SQL CTEs) must agree
+    step for step.
+
+    Scale shape: the corpus relation is cached once; each of the k
+    rounds is one distributed min-update pass plus a 1-row argmax
+    collect — driver state is k ids, same bounded-scalar pattern as the
+    k-means loop (clustering.py); k is a constant, never data-sized."""
+    emb = ensure_parallel(load_table(spark, sf_dir, "embeddings"))
+    ev = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"
+        ).alias("vm"),
+    ).persist()
+    try:
+        first = ev.agg(F.min("vec_id")).collect()[0][0]
+
+        def dist_to(center_vm):
+            c = F.array(*[F.lit(int(v)) for v in center_vm])
+            return F.aggregate(
+                F.zip_with(F.col("vm"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+
+        first_vm = ev.filter(F.col("vec_id") == first).collect()[0]["vm"]
+        chosen = [(0, first, 0)]
+        dists = ev.select(
+            "vec_id", dist_to(first_vm).cast("bigint").alias("d")
+        )
+        for rank in range(1, _CORESET_K):
+            nxt = (
+                dists.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()
+            )[0]
+            chosen.append((rank, nxt["vec_id"], int(nxt["d"])))
+            if rank < _CORESET_K - 1:
+                nxt_vm = ev.filter(F.col("vec_id") == nxt["vec_id"]).collect()[
+                    0
+                ]["vm"]
+                dists = (
+                    dists.join(ev, "vec_id")
+                    .select(
+                        "vec_id",
+                        F.least(
+                            F.col("d"), dist_to(nxt_vm).cast("bigint")
+                        ).alias("d"),
+                    )
+                )
+        return emb.sparkSession.createDataFrame(
+            chosen, "center_rank long, vec_id long, sel_dist2 long"
+        )
+    finally:
+        ev.unpersist()
