@@ -2933,3 +2933,90 @@ def q_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         ev.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) distinct sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_SPACE = 1 << 32
+
+
+@query(
+    "sketch_bottomk_distinct",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS hv
+  FROM (SELECT source, user_id FROM documents d
+        JOIN events e ON e.user_id = d.doc_id % 150) t),
+ranked AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n_hashes
+  FROM h)
+SELECT source,
+       CAST(MAX(n_hashes) AS BIGINT) AS exact_distinct,
+       CAST(MAX(CASE WHEN rnk = LEAST({_KMV_K}, n_hashes) THEN hv END)
+            AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN MAX(n_hashes) < {_KMV_K} THEN MAX(n_hashes)
+            ELSE ({_KMV_K} - 1) * {_KMV_SPACE}
+                 // MAX(CASE WHEN rnk = {_KMV_K} THEN hv END) END
+            AS BIGINT) AS kmv_estimate
+FROM ranked GROUP BY source
+""",
+)
+def q_bottomk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTTOM-K (KMV) distinct sketch: keep each group's {_KMV_K} smallest
+    member hashes; the k-th smallest estimates the distinct count as
+    (k−1)·H/h_k (H = hash space) — the mergeable alternative to HLL whose
+    union is just "merge and re-truncate", completing the sketch family
+    (HLL registers, count-min, Bloom, minhash, quantile).  The estimate
+    is INTEGER arithmetic on deterministic md5 slices, so unlike
+    float-registered sketches it is hash-exact across engines; groups
+    smaller than k report their exact count.  One distinct + one
+    partitioned rank window over ≤|distinct| rows."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    events = load_table(spark, sf_dir, "events")
+    joined = events.select("user_id").join(
+        docs, events.user_id == docs.doc_id % 150
+    )
+    h = joined.select(
+        "source",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    wr = Window.partitionBy("source").orderBy("hv")
+    wn = Window.partitionBy("source")
+    ranked = h.select(
+        "source",
+        "hv",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(wn).alias("n_hashes"),
+    )
+    kth = F.max(
+        F.when(
+            F.col("rnk") == F.least(F.lit(_KMV_K), F.col("n_hashes")),
+            F.col("hv"),
+        )
+    )
+    kth_full = F.max(F.when(F.col("rnk") == _KMV_K, F.col("hv")))
+    agg = ranked.groupBy("source").agg(
+        F.max("n_hashes").cast("bigint").alias("exact_distinct"),
+        kth.cast("bigint").alias("kth_hash"),
+        kth_full.cast("bigint").alias("kth_full"),
+    )
+    return agg.select(
+        "source",
+        "exact_distinct",
+        "kth_hash",
+        F.expr(
+            f"cast(case when exact_distinct < {_KMV_K} then exact_distinct"
+            f" else {(_KMV_K - 1) * _KMV_SPACE} div kth_full end as bigint)"
+        ).alias("kmv_estimate"),
+    )
