@@ -3020,3 +3020,81 @@ def q_bottomk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" else {(_KMV_K - 1) * _KMV_SPACE} div kth_full end as bigint)"
         ).alias("kmv_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate
+# ---------------------------------------------------------------------------
+
+_BOUNCE_GAP_US = 600_000_000  # 10 min, matches the session operators
+
+
+@query(
+    "events_bounce_rate",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= {_BOUNCE_GAP_US}
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev),
+grouped AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked),
+sizes AS (SELECT user_id, sess, COUNT(*) AS n_events
+          FROM grouped GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT)
+         AS n_bounces,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) * 1000000 // COUNT(*)
+            AS BIGINT) AS bounce_ppm,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM sizes
+""",
+)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session BOUNCE RATE: the fraction of sessions containing exactly
+    one event (10-minute inactivity gap, same constant as the session
+    operators so the metrics agree) — the canonical engagement KPI over
+    the sessionized stream.  Gaps-and-islands partitioned per user, then
+    one scalar rollup; integer ppm."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", epoch_micros(events, "ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    marked = ev.withColumn(
+        "new_sess",
+        (
+            (F.col("us") - F.lag("us").over(w) >= _BOUNCE_GAP_US)
+            | F.lag("us").over(w).isNull()
+        ).cast("int"),
+    )
+    grouped = marked.withColumn(
+        "sess",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sizes = grouped.groupBy("user_id", "sess").agg(
+        F.count("*").alias("n_events")
+    )
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.expr(
+            "cast(sum(case when n_events = 1 then 1 else 0 end) * 1000000"
+            " div count(*) as bigint)"
+        ).alias("bounce_ppm"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+    )
