@@ -596,7 +596,9 @@ SELECT band, n_pairs,
 FROM hist
 """,
 )
-def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_threshold_sweep(
+    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = None
+) -> DataFrame:
     """Dedup THRESHOLD SENSITIVITY sweep: the full Jaccard-similarity
     histogram of candidate pairs in integer deciles (band = ⌊10·J⌋), with
     a descending cumulative column = exactly how many pairs a threshold
@@ -618,6 +620,11 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = idx.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
+    if max_doc_freq is not None:
+        # stop-shingle cap (pipeline/dedup.py pattern): bounds the worst
+        # in-group pair explosion at web scale; OFF by default so the
+        # oracle histogram stays exact at test SFs
+        grouped = grouped.filter(F.size("docs") <= max_doc_freq)
     pairs = (
         grouped.filter(F.size("docs") > 1)
         .select(
@@ -1804,14 +1811,12 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("n_orders_both"))
     )
-    w = Window.orderBy(
+    # TakeOrderedAndProject (distributed top-N), NOT a row_number window:
+    # the pair relation is unbounded at scale and a global rank window
+    # would funnel it through one partition.
+    return pairs.orderBy(
         F.col("n_orders_both").desc(), "part_a", "part_b"
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("part_a", "part_b", "n_orders_both")
-    )
+    ).limit(20)
 
 
 # ---------------------------------------------------------------------------
@@ -2008,12 +2013,9 @@ def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist2")
         )
     )
-    w = Window.orderBy("dist2", "user_a", "user_b")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("user_a", "user_b", "dist2")
-    )
+    # distributed top-N over the unbounded pair relation (see
+    # olap_basket_affinity) — never a global rank window
+    return pairs.orderBy("dist2", "user_a", "user_b").limit(20)
 
 
 # ---------------------------------------------------------------------------
