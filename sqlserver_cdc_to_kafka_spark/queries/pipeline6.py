@@ -706,10 +706,14 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("total"),
         F.count("*").cast("bigint").alias("n_keys"),
     )
-    ranked = freq.withColumn(
+    # distributed top-10 first (TakeOrderedAndProject), THEN rank the 10
+    # surviving rows — a global rank window over the full key-frequency
+    # table would single-partition |keys| rows at scale
+    top10 = freq.orderBy(F.col("n").desc(), "user_id").limit(10)
+    ranked = top10.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.col("n").desc(), "user_id")),
-    ).filter(F.col("rank") <= 10)
+    )
     return ranked.crossJoin(F.broadcast(tot)).select(
         F.col("rank").cast("bigint").alias("rank"),
         "user_id",
