@@ -1,0 +1,136 @@
+"""Distributed EXACT order statistics without per-group sorts.
+
+The rank-window formulation of an exact percentile (row_number over a
+group partition) funnels every group's rows through one task — fine when
+groups are numerous and small, hostile when a handful of groups hold
+billions of rows.  This operator computes the k-th smallest value per
+group by DISTRIBUTED SELECTION instead:
+
+  pass 1 — per-(group, bucket) counts over a value-range grid (one
+           map-side-combined shuffle, output bounded by
+           |groups| · n_buckets, independent of row count);
+  pass 2 — for each group, the candidate bucket containing the target
+           rank is identified from the (tiny) bucket histogram, and the
+           residual rank is resolved by sorting ONLY that bucket's rows
+           (expected |rows| / n_buckets of the group, one bounded
+           TakeOrdered per group).
+
+Driver state is the bucket histogram — bounded by |groups| · n_buckets
+by construction, never by data size — the same bounded-scalar-collect
+contract as the k-means centroid loop (pipeline/clustering.py).  The
+operator therefore requires LOW-CARDINALITY groups (its intended use:
+per-event-type / per-step latency percentiles); for high-cardinality
+groups use the rank-window form, whose per-group rows are small.
+
+Values must be integers (the engine's exact-percentile queries already
+ride integer microseconds).  Rank semantics: ``k``-th smallest with
+k = ceil-style ranks like (n+1)//2, matching the rank-window queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_group_kth(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rank_fns: dict[str, Callable[[int], int]],
+    n_buckets: int = 1024,
+) -> list[tuple]:
+    """Return [(group, n, {label: value})] — for each group, the exact
+    k-th smallest ``value_col`` for every rank function in ``rank_fns``
+    (each maps the group row-count n -> target rank in [1, n])."""
+    base = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    stats = {
+        r["g"]: (r["lo"], r["hi"], r["n"])
+        for r in base.groupBy("g")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    # one bucket-count pass for ALL groups (not one job per group)
+    width_expr = F.create_map(
+        *[
+            x
+            for g, (lo, hi, _n) in stats.items()
+            for x in (
+                F.lit(g),
+                F.lit(max(1, (int(hi) - int(lo)) // n_buckets + 1)),
+            )
+        ]
+    )
+    lo_expr = F.create_map(
+        *[x for g, (lo, _hi, _n) in stats.items() for x in (F.lit(g), F.lit(int(lo)))]
+    )
+    counts = (
+        base.withColumn("w", width_expr[F.col("g")])
+        .withColumn("lo", lo_expr[F.col("g")])
+        .select(
+            "g",
+            ((F.col("v") - F.col("lo")) / F.col("w"))
+            .cast("bigint")
+            .alias("b"),
+        )
+        .groupBy("g", "b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    hist: dict = {}
+    for r in counts:
+        hist.setdefault(r["g"], []).append((r["b"], r["c"]))
+    out: list[tuple] = []
+    for g, (lo, hi, n) in stats.items():
+        w = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+        buckets = sorted(hist[g])
+        results: dict[str, int] = {}
+        for label, rank_fn in rank_fns.items():
+            k = rank_fn(int(n))
+            cum = 0
+            target_bucket, residual = None, None
+            for b, c in buckets:
+                if cum + c >= k:
+                    target_bucket, residual = b, k - cum
+                    break
+                cum += c
+            # residual-th smallest within the candidate bucket only
+            blo = int(lo) + int(target_bucket) * w
+            bhi = blo + w
+            vals = (
+                base.filter(
+                    (F.col("g") == g)
+                    & (F.col("v") >= blo)
+                    & (F.col("v") < bhi)
+                )
+                .orderBy("v")
+                .limit(int(residual))
+                .agg(F.max("v").alias("kth"))
+                .collect()
+            )
+            results[label] = int(vals[0]["kth"])
+        out.append((g, int(n), results))
+    return out
+
+
+def exact_group_percentiles_df(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    labels: Sequence[tuple[str, Callable[[int], int]]],
+    out_schema: str,
+) -> DataFrame:
+    """DataFrame wrapper: one output row per group with n and each
+    labelled order statistic (plus the group max, label '_max')."""
+    rank_fns = dict(labels)
+    rows = exact_group_kth(df, group_col, value_col, rank_fns)
+    data = [
+        tuple([g, n] + [res[label] for label, _ in labels]) for g, n, res in rows
+    ]
+    return df.sparkSession.createDataFrame(data, out_schema)

@@ -3104,3 +3104,76 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bounce_ppm"),
         F.max("n_events").cast("bigint").alias("max_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed-selection dwell percentiles (same answer, scalable plan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_dwell_percentiles_scalable",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+            FROM events),
+gaps AS (
+  SELECT event_type,
+         us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS gap_us
+  FROM ev),
+g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+ranked AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM g)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS BIGINT)
+         AS p50_gap_us,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END) AS BIGINT)
+         AS p90_gap_us
+FROM ranked GROUP BY event_type
+""",
+)
+def q_dwell_percentiles_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME exact dwell percentiles as events_dwell_percentiles,
+    computed by DISTRIBUTED SELECTION (operators/selection.py) instead of
+    a per-group rank window: a bucket-histogram pass bounded by
+    |groups|·1024 plus one tiny TakeOrdered inside the candidate bucket
+    per statistic — no group's full row set ever sorts through one task.
+    Same oracle as the window form, so the two physical strategies are
+    pinned value-identical; this pair is the engine's documented answer
+    to "exact percentiles over five groups holding billions of rows"."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+    from sqlserver_cdc_to_kafka_spark.operators.selection import (
+        exact_group_percentiles_df,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_type",
+        epoch_micros(events, "ts").alias("us"),
+        "event_id",
+    )
+    gaps = base.withColumn(
+        "gap_us",
+        F.col("us")
+        - F.lag("us").over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    return exact_group_percentiles_df(
+        gaps,
+        "event_type",
+        "gap_us",
+        [
+            ("p50_gap_us", lambda n: (n + 1) // 2),
+            ("p90_gap_us", lambda n: (9 * n + 9) // 10),
+        ],
+        "event_type string, n_gaps long, p50_gap_us long, p90_gap_us long",
+    )
