@@ -213,3 +213,35 @@ def test_embedding_drift_cosine_range(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r.centroid_cos <= 1.0
         assert r.n_train_vecs > 0 and r.n_eval_vecs >= 0
+
+
+def test_coreset_fps_distances_non_increasing(spark, sf_dir):
+    """k-center greedy invariant: each newly chosen point's selection
+    distance (max-min dist at choice time) can never exceed the previous
+    one — min-distances only shrink as centers are added."""
+    rows = sorted(
+        _q("pipeline_coreset_fps")(spark, sf_dir).collect(),
+        key=lambda r: r.center_rank,
+    )
+    assert len(rows) == 8
+    assert rows[0].sel_dist2 == 0
+    dists = [r.sel_dist2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert len({r.vec_id for r in rows}) == 8  # all distinct centers
+
+
+def test_kmv_estimate_sanity(spark, sf_dir):
+    """KMV bounds: small groups report exact counts; estimator stays
+    within a loose multiplicative band of the exact distinct."""
+    for r in _q("sketch_bottomk_distinct")(spark, sf_dir).collect():
+        if r.exact_distinct < 32:
+            assert r.kmv_estimate == r.exact_distinct
+        else:
+            assert 0.3 * r.exact_distinct <= r.kmv_estimate <= 3 * r.exact_distinct
+
+
+def test_bounce_rate_consistency(spark, sf_dir):
+    (r,) = _q("events_bounce_rate")(spark, sf_dir).collect()
+    assert 0 <= r.n_bounces <= r.n_sessions
+    assert r.bounce_ppm == r.n_bounces * 1_000_000 // r.n_sessions
+    assert r.max_session_events >= 1
