@@ -3177,3 +3177,153 @@ def q_dwell_percentiles_scalable(
         ],
         "event_type string, n_gaps long, p50_gap_us long, p90_gap_us long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer LTV by acquisition cohort
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_cohort_ltv",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+firsts AS (
+  SELECT o_custkey, CAST(MIN(day) // 365 AS BIGINT) AS cohort_year_idx
+  FROM o GROUP BY o_custkey),
+per_cust AS (
+  SELECT f.cohort_year_idx, o.o_custkey,
+         CAST(SUM(o.cents) AS BIGINT) AS spend_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM o JOIN firsts f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2)
+SELECT cohort_year_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend_cents) AS BIGINT) AS cohort_spend_cents,
+       CAST(SUM(spend_cents) // COUNT(*) AS BIGINT) AS avg_ltv_cents,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders
+FROM per_cust GROUP BY cohort_year_idx
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer LIFETIME VALUE by acquisition cohort: customers grouped
+    by the (epoch-day/365) index of their first order, with cohort size,
+    total and average spend in integer cents — the cohort-LTV table
+    revenue planning reads.  Two hash aggregates (per-customer, then
+    per-cohort) joined on the customer key; day arithmetic is integer
+    epoch-days (replay-deterministic, timezone-free)."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
+        .cast("bigint")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.expr("cast(min(day) div 365 as bigint)").alias("cohort_year_idx")
+    )
+    per_cust = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_year_idx", "o_custkey")
+        .agg(
+            F.sum("cents").cast("bigint").alias("spend_cents"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    return per_cust.groupBy("cohort_year_idx").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("cohort_spend_cents"),
+        F.expr(
+            "cast(sum(spend_cents) div count(*) as bigint)"
+        ).alias("avg_ltv_cents"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness coefficient
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_burstiness",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+            FROM events),
+gaps AS (
+  SELECT event_type,
+         (us - lag(us) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id)) // 1000000 AS g
+  FROM ev),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS s1,
+         CAST(SUM(g * g) AS BIGINT) AS s2
+  FROM gaps WHERE g IS NOT NULL GROUP BY event_type)
+SELECT event_type, n,
+       ROUND((sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              - CAST(s1 AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                + CAST(s1 AS DOUBLE)), 6) AS burstiness
+FROM m
+""",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS coefficient B = (σ−μ)/(σ+μ) of per-user inter-event
+    gaps, per event type — the signal-processing summary separating
+    Poisson-like traffic (B≈0) from bursty traffic (B→1) and regular
+    heartbeats (B→−1); it drives batch-sizing and anomaly thresholds.
+    Numerics follow events_trend_regression: gaps ride as WHOLE SECONDS
+    (micro-gap squares overflow int64; second granularity keeps Σg² exact
+    in bigint through ~1e5-second gaps at petabyte row counts) and reduce
+    to exact integer moment sums (n, Σg, Σg²) in one hash aggregate, and the final
+    expression uses only correctly-rounded IEEE ops (·, −, +, /, sqrt) on
+    those identical integers, so round(…, 6) is engine-exact.  (Both
+    engines expand σ via the n·Σg² − (Σg)² form scaled by n, which
+    cancels in the ratio.)"""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_type",
+        epoch_micros(events, "ts").alias("us"),
+        "event_id",
+    )
+    gaps = ev.withColumn(
+        "g",
+        F.expr(
+            "(us - lag(us) over (partition by user_id"
+            " order by us, event_id)) div 1000000"
+        ),
+    ).filter(F.col("g").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("s2"),
+    )
+    disc = F.sqrt(
+        F.col("n").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            (disc - F.col("s1").cast("double"))
+            / (disc + F.col("s1").cast("double")),
+            6,
+        ).alias("burstiness"),
+    )
