@@ -3327,3 +3327,55 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Returns rate by brand
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_returns_by_brand",
+    oracle="""
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT)
+         AS n_returned,
+       CAST(COUNT(*) FILTER (WHERE l.l_returnflag = 'R') * 1000000
+            // COUNT(*) AS BIGINT) AS return_ppm,
+       CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              FILTER (WHERE l.l_returnflag = 'R'), 0) AS BIGINT)
+         AS returned_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+""",
+)
+def q_returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURNS-RATE by brand: per-brand line counts, returned share in
+    ppm, and returned revenue in integer cents — the quality-control
+    rollup a merchandising consumer of the CDC feed runs.  The join is a
+    plain equi-join left to AQE (part scales with the corpus — no hard
+    broadcast hint); the grouped output is bounded by the brand
+    dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    ret = F.col("l_returnflag") == "R"
+    return j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(ret, 1).otherwise(0)).cast("bigint").alias("n_returned"),
+        F.expr(
+            "cast(sum(case when l_returnflag = 'R' then 1 else 0 end)"
+            " * 1000000 div count(*) as bigint)"
+        ).alias("return_ppm"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ret,
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("returned_cents"),
+    )
