@@ -3266,7 +3266,7 @@ m AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(g) AS BIGINT) AS s1,
-         CAST(SUM(g * g) AS BIGINT) AS s2
+         SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))) AS s2
   FROM gaps WHERE g IS NOT NULL GROUP BY event_type)
 SELECT event_type, n,
        ROUND((sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
@@ -3285,8 +3285,9 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     heartbeats (B→−1); it drives batch-sizing and anomaly thresholds.
     Numerics follow events_trend_regression: gaps ride as WHOLE SECONDS
     (micro-gap squares overflow int64; second granularity keeps Σg² exact
-    in bigint through ~1e5-second gaps at petabyte row counts) and reduce
-    to exact integer moment sums (n, Σg, Σg²) in one hash aggregate, and the final
+    headroom-free) and reduce to exact integer moment sums (n, Σg in
+    bigint, Σg² in an overflow-proof decimal(38,0) accumulator) in one
+    hash aggregate, and the final
     expression uses only correctly-rounded IEEE ops (·, −, +, /, sqrt) on
     those identical integers, so round(…, 6) is engine-exact.  (Both
     engines expand σ via the n·Σg² − (Σg)² form scaled by n, which
@@ -3309,10 +3310,11 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " order by us, event_id)) div 1000000"
         ),
     ).filter(F.col("g").isNotNull())
+    dec = "decimal(19,0)"
     m = gaps.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("g").cast("bigint").alias("s1"),
-        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("s2"),
+        F.sum(F.col("g").cast(dec) * F.col("g").cast(dec)).alias("s2"),
     )
     disc = F.sqrt(
         F.col("n").cast("double") * F.col("s2").cast("double")
