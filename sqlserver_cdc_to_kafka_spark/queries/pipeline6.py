@@ -1147,7 +1147,9 @@ def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind recommendation and funnel-design decisions.  The self-join
     runs on the DISTINCT (user, type) set — at most |types| rows per user
     — so its size is bounded by 5·|users|, never |events|²; singles and
-    the user total are tiny broadcast relations."""
+    the user total are tiny broadcast relations.  Headroom: the
+    n_both·n_users·1000 numerator stays under 2^63 through ~3e9 users;
+    past that promote it to decimal(38,0)."""
     ev = load_table(spark, sf_dir, "events")
     s = ev.select("user_id", "event_type").distinct()
     u = ev.agg(
