@@ -3383,3 +3383,53 @@ def q_returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("returned_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Traffic seasonality profile
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+b AS (
+  SELECT ((us // 86400000000) + 4) % 7 AS dow,
+         (us % 86400000000) // 3600000000 AS hour,
+         event_type
+  FROM ev),
+g AS (SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+SELECT CAST(g.dow AS BIGINT) AS dow, CAST(g.hour AS BIGINT) AS hour, g.n,
+       CAST(g.n * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM g CROSS JOIN tot t
+""",
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic SEASONALITY profile: the day-of-week × hour-of-day event
+    grid with each cell's traffic share in ppm — the heatmap capacity
+    planning and anomaly baselines read.  Day-of-week is integer epoch
+    arithmetic ((epoch_day + 4) % 7, anchored to 1970-01-01 = Thursday)
+    in UTC, never a locale/timezone-dependent date function, so the
+    profile is engine- and session-exact.  One map-side-combined
+    aggregate onto a ≤168-cell grid plus a scalar total."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(epoch_micros(events, "ts").alias("us"))
+    b = ev.select(
+        F.expr("((us div 86400000000) + 4) % 7").cast("bigint").alias("dow"),
+        F.expr("(us % 86400000000) div 3600000000")
+        .cast("bigint")
+        .alias("hour"),
+    )
+    g = b.groupBy("dow", "hour").agg(F.count("*").cast("bigint").alias("n"))
+    tot = g.agg(F.sum("n").cast("bigint").alias("total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n",
+        F.expr("cast(n * 1000000 div total as bigint)").alias("share_ppm"),
+    )
