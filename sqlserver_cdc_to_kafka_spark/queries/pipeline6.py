@@ -3433,3 +3433,94 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("cast(n * 1000000 div total as bigint)").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Annotator agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_annotator_kappa",
+    oracle="""
+WITH lab AS (
+  SELECT CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+                                     w -> length(w) > 0))) * 100
+              >= 50 * greatest(len(list_filter(string_split(text, ' '),
+                                    w -> length(w) > 0)), 1)
+         THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                                   x -> x IN ('the', 'a'))) * 100
+              >= 5 * greatest(len(string_split(text, ' ')), 1)
+         THEN 1 ELSE 0 END AS b
+  FROM documents),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM lab)
+SELECT n, n11, n10, n01, n00,
+       CAST((n11 + n00) * 1000000 // n AS BIGINT) AS observed_ppm,
+       ROUND((CAST(n AS DOUBLE) * (n11 + n00)
+              - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                 + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+             / (CAST(n AS DOUBLE) * n
+                - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                   + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))), 6)
+         AS kappa
+FROM c
+""",
+)
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ANNOTATOR AGREEMENT (Cohen's kappa) between two deterministic
+    document labelers — the lexical-diversity quality flag and the
+    marker-word language flag — the chance-corrected agreement audit run
+    before trusting any pair of heuristic/model annotators.  The 2×2
+    confusion matrix reduces to exact integer counts in one aggregate;
+    kappa = (n·po_cnt − pe_cnt)/(n² − pe_cnt) evaluates as a single
+    correctly-rounded IEEE expression over those identical integers
+    (pattern of events_correlation), so round(…, 6) is engine-exact."""
+    words = "filter(split(text, ' '), w -> length(w) > 0)"
+    docs = _docs(spark, sf_dir)
+    lab = docs.select(
+        F.expr(
+            f"case when size(array_distinct({words})) * 100"
+            f" >= 50 * greatest(size({words}), 1) then 1 else 0 end"
+        ).alias("a"),
+        F.expr(
+            "case when size(filter(split(text, ' '),"
+            " x -> x in ('the', 'a'))) * 100"
+            " >= 5 * greatest(size(split(text, ' ')), 1) then 1 else 0 end"
+        ).alias("b"),
+    )
+    c = lab.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po_cnt = (F.col("n11") + F.col("n00")).cast("double")
+    pe_cnt = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00"))
+    )
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("cast((n11 + n00) * 1000000 div n as bigint)").alias(
+            "observed_ppm"
+        ),
+        F.round((nd * po_cnt - pe_cnt) / (nd * nd - pe_cnt), 6).alias(
+            "kappa"
+        ),
+    )
