@@ -3524,3 +3524,103 @@ def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kappa"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Alert-threshold backtest sweep
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_alert_backtest",
+    oracle="""
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
+            FROM events),
+st AS (
+  SELECT user_id, v,
+         COUNT(*) OVER w AS n_prior,
+         SUM(v) OVER w AS s,
+         SUM(v * v) OVER w AS q
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)),
+eligible AS (
+  SELECT (n_prior * v - s) * (n_prior * v - s) AS dev2,
+         n_prior * q - s * s AS var_n2
+  FROM st WHERE n_prior >= 4),
+ks AS (SELECT unnest([2, 3, 4]) AS k)
+SELECT CAST(k.k AS BIGINT) AS sigma_k,
+       CAST(COUNT(*) AS BIGINT) AS n_eligible,
+       CAST(COUNT(*) FILTER (WHERE e.dev2 > k.k * k.k * e.var_n2)
+            AS BIGINT) AS n_alerts,
+       CAST(COUNT(*) FILTER (WHERE e.dev2 > k.k * k.k * e.var_n2) * 1000000
+            // COUNT(*) AS BIGINT) AS alert_ppm
+FROM eligible e CROSS JOIN ks k
+GROUP BY k.k
+""",
+)
+def q_alert_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALERT-THRESHOLD BACKTEST: alert volume at 2σ/3σ/4σ from ONE pass
+    over the trailing-window statistics — the tuning table an on-call
+    rotation reads before picking the anomaly threshold
+    (events_anomaly_zscore then enforces the chosen one).  The k·σ test
+    stays integer-exact at every k via the same n²-multiplied
+    rearrangement (dev² > k²·(n·q−s²)); thresholds ride as a 3-row
+    broadcast against the eligible-event statistics, so the sweep costs
+    one window pass regardless of how many thresholds are probed."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    us = epoch_micros(events, "us" if "us" in events.columns else "ts")
+    base = events.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        (F.col("value").cast("decimal(18,3)") * 1000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-9, -1)
+    )
+    st = base.select(
+        "v",
+        F.count("*").over(w).alias("n_prior"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("q"),
+    ).filter(F.col("n_prior") >= 4)
+    eligible = st.select(
+        (
+            (F.col("n_prior") * F.col("v") - F.col("s"))
+            * (F.col("n_prior") * F.col("v") - F.col("s"))
+        ).alias("dev2"),
+        (F.col("n_prior") * F.col("q") - F.col("s") * F.col("s")).alias(
+            "var_n2"
+        ),
+    )
+    ks = events.sparkSession.createDataFrame(
+        [(2,), (3,), (4,)], "k int"
+    )
+    return (
+        eligible.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("bigint").alias("sigma_k"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_eligible"),
+            F.sum(
+                F.when(
+                    F.col("dev2") > F.col("k") * F.col("k") * F.col("var_n2"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_alerts"),
+            F.expr(
+                "cast(sum(case when dev2 > k * k * var_n2"
+                " then 1 else 0 end) * 1000000 div count(*) as bigint)"
+            ).alias("alert_ppm"),
+        )
+    )
