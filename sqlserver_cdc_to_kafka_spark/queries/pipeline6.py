@@ -3624,3 +3624,75 @@ def q_alert_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alert_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shipping-delay percentiles (selection operator, second domain)
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_shipping_delay_percentiles",
+    oracle="""
+WITH d AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST(epoch_us(l.l_shipdate) // 86400000000
+              - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS delay
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+ranked AS (
+  SELECT pri, delay,
+         row_number() OVER (PARTITION BY pri ORDER BY delay) AS rn,
+         COUNT(*) OVER (PARTITION BY pri) AS n
+  FROM d)
+SELECT pri,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delay END) AS BIGINT)
+         AS p50_delay_days,
+       CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN delay END)
+            AS BIGINT) AS p95_delay_days
+FROM ranked GROUP BY pri
+""",
+)
+def q_shipping_delay_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shipping-delay SLA percentiles per order priority (order date →
+    line ship date, integer epoch days): exact p50/p95 computed by the
+    DISTRIBUTED SELECTION operator — its second domain after the dwell
+    percentiles, demonstrating the operator is generic over (group,
+    integer value) inputs.  Five priority groups hold the full lineitem
+    volume, exactly the low-cardinality/huge-group shape the bucket-
+    histogram search exists for; the oracle is the rank-window form, so
+    the selection plan is again pinned value-identical."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+    from sqlserver_cdc_to_kafka_spark.operators.selection import (
+        exact_group_percentiles_df,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            (
+                (epoch_micros(li, "l_shipdate") / F.lit(86400000000)).cast(
+                    "bigint"
+                )
+                - (
+                    epoch_micros(orders, "o_orderdate") / F.lit(86400000000)
+                ).cast("bigint")
+            ).alias("delay"),
+        )
+    )
+    return exact_group_percentiles_df(
+        d,
+        "pri",
+        "delay",
+        [
+            ("p50_delay_days", lambda n: (n + 1) // 2),
+            ("p95_delay_days", lambda n: (19 * n + 19) // 20),
+        ],
+        "pri string, n_lines long, p50_delay_days long, p95_delay_days long",
+    )
