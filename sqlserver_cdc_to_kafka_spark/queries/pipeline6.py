@@ -3696,3 +3696,107 @@ def q_shipping_delay_percentiles(
         ],
         "pri string, n_lines long, p50_delay_days long, p95_delay_days long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_peak_concurrency",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= {_BOUNCE_GAP_US}
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev),
+grouped AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked),
+sessions AS (
+  SELECT MIN(us) AS s_lo, MAX(us) + {_BOUNCE_GAP_US} AS s_hi
+  FROM grouped GROUP BY user_id, sess),
+deltas AS (
+  SELECT t, SUM(d) AS net FROM (
+    SELECT s_lo AS t, 1 AS d FROM sessions
+    UNION ALL
+    SELECT s_hi AS t, -1 FROM sessions) u
+  GROUP BY t),
+running AS (
+  SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas)
+SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       CAST(MIN(CASE WHEN conc = (SELECT MAX(conc) FROM running) THEN t END)
+            AS BIGINT) AS first_peak_us,
+       CAST(COUNT(*) AS BIGINT) AS n_boundary_points
+FROM running
+""",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENT SESSIONS — the capacity-planning number: sessionize
+    (same 10-min gap), turn sessions into +1/−1 boundary deltas, and take
+    the max of the running sum, with the earliest instant it occurs.
+    Interval counting again (olap_order_backlog's O(n) shape) but with a
+    RUNNING MAX consumer; boundary points collapse per timestamp before
+    the ordered window, which at 100 TB runs over distinct boundary
+    instants — if even that is too hot, the standard fix is chunked
+    prefix sums (per-partition totals broadcast as offsets), the
+    operators/merge.py rank technique."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", epoch_micros(events, "ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    grouped = (
+        ev.withColumn(
+            "new_sess",
+            (
+                (F.col("us") - F.lag("us").over(w) >= _BOUNCE_GAP_US)
+                | F.lag("us").over(w).isNull()
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sessions = grouped.groupBy("user_id", "sess").agg(
+        F.min("us").alias("s_lo"),
+        (F.max("us") + _BOUNCE_GAP_US).alias("s_hi"),
+    )
+    deltas = (
+        sessions.select(F.col("s_lo").alias("t"), F.lit(1).alias("d"))
+        .unionAll(
+            sessions.select(F.col("s_hi").alias("t"), F.lit(-1).alias("d"))
+        )
+        .groupBy("t")
+        .agg(F.sum("d").alias("net"))
+    )
+    wrun = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = deltas.select("t", F.sum("net").over(wrun).alias("conc"))
+    peak = running.agg(F.max("conc").alias("peak"))
+    return (
+        running.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("peak").cast("bigint").alias("peak_concurrency"),
+            F.min(
+                F.when(F.col("conc") == F.col("peak"), F.col("t"))
+            )
+            .cast("bigint")
+            .alias("first_peak_us"),
+            F.count("*").cast("bigint").alias("n_boundary_points"),
+        )
+    )
