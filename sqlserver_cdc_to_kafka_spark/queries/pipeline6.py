@@ -3800,3 +3800,160 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_boundary_points"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly run-length distribution (alert fatigue)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_anomaly_runs",
+    oracle="""
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
+            FROM events),
+st AS (
+  SELECT user_id, event_id, us, v,
+         COUNT(*) OVER w AS n_prior,
+         SUM(v) OVER w AS s,
+         SUM(v * v) OVER w AS q
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)),
+flagged AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN n_prior >= 4
+                   AND (n_prior * v - s) * (n_prior * v - s)
+                       > 9 * (n_prior * q - s * s)
+              THEN 1 ELSE 0 END AS anom
+  FROM st),
+runs AS (
+  SELECT user_id, anom,
+         SUM(CASE WHEN anom <> COALESCE(prev, -1) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (SELECT user_id, us, event_id, anom,
+               lag(anom) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS prev
+        FROM flagged)),
+lens AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM runs WHERE anom = 1 GROUP BY user_id, run_id)
+SELECT run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM lens GROUP BY run_len
+""",
+)
+def q_anomaly_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANOMALY RUN-LENGTH distribution — the alert-fatigue profile: how
+    often do 3-sigma anomalies (same integer-exact test as
+    events_anomaly_zscore) arrive as singletons vs consecutive streaks
+    per user.  Streaks come from gaps-and-islands over the anomaly flag
+    (lag + change-point prefix sum in the per-user window); the output
+    histogram is bounded by the longest streak.  Long runs mean the
+    threshold is below the regime shift — re-tune via
+    events_alert_backtest."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        epoch_micros(events, "ts").alias("us"),
+        (F.col("value").cast("decimal(18,3)") * 1000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-9, -1)
+    )
+    st = base.select(
+        "user_id",
+        "event_id",
+        "us",
+        "v",
+        F.count("*").over(w).alias("n_prior"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("q"),
+    )
+    dev = F.col("n_prior") * F.col("v") - F.col("s")
+    var_n2 = F.col("n_prior") * F.col("q") - F.col("s") * F.col("s")
+    flagged = st.select(
+        "user_id",
+        "us",
+        "event_id",
+        F.when(
+            (F.col("n_prior") >= 4) & (dev * dev > 9 * var_n2), 1
+        )
+        .otherwise(0)
+        .alias("anom"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    runs = flagged.withColumn(
+        "prev", F.lag("anom").over(wseq)
+    ).withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("anom") != F.coalesce(F.col("prev"), F.lit(-1)), 1
+            ).otherwise(0)
+        ).over(wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    lens = (
+        runs.filter(F.col("anom") == 1)
+        .groupBy("user_id", "run_id")
+        .agg(F.count("*").cast("bigint").alias("run_len"))
+    )
+    return lens.groupBy("run_len").agg(
+        F.count("*").cast("bigint").alias("n_runs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Basket-size histogram
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_basket_size_histogram",
+    oracle="""
+WITH sizes AS (
+  SELECT l_orderkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey),
+h AS (
+  SELECT n_parts, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(n_lines) AS BIGINT) AS total_lines
+  FROM sizes GROUP BY n_parts),
+tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS all_orders FROM h)
+SELECT h.n_parts, h.n_orders, h.total_lines,
+       CAST(h.n_orders * 1000000 // t.all_orders AS BIGINT) AS share_ppm
+FROM h CROSS JOIN tot t
+""",
+)
+def q_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASKET-SIZE distribution: orders histogrammed by distinct-part
+    count with traffic shares — the group-size profile that justifies the
+    basket-affinity join's cost bound (Σ C(size,2) stays linear when this
+    histogram's tail is short) and sizes recommendation candidate sets.
+    Two hash aggregates and a scalar total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+    h = sizes.groupBy("n_parts").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("n_lines").cast("bigint").alias("total_lines"),
+    )
+    tot = h.agg(F.sum("n_orders").cast("bigint").alias("all_orders"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "n_parts",
+        "n_orders",
+        "total_lines",
+        F.expr("cast(n_orders * 1000000 div all_orders as bigint)").alias(
+            "share_ppm"
+        ),
+    )
