@@ -3957,3 +3957,78 @@ def q_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto-optimal) sources
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_skyline_sources",
+    oracle="""
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0))) AS BIGINT) AS tokens,
+         CAST(SUM(len(list_distinct(list_filter(string_split(text, ' '),
+                                    w -> length(w) > 0))) * 100
+                  // greatest(len(list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0)), 1)) * 100
+              // COUNT(*) AS BIGINT) AS quality_x100
+  FROM documents GROUP BY source)
+SELECT a.source, a.tokens, a.quality_x100,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM src b
+         WHERE b.tokens >= a.tokens AND b.quality_x100 >= a.quality_x100
+           AND (b.tokens > a.tokens OR b.quality_x100 > a.quality_x100)
+       ) THEN 0 ELSE 1 END AS BIGINT) AS on_skyline
+FROM src a
+""",
+)
+def q_skyline_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-optimal) query over sources in the (tokens,
+    quality) plane: a source is on the skyline iff no other source
+    dominates it on both axes — the multi-objective shortlist mixture
+    planning starts from (pipeline_mixture_budget then spends inside it).
+    The dominance test is a self-join over the per-source AGGREGATE (20
+    rows here; |sources| at any scale), so the quadratic is on the
+    dimension table, never the corpus; all quantities integer."""
+    words = "filter(split(text, ' '), w -> length(w) > 0)"
+    docs = _docs(spark, sf_dir)
+    src = docs.groupBy("source").agg(
+        F.expr(f"cast(sum(size({words})) as bigint)").alias("tokens"),
+        F.expr(
+            f"cast(sum(size(array_distinct({words})) * 100 div "
+            f"greatest(size({words}), 1)) * 100 div count(*) as bigint)"
+        ).alias("quality_x100"),
+    )
+    b = src.select(
+        F.col("tokens").alias("b_tokens"),
+        F.col("quality_x100").alias("b_quality"),
+    )
+    dominated = (
+        src.join(
+            b,
+            (F.col("b_tokens") >= F.col("tokens"))
+            & (F.col("b_quality") >= F.col("quality_x100"))
+            & (
+                (F.col("b_tokens") > F.col("tokens"))
+                | (F.col("b_quality") > F.col("quality_x100"))
+            ),
+            "left_semi",
+        )
+        .select("source")
+        .withColumn("dom", F.lit(1))
+    )
+    return (
+        src.join(dominated, "source", "left")
+        .select(
+            "source",
+            "tokens",
+            "quality_x100",
+            F.when(F.col("dom").isNotNull(), 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("on_skyline"),
+        )
+    )
