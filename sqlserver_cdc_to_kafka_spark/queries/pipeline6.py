@@ -4032,3 +4032,113 @@ def q_skyline_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("on_skyline"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_changepoint_cusum",
+    oracle=f"""
+WITH ev AS (SELECT event_type, epoch_us(ts) AS us,
+                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
+            FROM events),
+t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us FROM ev),
+daily AS (
+  SELECT event_type,
+         CAST((us - t0.start_us) // {_TS_DAY_US} AS BIGINT) AS day,
+         CAST(SUM(v) AS BIGINT) AS dv
+  FROM ev CROSS JOIN t0 GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(dv) AS BIGINT) AS total
+  FROM daily GROUP BY event_type),
+pre AS (
+  SELECT d.event_type, d.day,
+         SUM(d.dv) OVER (PARTITION BY d.event_type ORDER BY d.day
+                         ROWS UNBOUNDED PRECEDING) AS prefix,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS k
+  FROM daily d),
+stat AS (
+  SELECT p.event_type, p.day,
+         abs(t.n_days * p.prefix - p.k * t.total) AS s
+  FROM pre p JOIN tot t USING (event_type)
+  WHERE p.k < t.n_days)
+SELECT event_type,
+       CAST(MIN(CASE WHEN s = m THEN day END) AS BIGINT) AS change_day,
+       CAST(MAX(m) AS BIGINT) AS max_stat
+FROM (SELECT event_type, day, s,
+             MAX(s) OVER (PARTITION BY event_type) AS m
+      FROM stat)
+GROUP BY event_type
+""",
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection per event type: the day where the
+    cumulative deviation from the mean daily value peaks — the classic
+    single-changepoint locator for regime shifts in a metric stream.
+    Kept DIVISIONLESS-exact: the statistic |D·prefix_k − k·T| is the
+    mean-deviation CUSUM multiplied through by the day count, so no
+    float mean ever exists and the argmax (earliest-day tie-break) is
+    engine-exact.  Events reduce to per-(type, day) totals before any
+    window; the ordered prefix runs over the bounded calendar grid."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        epoch_micros(events, "ts").alias("us"),
+        (F.col("value").cast("decimal(18,3)") * 1000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    t0 = ev.agg(F.min("us").cast("bigint").alias("start_us"))
+    daily = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "event_type",
+            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
+            .cast("bigint")
+            .alias("day"),
+            "v",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("bigint").alias("dv"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dv").cast("bigint").alias("total"),
+    )
+    wday = Window.partitionBy("event_type").orderBy("day")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("dv")
+        .over(wday.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("prefix"),
+        F.row_number().over(wday).alias("k"),
+    )
+    stat = (
+        pre.join(tot, "event_type")
+        .filter(F.col("k") < F.col("n_days"))
+        .select(
+            "event_type",
+            "day",
+            F.abs(
+                F.col("n_days") * F.col("prefix")
+                - F.col("k") * F.col("total")
+            ).alias("s"),
+        )
+    )
+    withmax = stat.withColumn(
+        "m", F.max("s").over(Window.partitionBy("event_type"))
+    )
+    return withmax.groupBy("event_type").agg(
+        F.min(F.when(F.col("s") == F.col("m"), F.col("day")))
+        .cast("bigint")
+        .alias("change_day"),
+        F.max("m").cast("bigint").alias("max_stat"),
+    )
