@@ -4142,3 +4142,165 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_day"),
         F.max("m").cast("bigint").alias("max_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test analysis (two-proportion z)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_ab_test_analysis",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 25, 8)
+              AS BIGINT) % 2 AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) >= 60000
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id),
+c AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+         CAST(SUM(converted) FILTER (WHERE arm = 0) AS BIGINT) AS conv_a,
+         CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+         CAST(SUM(converted) FILTER (WHERE arm = 1) AS BIGINT) AS conv_b
+  FROM u)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+       CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+       ROUND((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+FROM c
+""",
+)
+def q_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B TEST readout: users split into two arms by a dedicated md5
+    slice (chars 25-32 — disjoint from the split/shard/sampling slices,
+    so experiment assignment is independent of every other hash
+    decision), purchase conversion per arm, and the pooled two-proportion
+    z-statistic.  Counts are exact integers; the z expression is one
+    correctly-rounded IEEE formula over those identical integers
+    (events_correlation pattern), so round(…, 6) is engine-exact.  One
+    per-user aggregate + one scalar rollup."""
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            >= 60000,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).withColumn(
+        "arm",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 25, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2,
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return c.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("cast(conv_a * 1000000 div n_a as bigint)").alias(
+            "rate_a_ppm"
+        ),
+        F.expr("cast(conv_b * 1000000 div n_b as bigint)").alias(
+            "rate_b_ppm"
+        ),
+        F.round(
+            (pb - pa)
+            / F.sqrt(
+                pp
+                * (1 - pp)
+                * (
+                    F.lit(1.0) / F.col("n_a")
+                    + F.lit(1.0) / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_source_simpson_diversity",
+    oracle="""
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       t.total AS n_docs,
+       CAST(SUM(s.n * (s.n - 1)) * 1000000
+            // (t.total * (t.total - 1)) AS BIGINT)
+         AS simpson_concentration_ppm,
+       CAST(1000000 - SUM(s.n * (s.n - 1)) * 1000000
+            // (t.total * (t.total - 1)) AS BIGINT)
+         AS simpson_diversity_ppm
+FROM s CROSS JOIN tot t GROUP BY t.total
+""",
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON DIVERSITY of the corpus source mix: the probability two
+    random documents come from different sources, in exact integer ppm
+    (Σn(n−1) / N(N−1) — a rational of counts, no entropy logs, so the
+    hash gate applies where a Shannon-based metric could not).  Low
+    diversity = one crawl dominates the mix; this is the one-number
+    balance check next to the full pipeline_domain_mixture table.  One
+    grouped count and a scalar rollup."""
+    docs = _docs(spark, sf_dir)
+    s = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    tot = s.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .groupBy("total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sources"),
+            F.expr(
+                "cast(sum(n * (n - 1)) * 1000000"
+                " div (total * (total - 1)) as bigint)"
+            ).alias("simpson_concentration_ppm"),
+        )
+        .select(
+            "n_sources",
+            F.col("total").alias("n_docs"),
+            "simpson_concentration_ppm",
+            (F.lit(1000000) - F.col("simpson_concentration_ppm"))
+            .cast("bigint")
+            .alias("simpson_diversity_ppm"),
+        )
+    )
