@@ -4304,3 +4304,111 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("simpson_diversity_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of daily series
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_autocorrelation_lag1",
+    oracle=f"""
+WITH ev AS (SELECT event_type, epoch_us(ts) AS us,
+                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
+            FROM events),
+t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us FROM ev),
+daily AS (
+  SELECT event_type,
+         CAST((us - t0.start_us) // {_TS_DAY_US} AS BIGINT) AS day,
+         CAST(SUM(v) AS BIGINT) AS dv
+  FROM ev CROSS JOIN t0 GROUP BY 1, 2),
+pairs AS (
+  SELECT d.event_type, d.dv AS x, n.dv AS y
+  FROM daily d JOIN daily n
+    ON n.event_type = d.event_type AND n.day = d.day + 1),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+  FROM pairs GROUP BY event_type)
+SELECT event_type, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS acf1
+FROM m
+""",
+)
+def q_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 AUTOCORRELATION of each type's daily-value series — the
+    persistence check run before choosing forecasting/alerting models
+    (near-zero ACF ⇒ yesterday predicts nothing; the anomaly window can
+    be short).  Consecutive-day pairs come from a self-join on day+1 over
+    the per-(type, day) aggregate (bounded calendar grid, never raw
+    events); Pearson r over the pairs follows the exact-moment pattern
+    (integer/decimal(38,0) sums, one correctly-rounded IEEE final
+    expression)."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        epoch_micros(events, "ts").alias("us"),
+        (F.col("value").cast("decimal(18,3)") * 1000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    t0 = ev.agg(F.min("us").cast("bigint").alias("start_us"))
+    daily = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "event_type",
+            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
+            .cast("bigint")
+            .alias("day"),
+            "v",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("bigint").alias("dv"))
+    )
+    nxt = daily.select(
+        F.col("event_type").alias("n_type"),
+        F.col("day").alias("n_day"),
+        F.col("dv").alias("y"),
+    )
+    pairs = daily.join(
+        nxt,
+        (daily.event_type == nxt.n_type) & (nxt.n_day == daily.day + 1),
+    ).select("event_type", F.col("dv").alias("x"), "y")
+    dec = "decimal(19,0)"
+    m = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    denx = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    deny = F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return m.select(
+        "event_type", "n", F.round(num / (denx * deny), 6).alias("acf1")
+    )
