@@ -4412,3 +4412,105 @@ def q_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "n", F.round(num / (denx * deny), 6).alias("acf1")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events),
+horizon AS (SELECT CAST(MAX(us) AS BIGINT) AS end_us FROM ev),
+rfm AS (
+  SELECT user_id,
+         CAST((h.end_us - MAX(CASE WHEN event_type = 'purchase' THEN us END))
+              // 86400000000 AS BIGINT) AS recency_days,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS frequency,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN cents END),
+                       0) AS BIGINT) AS monetary_cents
+  FROM ev CROSS JOIN horizon h
+  GROUP BY user_id, h.end_us
+  HAVING COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0),
+scored AS (
+  SELECT user_id,
+         ntile(3) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+         ntile(3) OVER (ORDER BY frequency, user_id) AS f_score,
+         ntile(3) OVER (ORDER BY monetary_cents, user_id) AS m_score
+  FROM rfm)
+SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM scored GROUP BY 1
+""",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic CRM cut: per purchasing user,
+    Recency (days since last purchase vs the data-derived horizon),
+    Frequency (purchase count) and Monetary (integer cents), each scored
+    into terciles (ntile with (value, user_id) deterministic ties; best
+    recency = LOWEST days, so recency orders DESC) and combined into the
+    RFM segment code, reported as segment sizes.  The ntiles run over one
+    row per user — the same documented total-order caveat as
+    olap_customer_value_deciles, with the same bucketed prefix-sum rank
+    swap at extreme user counts."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_type",
+        epoch_micros(events, "ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    horizon = ev.agg(F.max("us").cast("bigint").alias("end_us"))
+    is_p = F.col("event_type") == "purchase"
+    rfm = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "end_us")
+        .agg(
+            F.max(F.when(is_p, F.col("us"))).alias("last_p"),
+            F.count(F.when(is_p, 1)).cast("bigint").alias("frequency"),
+            F.coalesce(F.sum(F.when(is_p, F.col("cents"))), F.lit(0))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .filter(F.col("frequency") > 0)
+        .select(
+            "user_id",
+            F.expr("cast((end_us - last_p) div 86400000000 as bigint)").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = rfm.select(
+        F.ntile(3)
+        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
+        .alias("r_score"),
+        F.ntile(3)
+        .over(Window.orderBy("frequency", "user_id"))
+        .alias("f_score"),
+        F.ntile(3)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .alias("m_score"),
+    )
+    return (
+        scored.select(
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            )
+            .cast("bigint")
+            .alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
