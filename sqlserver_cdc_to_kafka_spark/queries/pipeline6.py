@@ -4514,3 +4514,127 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_heaps_growth",
+    oracle="""
+WITH ks AS (SELECT unnest([100, 200, 300, 400, 500]) AS k),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+g AS (
+  SELECT k.k,
+         CAST(COUNT(DISTINCT t.w) AS BIGINT) AS vocab,
+         CAST(COUNT(*) AS BIGINT) AS tokens
+  FROM ks k JOIN toks t ON t.doc_id < k.k
+  GROUP BY k.k)
+SELECT CAST(k AS BIGINT) AS n_docs, vocab, tokens,
+       CAST(vocab * 1000000 // tokens AS BIGINT) AS vocab_per_token_ppm
+FROM g
+""",
+)
+def q_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS-LAW vocabulary growth: distinct-word and token counts over
+    growing doc-id prefixes — the measured curve behind every "the
+    vocabulary is sublinear in the corpus" scale claim this engine's BPE
+    and vocab operators make (flattening vocab_per_token_ppm = the law
+    holding).  Prefix membership is a doc_id range predicate (pushed to
+    the scan per sweep point); the sweep rides a 5-row broadcast; distinct
+    counting per point is the usual two-level hash aggregate."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    ks = docs.sparkSession.createDataFrame(
+        [(k,) for k in (100, 200, 300, 400, 500)], "k int"
+    )
+    g = (
+        toks.join(F.broadcast(ks), toks.doc_id < F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.countDistinct("w").cast("bigint").alias("vocab"),
+            F.count("*").cast("bigint").alias("tokens"),
+        )
+    )
+    return g.select(
+        F.col("k").cast("bigint").alias("n_docs"),
+        "vocab",
+        "tokens",
+        F.expr("cast(vocab * 1000000 div tokens as bigint)").alias(
+            "vocab_per_token_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_gini_revenue",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(cents) OVER () AS total
+  FROM spend),
+m AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(total) AS BIGINT) AS total,
+         SUM(CAST(i AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS s_ix
+  FROM ranked)
+SELECT n, total,
+       ROUND((2 * CAST(s_ix AS DOUBLE) - (CAST(n AS DOUBLE) + 1)
+              * CAST(total AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
+FROM m
+""",
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer revenue — the single-number
+    inequality measure beside olap_revenue_pareto's per-nation 80% cut:
+    G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx) over ascending-sorted customer
+    spend (rank ties broken on custkey).  Moments accumulate exactly
+    (rank·cents products in decimal(38,0)); the final expression is one
+    correctly-rounded IEEE formula over identical integers.  The global
+    rank runs over one row per customer — the deciles caveat applies,
+    with the same bucketed prefix-sum swap at extreme customer counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+    )
+    dec = "decimal(19,0)"
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("i").cast(dec) * F.col("cents").cast(dec)).alias("s_ix"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "n",
+        "total",
+        F.round(
+            (
+                2 * F.col("s_ix").cast("double")
+                - (nd + 1) * F.col("total").cast("double")
+            )
+            / (nd * F.col("total").cast("double")),
+            6,
+        ).alias("gini"),
+    )
