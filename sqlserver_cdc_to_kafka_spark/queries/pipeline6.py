@@ -4638,3 +4638,141 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-touch distribution
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_first_touch_distribution",
+    oracle="""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+            FROM events),
+firsts AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS rn
+    FROM ev) WHERE rn = 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM firsts)
+SELECT f.event_type AS first_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) * 1000000 // t.n_users AS BIGINT) AS share_ppm
+FROM firsts f CROSS JOIN tot t GROUP BY f.event_type, t.n_users
+""",
+)
+def q_first_touch_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-TOUCH distribution: which event type opens each user's
+    history — the acquisition-channel report, and the sanity check behind
+    funnel design (users whose first touch is 'purchase' convert with no
+    attributable path).  One per-user rank window (partitioned) keeping
+    rank 1, then a grouped count with shares."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_type",
+        epoch_micros(events, "ts").alias("us"),
+        "event_id",
+    )
+    firsts = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("us", "event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    tot = firsts.agg(F.count("*").cast("bigint").alias("n_users"))
+    return (
+        firsts.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("event_type").alias("first_touch"), "n_users")
+        .agg(F.count("*").cast("bigint").alias("n_users_t"))
+        .select(
+            "first_touch",
+            F.col("n_users_t").alias("n_users"),
+            F.expr(
+                "cast(n_users_t * 1000000 div n_users as bigint)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@query(
+    "audit_benford_first_digit",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM events WHERE value > 0),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY digit),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+bf AS (SELECT unnest([{", ".join(str(d) for d in range(1, 10))}]) AS digit,
+              unnest([{", ".join(str(_BENFORD_PPM[d]) for d in range(1, 10))}])
+                AS benford_ppm)
+SELECT CAST(b.digit AS BIGINT) AS digit,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST(COALESCE(c.n, 0) * 1000000 // t.total AS BIGINT)
+         AS observed_ppm,
+       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(COALESCE(c.n, 0) * 1000000 // t.total - b.benford_ppm)
+            AS BIGINT) AS abs_dev_ppm
+FROM bf b LEFT JOIN c ON c.digit = b.digit CROSS JOIN tot t
+""",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-digit audit of transaction values — the classic
+    forensic-accounting screen: observed leading-digit shares against
+    Benford's expected distribution (fixed ppm literals, so no logs are
+    evaluated at query time and the hash gate applies), with per-digit
+    absolute deviation.  Values ride as integer cents; digit extraction
+    is string-head of an integer (identical in both engines, no float
+    formatting).  One grouped count, a scalar total, and a 9-row literal
+    frame."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("value") > 0).select(
+        F.substring(
+            F.round(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = v.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"))
+    bf = events.sparkSession.createDataFrame(
+        [(d, _BENFORD_PPM[d]) for d in range(1, 10)],
+        "digit long, benford_ppm long",
+    )
+    return (
+        F.broadcast(bf)
+        .join(c, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.expr(
+                "cast(coalesce(n, 0) * 1000000 div total as bigint)"
+            ).alias("observed_ppm"),
+            F.col("benford_ppm").cast("bigint").alias("benford_ppm"),
+            F.expr(
+                "cast(abs(coalesce(n, 0) * 1000000 div total - benford_ppm)"
+                " as bigint)"
+            ).alias("abs_dev_ppm"),
+        )
+    )
