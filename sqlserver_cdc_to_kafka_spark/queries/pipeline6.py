@@ -4776,3 +4776,165 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_dev_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste bucket sweep
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_padding_waste_sweep",
+    oracle="""
+WITH d AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '),
+                              w -> length(w) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), w -> length(w) > 0)) > 0),
+ks AS (SELECT unnest([64, 128, 256, 512]) AS bucket_len),
+w AS (
+  SELECT k.bucket_len,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LEAST(d.n_tokens, k.bucket_len)) AS BIGINT)
+           AS kept_tokens,
+         CAST(SUM(k.bucket_len - LEAST(d.n_tokens, k.bucket_len)) AS BIGINT)
+           AS pad_tokens,
+         CAST(SUM(GREATEST(d.n_tokens - k.bucket_len, 0)) AS BIGINT)
+           AS truncated_tokens
+  FROM d CROSS JOIN ks k GROUP BY k.bucket_len)
+SELECT CAST(bucket_len AS BIGINT) AS bucket_len, n_docs, kept_tokens,
+       pad_tokens, truncated_tokens,
+       CAST(pad_tokens * 1000000 // (n_docs * bucket_len) AS BIGINT)
+         AS pad_waste_ppm,
+       CAST(truncated_tokens * 1000000
+            // (kept_tokens + truncated_tokens) AS BIGINT)
+         AS truncation_ppm
+FROM w
+""",
+)
+def q_padding_waste_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PADDING/TRUNCATION trade-off sweep: if every document is padded or
+    truncated to a fixed sequence length ∈ {{64, 128, 256, 512}}, how many
+    slot-tokens are wasted on padding and how many real tokens are cut —
+    the one-pass table that picks the training context length before
+    pipeline_pack_sequences eliminates the padding entirely.  Doc lengths
+    cross a 4-row literal broadcast; everything integer."""
+    words = "filter(split(text, ' '), w -> length(w) > 0)"
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        F.expr(f"cast(size({words}) as bigint)").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    ks = docs.sparkSession.createDataFrame(
+        [(64,), (128,), (256,), (512,)], "bucket_len int"
+    )
+    w = (
+        d.crossJoin(F.broadcast(ks))
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.least(F.col("n_tokens"), F.col("bucket_len")))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(
+                F.col("bucket_len")
+                - F.least(F.col("n_tokens"), F.col("bucket_len"))
+            )
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.sum(
+                F.greatest(F.col("n_tokens") - F.col("bucket_len"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("truncated_tokens"),
+        )
+    )
+    return w.select(
+        F.col("bucket_len").cast("bigint").alias("bucket_len"),
+        "n_docs",
+        "kept_tokens",
+        "pad_tokens",
+        "truncated_tokens",
+        F.expr(
+            "cast(pad_tokens * 1000000 div (n_docs * bucket_len) as bigint)"
+        ).alias("pad_waste_ppm"),
+        F.expr(
+            "cast(truncated_tokens * 1000000"
+            " div (kept_tokens + truncated_tokens) as bigint)"
+        ).alias("truncation_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-window velocity features
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_velocity_features",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+h AS (SELECT CAST(MAX(us) AS BIGINT) AS end_us FROM ev),
+f AS (
+  SELECT user_id,
+         CAST(COUNT(*) FILTER (
+           WHERE us > h.end_us - 1 * {_TS_DAY_US}) AS BIGINT) AS n_1d,
+         CAST(COUNT(*) FILTER (
+           WHERE us > h.end_us - 7 * {_TS_DAY_US}) AS BIGINT) AS n_7d,
+         CAST(COUNT(*) FILTER (
+           WHERE us > h.end_us - 30 * {_TS_DAY_US}) AS BIGINT) AS n_30d
+  FROM ev CROSS JOIN h GROUP BY user_id)
+SELECT user_id, n_1d, n_7d, n_30d,
+       CAST(CASE WHEN n_7d > 0 THEN n_1d * 7000 // n_7d ELSE 0 END
+            AS BIGINT) AS accel_1v7_x1000,
+       CAST(CASE WHEN n_30d > 0 THEN n_7d * 30000 // (7 * n_30d) ELSE 0 END
+            AS BIGINT) AS accel_7v30_x1000
+FROM f
+""",
+)
+def q_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window VELOCITY features per user: activity counts over the
+    trailing 1/7/30 days (against the data-derived horizon — replayable)
+    plus rate-acceleration ratios (recent rate ÷ longer-window rate,
+    ×1000 integer) — the standard churn/engagement feature block a model
+    snapshot job emits.  ONE conditional aggregate computes all windows
+    (no per-window scans, no self-joins); ratios guard their zero
+    denominators explicitly."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", epoch_micros(events, "ts").alias("us")
+    )
+    h = ev.agg(F.max("us").cast("bigint").alias("end_us"))
+    day = _TS_DAY_US
+
+    def win(days: int, name: str):
+        return (
+            F.sum(
+                F.when(
+                    F.col("us") > F.col("end_us") - days * day, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    f = (
+        ev.crossJoin(F.broadcast(h))
+        .groupBy("user_id")
+        .agg(win(1, "n_1d"), win(7, "n_7d"), win(30, "n_30d"))
+    )
+    return f.select(
+        "user_id",
+        "n_1d",
+        "n_7d",
+        "n_30d",
+        F.expr(
+            "cast(case when n_7d > 0 then n_1d * 7000 div n_7d"
+            " else 0 end as bigint)"
+        ).alias("accel_1v7_x1000"),
+        F.expr(
+            "cast(case when n_30d > 0 then n_7d * 30000 div (7 * n_30d)"
+            " else 0 end as bigint)"
+        ).alias("accel_7v30_x1000"),
+    )

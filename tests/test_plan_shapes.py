@@ -99,6 +99,7 @@ BROADCAST_ALLOWED = {
     ("queries/pipeline6.py", "t0"),  # scalar aggregate (1 row: grid origin)
     ("queries/pipeline6.py", "peak"),  # scalar aggregate (1 row: max)
     ("queries/pipeline6.py", "bf"),  # 9 literal Benford rows
+    ("queries/pipeline6.py", "h"),  # scalar aggregate (1 row: horizon)
     ("queries/pipeline6.py", "q"),  # recall-audit query sample: ≤1000 rows
     # by predicate contract (vec_id % 10 == 0 AND vec_id < 10000)
 }
