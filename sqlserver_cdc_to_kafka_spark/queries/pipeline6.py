@@ -4938,3 +4938,88 @@ def q_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else 0 end as bigint)"
         ).alias("accel_7v30_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_trend_mann_kendall",
+    oracle=f"""
+WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us FROM ev),
+daily AS (
+  SELECT event_type,
+         CAST((us - t0.start_us) // {_TS_DAY_US} AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev CROSS JOIN t0 GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day)
+SELECT event_type,
+       CAST(SUM(sgn) AS BIGINT) AS s_statistic,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_concordant,
+       CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discordant
+FROM pairs GROUP BY event_type
+""",
+)
+def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test on daily event counts per type: the
+    nonparametric S statistic Σ sign(x_j − x_i) over all day pairs i<j —
+    the monotone-trend detector that, unlike the OLS slope
+    (events_trend_regression), is immune to outliers and needs no
+    residual assumptions.  Entirely integer (sign comparisons and
+    counts), so hash-exact by construction; the pair join runs over the
+    BOUNDED per-(type, day) aggregate (30 days here, calendar-bounded at
+    any scale), never raw events."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type", epoch_micros(events, "ts").alias("us")
+    )
+    t0 = ev.agg(F.min("us").cast("bigint").alias("start_us"))
+    daily = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "event_type",
+            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("n").alias("b_n"),
+    )
+    pairs = daily.join(
+        b,
+        (daily.event_type == b.b_type) & (b.b_day > daily.day),
+    ).select(
+        "event_type",
+        F.when(F.col("b_n") > F.col("n"), 1)
+        .when(F.col("b_n") < F.col("n"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("bigint").alias("s_statistic"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_concordant"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discordant"),
+    )
