@@ -5023,3 +5023,91 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_discordant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau between quality signals
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_kendall_tau_signals",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(list_transform(
+                range(1, CAST(length(text) AS BIGINT) - 2),
+                i -> substr(text, CAST(i AS INT), 4)))) * 1000000
+              // (length(text) - 3) AS BIGINT) AS sig_compress,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0))) * 1000000
+              // greatest(len(list_filter(string_split(text, ' '),
+                              w -> length(w) > 0)), 1) AS BIGINT) AS sig_ttr
+  FROM documents
+  WHERE length(text) >= 4 AND doc_id % 10 = 0 AND doc_id < 10000),
+pairs AS (
+  SELECT CASE WHEN (a.sig_compress - b.sig_compress)
+                   * (a.sig_ttr - b.sig_ttr) > 0 THEN 1
+              WHEN (a.sig_compress - b.sig_compress)
+                   * (a.sig_ttr - b.sig_ttr) < 0 THEN -1
+              ELSE 0 END AS sgn
+  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_concordant,
+       CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discordant,
+       CAST(SUM(sgn) * 1000000 // COUNT(*) AS BIGINT) AS tau_ppm
+FROM pairs
+""",
+)
+def q_kendall_tau_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL RANK CORRELATION between two quality signals — the
+    distinct-4-gram compression ratio and the type-token ratio — on the
+    contract-bounded doc sample: do the two filters rank documents the
+    same way (redundant) or differently (complementary)?  Concordant/
+    discordant sign pairs keep everything integer (τ in ppm with the
+    standard τ_a denominator); the quadratic pair join runs over the
+    ≤1000-row sample by contract, the same bound as the ANN audits —
+    rank-correlating FULL corpora uses the per-signal rank windows
+    instead."""
+    docs = _docs(spark, sf_dir).filter(
+        (F.length("text") >= 4)
+        & (F.col("doc_id") % 10 == 0)
+        & (F.col("doc_id") < 10000)
+    )
+    words = "filter(split(text, ' '), w -> length(w) > 0)"
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "cast(size(array_distinct(transform("
+            "sequence(1, length(text) - 3), i -> substring(text, i, 4))))"
+            " * 1000000 div (length(text) - 3) as bigint)"
+        ).alias("sig_compress"),
+        F.expr(
+            f"cast(size(array_distinct({words})) * 1000000"
+            f" div greatest(size({words}), 1) as bigint)"
+        ).alias("sig_ttr"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sig_compress").alias("b_c"),
+        F.col("sig_ttr").alias("b_t"),
+    )
+    prod = (F.col("sig_compress") - F.col("b_c")) * (
+        F.col("sig_ttr") - F.col("b_t")
+    )
+    pairs = d.join(b, d.doc_id < b.b_id).select(
+        F.when(prod > 0, 1).when(prod < 0, -1).otherwise(0).alias("sgn")
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_concordant"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discordant"),
+        F.expr(
+            "cast(sum(sgn) * 1000000 div count(*) as bigint)"
+        ).alias("tau_ppm"),
+    )
