@@ -5111,3 +5111,74 @@ def q_kendall_tau_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(sgn) * 1000000 div count(*) as bigint)"
         ).alias("tau_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer repeat rate by cohort year
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_customer_repeat_rate",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 // 365 AS BIGINT)
+           AS year_idx
+  FROM orders),
+firsts AS (SELECT o_custkey, CAST(MIN(year_idx) AS BIGINT) AS cohort
+           FROM o GROUP BY o_custkey),
+rep AS (
+  SELECT f.cohort, f.o_custkey,
+         MAX(CASE WHEN o.year_idx = f.cohort + 1 THEN 1 ELSE 0 END)
+           AS returned
+  FROM firsts f JOIN o ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort, f.o_custkey)
+SELECT cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(returned) AS BIGINT) AS n_returned,
+       CAST(SUM(returned) * 1000000 // COUNT(*) AS BIGINT) AS repeat_ppm
+FROM rep GROUP BY cohort
+""",
+)
+def q_customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer REPEAT RATE by acquisition year: of each cohort's
+    customers, the fraction who order again in the following year-index —
+    the single-number retention signal next to the cohort-LTV table
+    (olap_cohort_ltv shares the same cohort key, so the two report rows
+    line up).  Integer epoch-day years; two hash aggregates and one
+    co-keyed join."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
+        .cast("bigint")
+        .alias("day"),
+    ).select(
+        "o_custkey",
+        F.expr("cast(day div 365 as bigint)").alias("year_idx"),
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("year_idx").cast("bigint").alias("cohort")
+    )
+    rep = (
+        firsts.join(o, "o_custkey")
+        .groupBy("cohort", "o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("year_idx") == F.col("cohort") + 1, 1).otherwise(
+                    0
+                )
+            ).alias("returned")
+        )
+    )
+    return rep.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("returned").cast("bigint").alias("n_returned"),
+        F.expr(
+            "cast(sum(returned) * 1000000 div count(*) as bigint)"
+        ).alias("repeat_ppm"),
+    )
