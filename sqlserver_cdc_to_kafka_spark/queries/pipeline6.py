@@ -5182,3 +5182,157 @@ def q_customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(returned) * 1000000 div count(*) as bigint)"
         ).alias("repeat_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-class composition profile
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_charclass_profile",
+    oracle="""
+WITH p AS (
+  SELECT source,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         CAST(SUM(length(regexp_replace(text, '[^a-z]', '', 'g')))
+              AS BIGINT) AS n_alpha,
+         CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g')))
+              AS BIGINT) AS n_digit,
+         CAST(SUM(length(regexp_replace(text, '[^ ]', '', 'g')))
+              AS BIGINT) AS n_space
+  FROM documents GROUP BY source)
+SELECT source, n_chars,
+       CAST(n_alpha * 1000000 // n_chars AS BIGINT) AS alpha_ppm,
+       CAST(n_digit * 1000000 // n_chars AS BIGINT) AS digit_ppm,
+       CAST(n_space * 1000000 // n_chars AS BIGINT) AS space_ppm,
+       CAST((n_chars - n_alpha - n_digit - n_space) * 1000000 // n_chars
+            AS BIGINT) AS other_ppm
+FROM p
+""",
+)
+def q_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-CLASS composition per source (alpha / digit / space /
+    other in ppm) — the cheap encoding-drift and corruption detector: a
+    source whose 'other' share jumps between crawls has mojibake,
+    markup bleed-through, or a charset regression.  Counting by deleting
+    the complement class (regexp_replace to empty) keeps both engines on
+    identical regex semantics; one grouped aggregate."""
+    docs = _docs(spark, sf_dir)
+
+    def cnt(pattern: str, name: str):
+        return (
+            F.sum(F.length(F.regexp_replace(F.col("text"), pattern, "")))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    p = docs.groupBy("source").agg(
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        cnt("[^a-z]", "n_alpha"),
+        cnt("[^0-9]", "n_digit"),
+        cnt("[^ ]", "n_space"),
+    )
+    return p.select(
+        "source",
+        "n_chars",
+        F.expr("cast(n_alpha * 1000000 div n_chars as bigint)").alias(
+            "alpha_ppm"
+        ),
+        F.expr("cast(n_digit * 1000000 div n_chars as bigint)").alias(
+            "digit_ppm"
+        ),
+        F.expr("cast(n_space * 1000000 div n_chars as bigint)").alias(
+            "space_ppm"
+        ),
+        F.expr(
+            "cast((n_chars - n_alpha - n_digit - n_space) * 1000000"
+            " div n_chars as bigint)"
+        ).alias("other_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/A stability audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_aa_stability",
+    oracle="""
+WITH lab AS (
+  SELECT source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT)
+           % 2 AS half,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0))) * 1000000
+              // greatest(len(list_filter(string_split(text, ' '),
+                              w -> length(w) > 0)), 1) AS BIGINT) AS q
+  FROM documents),
+m AS (
+  SELECT source,
+         CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS n_b,
+         CAST(SUM(q) FILTER (WHERE half = 0) AS BIGINT) AS sq_a,
+         CAST(SUM(q) FILTER (WHERE half = 1) AS BIGINT) AS sq_b
+  FROM lab GROUP BY source
+  HAVING COUNT(*) FILTER (WHERE half = 0) > 0
+     AND COUNT(*) FILTER (WHERE half = 1) > 0)
+SELECT source, n_a, n_b,
+       CAST(sq_a // n_a AS BIGINT) AS mean_q_a_ppm,
+       CAST(sq_b // n_b AS BIGINT) AS mean_q_b_ppm,
+       CAST(abs(sq_a // n_a - sq_b // n_b) AS BIGINT) AS abs_gap_ppm
+FROM m
+""",
+)
+def q_aa_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A STABILITY audit: split each source's documents into two halves
+    by the experiment hash slice (chars 25-32, same slice the A/B arms
+    use) and compare the mean quality metric between halves — identical
+    treatment, so any systematic gap means the randomization or metric is
+    broken BEFORE a real experiment spends traffic on it.  Integer mean
+    ppm per half with the absolute gap; empty halves excluded.  One
+    grouped conditional aggregate."""
+    words = "filter(split(text, ' '), w -> length(w) > 0)"
+    docs = _docs(spark, sf_dir)
+    lab = docs.select(
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("half"),
+        F.expr(
+            f"cast(size(array_distinct({words})) * 1000000"
+            f" div greatest(size({words}), 1) as bigint)"
+        ).alias("q"),
+    )
+    m = (
+        lab.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("sq_a"),
+            F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("sq_b"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    return m.select(
+        "source",
+        "n_a",
+        "n_b",
+        F.expr("cast(sq_a div n_a as bigint)").alias("mean_q_a_ppm"),
+        F.expr("cast(sq_b div n_b as bigint)").alias("mean_q_b_ppm"),
+        F.expr("cast(abs(sq_a div n_a - sq_b div n_b) as bigint)").alias(
+            "abs_gap_ppm"
+        ),
+    )
