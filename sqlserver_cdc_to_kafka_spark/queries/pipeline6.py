@@ -5336,3 +5336,91 @@ def q_aa_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_gap_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session depth histogram
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_session_depth_histogram",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= {_BOUNCE_GAP_US}
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev),
+grouped AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked),
+sizes AS (SELECT CAST(COUNT(*) AS BIGINT) AS depth
+          FROM grouped GROUP BY user_id, sess),
+h AS (SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM sizes GROUP BY depth),
+tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS total FROM h)
+SELECT h.depth, h.n_sessions,
+       CAST(h.n_sessions * 1000000 // t.total AS BIGINT) AS share_ppm,
+       CAST(SUM(h.n_sessions) OVER (ORDER BY h.depth
+                                    ROWS UNBOUNDED PRECEDING) * 1000000
+            // t.total AS BIGINT) AS cum_share_ppm
+FROM h CROSS JOIN tot t
+""",
+)
+def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION DEPTH distribution: events-per-session histogram with
+    cumulative shares — the engagement spectrum between the bounce rate
+    (depth = 1, its first row) and the longest marathon session; the
+    cumulative column reads off "X% of sessions have ≤ d events" for any
+    d.  Same 10-minute sessionization constants as the other session
+    metrics; the histogram and its cumulative window are bounded by the
+    maximum observed depth."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", epoch_micros(events, "ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    grouped = (
+        ev.withColumn(
+            "new_sess",
+            (
+                (F.col("us") - F.lag("us").over(w) >= _BOUNCE_GAP_US)
+                | F.lag("us").over(w).isNull()
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sizes = grouped.groupBy("user_id", "sess").agg(
+        F.count("*").cast("bigint").alias("depth")
+    )
+    h = sizes.groupBy("depth").agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    tot = h.agg(F.sum("n_sessions").cast("bigint").alias("total"))
+    wcum = Window.orderBy("depth").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return h.crossJoin(F.broadcast(tot)).select(
+        "depth",
+        "n_sessions",
+        F.expr("cast(n_sessions * 1000000 div total as bigint)").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            "cast(sum(n_sessions) over (order by depth"
+            " rows unbounded preceding) * 1000000 div total as bigint)"
+        ).alias("cum_share_ppm"),
+    )
