@@ -5424,3 +5424,58 @@ def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " rows unbounded preceding) * 1000000 div total as bigint)"
         ).alias("cum_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-collision audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "audit_hash_collisions",
+    oracle="""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS content_h,
+         md5(text) AS full_h
+  FROM documents),
+short_g AS (SELECT content_h, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT full_h) AS BIGINT) AS n_full
+            FROM h GROUP BY content_h)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_short,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_full > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS n_docs_in_true_collisions,
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS n_docs_sharing_short
+FROM short_g
+""",
+)
+def q_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-COLLISION audit of the engine's own 32-bit content-hash space
+    (the md5 slice the shard manifest and dedup prefilters ride): how
+    many documents share a short hash at all, and how many of those are
+    TRUE collisions (different full md5 under the same 32-bit slice —
+    the birthday-bound failure mode that silently merges distinct
+    content).  Non-zero true collisions at a given corpus size is the
+    signal to widen the slice (the one-line change every short-hash
+    consumer documents).  Two hash aggregates, all integer."""
+    docs = _docs(spark, sf_dir)
+    h = docs.select(
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("content_h"),
+        F.md5(F.col("text")).alias("full_h"),
+    )
+    g = h.groupBy("content_h").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("full_h").cast("bigint").alias("n_full"),
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_distinct_short"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_full") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_in_true_collisions"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_sharing_short"),
+    )
