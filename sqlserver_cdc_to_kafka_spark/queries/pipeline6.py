@@ -5479,3 +5479,53 @@ def q_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs_sharing_short"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modality key reconciliation
+# ---------------------------------------------------------------------------
+
+@query(
+    "audit_modality_key_alignment",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+v AS (SELECT vec_id FROM embeddings),
+j AS (SELECT d.doc_id, v.vec_id
+      FROM d FULL OUTER JOIN v ON v.vec_id = d.doc_id)
+SELECT CAST(COUNT(*) FILTER (WHERE doc_id IS NOT NULL
+                               AND vec_id IS NOT NULL) AS BIGINT)
+         AS n_aligned,
+       CAST(COUNT(*) FILTER (WHERE vec_id IS NULL) AS BIGINT)
+         AS n_doc_only,
+       CAST(COUNT(*) FILTER (WHERE doc_id IS NULL) AS BIGINT)
+         AS n_vec_only
+FROM j
+""",
+)
+def q_modality_key_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODALITY key reconciliation: the documents↔embeddings id
+    spaces full-outer compared — texts with no vector (embedding job
+    behind) and vectors with no text (stale index entries).  Every query
+    that joins the two tables (drift, SemDeDup, hybrid consensus) assumes
+    n_doc_only = n_vec_only = 0; this is the audit that PROVES it, the
+    same set-reconciliation discipline the CDC layer applies to topics
+    (val_set_reconciliation), pointed at the modality contract.  One
+    co-keyed full-outer join on pruned single-column scans."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(
+                F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_aligned"),
+        F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_doc_only"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_vec_only"),
+    )
