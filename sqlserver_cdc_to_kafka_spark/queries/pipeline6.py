@@ -5529,3 +5529,144 @@ def q_modality_key_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_vec_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC part classification
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_abc_parts",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT cents,
+         SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER () AS total
+  FROM rev),
+classed AS (
+  SELECT cents,
+         CASE WHEN cum * 100 <= total * 80 THEN 'A'
+              WHEN cum * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS class_cents
+FROM classed GROUP BY abc_class
+""",
+)
+def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC CLASSIFICATION of parts by revenue: A-parts carry the first
+    80% of cumulative revenue, B the next 15, C the tail — the inventory-
+    prioritization classic (count how few parts deserve most of the
+    attention).  Class boundaries are integer cross-products (cum·100 vs
+    total·80/95, no float shares); revenue first collapses to one row per
+    part, and the cumulative window's total order carries the
+    deciles/Gini caveat with the same bucketed-prefix-sum swap at
+    extreme part counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    wcum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wtot).alias("total"),
+    )
+    classed = ranked.select(
+        "cents",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("class_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-activity streaks
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_activity_streaks",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us FROM ev),
+ud AS (
+  SELECT DISTINCT user_id,
+         CAST((us - t0.start_us) // {_TS_DAY_US} AS BIGINT) AS day
+  FROM ev CROSS JOIN t0),
+isl AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM ud),
+streaks AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_len
+  FROM isl GROUP BY user_id, grp),
+best AS (
+  SELECT user_id, CAST(MAX(streak_len) AS BIGINT) AS max_streak
+  FROM streaks GROUP BY user_id)
+SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM best GROUP BY max_streak
+""",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY-ACTIVITY STREAKS: each user's longest run of consecutive
+    active days, histogrammed — the gamification/engagement metric behind
+    streak badges and retention cohorting.  Uses the classic day −
+    row_number() islands trick on the DISTINCT (user, day) relation (the
+    only thing that grows; per-user windows, bounded calendar), then two
+    tiny aggregates."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", epoch_micros(events, "ts").alias("us")
+    )
+    t0 = ev.agg(F.min("us").cast("bigint").alias("start_us"))
+    ud = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "user_id",
+            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    isl = ud.withColumn(
+        "grp",
+        F.col("day")
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("day")),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("streak_len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("bigint").alias("max_streak")
+    )
+    return best.groupBy("max_streak").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
