@@ -5670,3 +5670,90 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("max_streak").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spend-decile migration matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_decile_migration",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 // 365 AS BIGINT)
+           AS year_idx,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+spend AS (
+  SELECT o_custkey, year_idx, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM o GROUP BY 1, 2),
+dec AS (
+  SELECT o_custkey, year_idx,
+         CAST(ntile(5) OVER (PARTITION BY year_idx
+                             ORDER BY cents DESC, o_custkey) AS BIGINT)
+           AS quintile
+  FROM spend),
+m AS (
+  SELECT a.quintile AS from_q, b.quintile AS to_q,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM dec a JOIN dec b
+    ON b.o_custkey = a.o_custkey AND b.year_idx = a.year_idx + 1
+  GROUP BY 1, 2)
+SELECT from_q, to_q, n_customers FROM m
+""",
+)
+def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-QUINTILE MIGRATION matrix: customers' value tier in year Y
+    vs Y+1 — the movement analysis behind churn-risk and upsell lists
+    (heavy Q1→Q5 flow = value collapse the aggregate LTV table hides).
+    Per-year ntile(5) with (spend DESC, custkey) deterministic ties
+    (per-year partitions, each carrying the documented total-order
+    caveat), then a self-join on (customer, year+1).  Only customers
+    active in both years appear — entries/exits are the complement
+    against olap_customer_repeat_rate."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
+        .cast("bigint")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).select(
+        "o_custkey",
+        F.expr("cast(day div 365 as bigint)").alias("year_idx"),
+        "cents",
+    )
+    spend = o.groupBy("o_custkey", "year_idx").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    dec = spend.select(
+        "o_custkey",
+        "year_idx",
+        F.ntile(5)
+        .over(
+            Window.partitionBy("year_idx").orderBy(
+                F.col("cents").desc(), "o_custkey"
+            )
+        )
+        .cast("bigint")
+        .alias("quintile"),
+    )
+    b = dec.select(
+        F.col("o_custkey").alias("b_cust"),
+        F.col("year_idx").alias("b_year"),
+        F.col("quintile").alias("to_q"),
+    )
+    return (
+        dec.join(
+            b,
+            (dec.o_custkey == b.b_cust)
+            & (b.b_year == dec.year_idx + 1),
+        )
+        .groupBy(F.col("quintile").alias("from_q"), "to_q")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
