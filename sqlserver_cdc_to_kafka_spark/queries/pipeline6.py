@@ -5757,3 +5757,96 @@ def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("quintile").alias("from_q"), "to_q")
         .agg(F.count("*").cast("bigint").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling-bias audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_sampling_bias_audit",
+    oracle="""
+WITH scored AS (
+  SELECT source,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0))) * 100
+              // len(list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0)) AS BIGINT)
+           AS quality_pct,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8) AS BIGINT)
+           % 100 AS coin
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), w -> length(w) > 0)) > 0),
+m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(quality_pct) AS BIGINT) AS q_all,
+         CAST(COUNT(*) FILTER (WHERE coin < quality_pct) AS BIGINT)
+           AS n_kept,
+         CAST(COALESCE(SUM(quality_pct) FILTER (WHERE coin < quality_pct),
+                       0) AS BIGINT) AS q_kept
+  FROM scored GROUP BY source
+  HAVING COUNT(*) FILTER (WHERE coin < quality_pct) > 0)
+SELECT source, n_all, n_kept,
+       CAST(q_all * 100 // n_all AS BIGINT) AS mean_q_all_x100,
+       CAST(q_kept * 100 // n_kept AS BIGINT) AS mean_q_kept_x100,
+       CAST(q_kept * 100 // n_kept - q_all * 100 // n_all AS BIGINT)
+         AS uplift_x100
+FROM m
+""",
+)
+def q_sampling_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLING-BIAS quantification: how much does the quality-
+    proportional rejection sampler (pipeline_rejection_sample, same md5
+    coin and score) actually SHIFT mean quality per source — the measured
+    uplift that justifies the sampling pass, and the audit that catches a
+    mis-wired coin (zero uplift = the sampler is random).  Integer
+    basis-point means; sources with no survivors excluded.  One grouped
+    conditional aggregate."""
+    words = "filter(split(text, ' '), w -> length(w) > 0)"
+    docs = _docs(spark, sf_dir).filter(F.expr(f"size({words}) > 0"))
+    scored = docs.select(
+        "source",
+        F.expr(
+            f"cast(size(array_distinct({words})) * 100 div size({words})"
+            " as bigint)"
+        ).alias("quality_pct"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        ).alias("coin"),
+    )
+    kept = F.col("coin") < F.col("quality_pct")
+    m = (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_all"),
+            F.sum("quality_pct").cast("bigint").alias("q_all"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias(
+                "n_kept"
+            ),
+            F.coalesce(F.sum(F.when(kept, F.col("quality_pct"))), F.lit(0))
+            .cast("bigint")
+            .alias("q_kept"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
+    return m.select(
+        "source",
+        "n_all",
+        "n_kept",
+        F.expr("cast(q_all * 100 div n_all as bigint)").alias(
+            "mean_q_all_x100"
+        ),
+        F.expr("cast(q_kept * 100 div n_kept as bigint)").alias(
+            "mean_q_kept_x100"
+        ),
+        F.expr(
+            "cast(q_kept * 100 div n_kept - q_all * 100 div n_all"
+            " as bigint)"
+        ).alias("uplift_x100"),
+    )
