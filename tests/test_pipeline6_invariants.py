@@ -245,3 +245,51 @@ def test_bounce_rate_consistency(spark, sf_dir):
     assert 0 <= r.n_bounces <= r.n_sessions
     assert r.bounce_ppm == r.n_bounces * 1_000_000 // r.n_sessions
     assert r.max_session_events >= 1
+
+
+def test_abc_parts_partition(spark, sf_dir):
+    """A/B/C classes partition the part set and revenue ordering holds:
+    A-revenue >= B-revenue >= C-revenue per part on average."""
+    rows = {r.abc_class: r for r in _q("olap_abc_parts")(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    if "B" in rows and rows["B"].n_parts and rows["A"].n_parts:
+        assert (
+            rows["A"].class_cents / rows["A"].n_parts
+            >= rows["B"].class_cents / rows["B"].n_parts
+        )
+
+
+def test_decile_migration_marginals(spark, sf_dir):
+    """Every migrating customer appears exactly once in the matrix."""
+    rows = _q("olap_decile_migration")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.from_q <= 5 and 1 <= r.to_q <= 5
+        assert r.n_customers > 0
+
+
+def test_sampling_bias_uplift_nonnegative(spark, sf_dir):
+    """Quality-proportional sampling can only raise (or hold) the mean
+    quality of the kept set — negative uplift means the coin is
+    mis-wired."""
+    rows = _q("pipeline_sampling_bias_audit")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept <= r.n_all
+        assert r.uplift_x100 >= 0, r
+
+
+def test_activity_streaks_bounds(spark, sf_dir):
+    rows = _q("events_activity_streaks")(spark, sf_dir).collect()
+    assert rows
+    total_users = sum(r.n_users for r in rows)
+    import pyspark.sql.functions as F_
+
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total_users == users  # every user has exactly one max streak
+    assert all(1 <= r.max_streak <= 31 for r in rows)
