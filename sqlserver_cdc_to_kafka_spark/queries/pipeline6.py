@@ -5850,3 +5850,133 @@ def q_sampling_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("uplift_x100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier balance-risk profile
+# ---------------------------------------------------------------------------
+
+@query(
+    "olap_supplier_balance_risk",
+    oracle="""
+WITH s AS (
+  SELECT n.n_name AS nation,
+         CAST(ROUND(sup.s_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM supplier sup JOIN nation n ON n.n_nationkey = sup.s_nationkey)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) FILTER (WHERE bal_cents < 0) AS BIGINT)
+         AS n_negative,
+       CAST(COUNT(*) FILTER (WHERE bal_cents < 0) * 1000000 // COUNT(*)
+            AS BIGINT) AS negative_ppm,
+       CAST(SUM(CASE WHEN bal_cents < 0 THEN bal_cents ELSE 0 END)
+            AS BIGINT) AS exposure_cents,
+       CAST(MIN(bal_cents) AS BIGINT) AS worst_cents
+FROM s GROUP BY nation
+""",
+)
+def q_supplier_balance_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier BALANCE-RISK profile per nation: how many suppliers carry
+    negative account balances, the total negative exposure in integer
+    cents, and the worst single balance — the credit-risk rollup a
+    procurement consumer of the replicated supplier table runs.  One
+    broadcast-dimension join and one grouped conditional aggregate."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    s = sup.join(
+        F.broadcast(nation), sup.s_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    neg = F.col("bal_cents") < 0
+    return s.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum(F.when(neg, 1).otherwise(0)).cast("bigint").alias("n_negative"),
+        F.expr(
+            "cast(sum(case when bal_cents < 0 then 1 else 0 end) * 1000000"
+            " div count(*) as bigint)"
+        ).alias("negative_ppm"),
+        F.sum(F.when(neg, F.col("bal_cents")).otherwise(0))
+        .cast("bigint")
+        .alias("exposure_cents"),
+        F.min("bal_cents").cast("bigint").alias("worst_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly type-mix drift
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_type_mix_drift",
+    oracle=f"""
+WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us FROM ev),
+w AS (
+  SELECT event_type,
+         CAST((us - t0.start_us) // (7 * {_TS_DAY_US}) AS BIGINT) AS week
+  FROM ev CROSS JOIN t0),
+c AS (SELECT week, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM w GROUP BY 1, 2),
+tot AS (SELECT week, CAST(SUM(n) AS BIGINT) AS wn FROM c GROUP BY week),
+share AS (
+  SELECT c.week, c.event_type,
+         CAST(c.n * 1000000 // t.wn AS BIGINT) AS share_ppm
+  FROM c JOIN tot t USING (week)),
+drift AS (
+  SELECT week, event_type, share_ppm,
+         abs(share_ppm - lag(share_ppm)
+               OVER (PARTITION BY event_type ORDER BY week)) AS shift_ppm
+  FROM share)
+SELECT event_type,
+       CAST(MAX(shift_ppm) AS BIGINT) AS max_wow_shift_ppm,
+       CAST(MIN(share_ppm) AS BIGINT) AS min_share_ppm,
+       CAST(MAX(share_ppm) AS BIGINT) AS max_share_ppm
+FROM drift GROUP BY event_type
+""",
+)
+def q_type_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly TYPE-MIX drift monitor: each event type's traffic share per
+    week and its largest week-over-week shift — the mix-stability check
+    that catches instrumentation changes (a type suddenly doubling its
+    share) before they poison downstream models.  Integer shares on the
+    bounded week grid; the lag window runs over ≤|weeks| rows per type."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type", epoch_micros(events, "ts").alias("us")
+    )
+    t0 = ev.agg(F.min("us").cast("bigint").alias("start_us"))
+    w = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        ((F.col("us") - F.col("start_us")) / F.lit(7 * _TS_DAY_US))
+        .cast("bigint")
+        .alias("week"),
+    )
+    c = w.groupBy("week", "event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = c.groupBy("week").agg(F.sum("n").cast("bigint").alias("wn"))
+    share = c.join(tot, "week").select(
+        "week",
+        "event_type",
+        F.expr("cast(n * 1000000 div wn as bigint)").alias("share_ppm"),
+    )
+    drift = share.withColumn(
+        "shift_ppm",
+        F.abs(
+            F.col("share_ppm")
+            - F.lag("share_ppm").over(
+                Window.partitionBy("event_type").orderBy("week")
+            )
+        ),
+    )
+    return drift.groupBy("event_type").agg(
+        F.max("shift_ppm").cast("bigint").alias("max_wow_shift_ppm"),
+        F.min("share_ppm").cast("bigint").alias("min_share_ppm"),
+        F.max("share_ppm").cast("bigint").alias("max_share_ppm"),
+    )
