@@ -5980,3 +5980,147 @@ def q_type_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("share_ppm").cast("bigint").alias("min_share_ppm"),
         F.max("share_ppm").cast("bigint").alias("max_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation fold stability
+# ---------------------------------------------------------------------------
+
+_CVS_FOLDS = 5
+
+
+@query(
+    "pipeline_cv_fold_stability",
+    oracle=f"""
+WITH lab AS (
+  SELECT CAST('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_CVS_FOLDS} AS fold,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                w -> length(w) > 0))) * 1000000
+              // greatest(len(list_filter(string_split(text, ' '),
+                              w -> length(w) > 0)), 1) AS BIGINT) AS q
+  FROM documents),
+m AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q_ppm
+  FROM lab GROUP BY fold),
+sp AS (SELECT CAST(MAX(mean_q_ppm) - MIN(mean_q_ppm) AS BIGINT) AS spread
+       FROM m)
+SELECT m.fold, m.n, m.mean_q_ppm, sp.spread AS fold_spread_ppm
+FROM m CROSS JOIN sp
+""",
+)
+def q_cv_fold_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-VALIDATION fold STABILITY: the mean quality metric per
+    salted-hash fold (same 'fold:' salt as pipeline_cv_folds) and the
+    max−min spread across folds — a wide spread means fold assignment
+    correlates with the metric and CV estimates will be noisy; near-zero
+    validates the salt.  The A/A audit generalized from 2 halves to K
+    folds.  One grouped aggregate plus a scalar spread."""
+    words = "filter(split(text, ' '), w -> length(w) > 0)"
+    docs = _docs(spark, sf_dir)
+    lab = docs.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CVS_FOLDS
+        ).alias("fold"),
+        F.expr(
+            f"cast(size(array_distinct({words})) * 1000000"
+            f" div greatest(size({words}), 1) as bigint)"
+        ).alias("q"),
+    )
+    m = lab.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("cast(sum(q) div count(*) as bigint)").alias("mean_q_ppm"),
+    )
+    sp = m.agg(
+        (F.max("mean_q_ppm") - F.min("mean_q_ppm"))
+        .cast("bigint")
+        .alias("fold_spread_ppm")
+    )
+    return m.crossJoin(F.broadcast(sp)).select(
+        "fold", "n", "mean_q_ppm", "fold_spread_ppm"
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning growth accounting
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_new_vs_returning",
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us FROM ev),
+ud AS (
+  SELECT DISTINCT user_id,
+         CAST((us - t0.start_us) // {_TS_DAY_US} AS BIGINT) AS day
+  FROM ev CROSS JOIN t0),
+firsts AS (SELECT user_id, CAST(MIN(day) AS BIGINT) AS first_day
+           FROM ud GROUP BY user_id)
+SELECT u.day,
+       CAST(COUNT(*) FILTER (WHERE u.day = f.first_day) AS BIGINT)
+         AS n_new,
+       CAST(COUNT(*) FILTER (WHERE u.day > f.first_day) AS BIGINT)
+         AS n_returning,
+       CAST(COUNT(*) FILTER (WHERE u.day = f.first_day) * 1000000
+            // COUNT(*) AS BIGINT) AS new_share_ppm
+FROM ud u JOIN firsts f ON f.user_id = u.user_id
+GROUP BY u.day
+""",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING: daily active users split into NEW (first-ever
+    active day) vs RETURNING — the decomposition every growth team reads
+    before celebrating a DAU spike (all-new = acquisition burst that may
+    churn; all-returning = real retention).  The distinct (user, day)
+    relation joins its own per-user first-day aggregate — two shuffles on
+    user_id, integer shares, bounded day grid output."""
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", epoch_micros(events, "ts").alias("us")
+    )
+    t0 = ev.agg(F.min("us").cast("bigint").alias("start_us"))
+    ud = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "user_id",
+            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    firsts = ud.groupBy("user_id").agg(
+        F.min("day").cast("bigint").alias("first_day")
+    )
+    new_f = F.col("day") == F.col("first_day")
+    ret_f = F.col("day") > F.col("first_day")
+    return (
+        ud.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(new_f, 1).otherwise(0)).cast("bigint").alias(
+                "n_new"
+            ),
+            F.sum(F.when(ret_f, 1).otherwise(0)).cast("bigint").alias(
+                "n_returning"
+            ),
+            F.expr(
+                "cast(sum(case when day = first_day then 1 else 0 end)"
+                " * 1000000 div count(*) as bigint)"
+            ).alias("new_share_ppm"),
+        )
+    )
