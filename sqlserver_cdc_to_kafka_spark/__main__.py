@@ -231,11 +231,16 @@ def main(argv: Sequence[str] | None = None) -> int:
         from sqlserver_cdc_to_kafka_spark.registry import load_all
 
         reg = load_all()
-        for name in (n.strip() for n in args.run_query.split(",")):
-            if name not in reg:
+        names = [n.strip() for n in args.run_query.split(",")]
+        # validate the whole request before executing anything: an unknown
+        # second name must not leave partial results behind an exit code 2
+        unknown = [n for n in names if n not in reg]
+        if unknown:
+            for name in unknown:
                 print(f"error: unknown query {name!r} (see --list-queries)",
                       file=sys.stderr)
-                return 2
+            return 2
+        for name in names:
             df = reg[name].fn(spark, args.sf_dir)
             rows = df.limit(args.limit).collect()
             _emit("query", name=name, n_shown=len(rows),

@@ -73,11 +73,12 @@ def exact_group_kth(
     counts = (
         base.withColumn("w", width_expr[F.col("g")])
         .withColumn("lo", lo_expr[F.col("g")])
+        # integer floored division: double division here could round a value
+        # near 2^53 into a neighbouring bucket, disagreeing with the integer
+        # range filter in pass 2 and breaking the EXACT guarantee
         .select(
             "g",
-            ((F.col("v") - F.col("lo")) / F.col("w"))
-            .cast("bigint")
-            .alias("b"),
+            F.expr("(v - lo) div w").cast("bigint").alias("b"),
         )
         .groupBy("g", "b")
         .agg(F.count("*").alias("c"))
@@ -127,7 +128,7 @@ def exact_group_percentiles_df(
     out_schema: str,
 ) -> DataFrame:
     """DataFrame wrapper: one output row per group with n and each
-    labelled order statistic (plus the group max, label '_max')."""
+    labelled order statistic."""
     rank_fns = dict(labels)
     rows = exact_group_kth(df, group_col, value_col, rank_fns)
     data = [

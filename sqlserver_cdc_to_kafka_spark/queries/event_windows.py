@@ -613,46 +613,58 @@ def q_stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     pairs = markov_transitions_stateful(stream, types)
+    import shutil
+
     scratch = os.path.join(
         tempfile.gettempdir(), f"markovdrain_{uuid.uuid4().hex[:12]}"
     )
     outdir = os.path.join(scratch, "out")
-    q = (
-        pairs.writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    drained = spark.read.parquet(outdir)
-    names = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(types)], "r long, name string"
-    )
-    t = (
-        drained.join(
-            names.select(
-                F.col("r").alias("prev_rank"), F.col("name").alias("prev_type")
-            ),
-            "prev_rank",
+    try:
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .join(
-            names.select(
-                F.col("r").alias("curr_rank"),
-                F.col("name").alias("event_type"),
-            ),
-            "curr_rank",
+        q.awaitTermination()
+        drained = spark.read.parquet(outdir)
+        names = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(types)], "r long, name string"
         )
-        .groupBy("prev_type", "event_type")
-        .agg(F.count("*").cast("bigint").alias("n"))
-    )
-    return t.select(
-        "prev_type",
-        "event_type",
-        "n",
-        F.expr(
-            "cast(n * 1000000 div sum(n) over (partition by prev_type)"
-            " as bigint)"
-        ).alias("prob_ppm"),
-    )
+        t = (
+            drained.join(
+                names.select(
+                    F.col("r").alias("prev_rank"),
+                    F.col("name").alias("prev_type"),
+                ),
+                "prev_rank",
+            )
+            .join(
+                names.select(
+                    F.col("r").alias("curr_rank"),
+                    F.col("name").alias("event_type"),
+                ),
+                "curr_rank",
+            )
+            .groupBy("prev_type", "event_type")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        # materialize the bounded |types|² matrix before the scratch dir is
+        # removed — the parquet read is lazy, so the plan must not outlive it
+        rows = t.select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.expr(
+                "cast(n * 1000000 div sum(n) over (partition by prev_type)"
+                " as bigint)"
+            ).alias("prob_ppm"),
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "prev_type string, event_type string, n bigint, prob_ppm bigint",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

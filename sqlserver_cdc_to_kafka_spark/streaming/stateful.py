@@ -293,7 +293,17 @@ def markov_transitions_stateful(
     ``type_order`` (state rows are fixed-width longs; the caller maps
     ranks back to names).  Unlike sessionization nothing ever stays
     pending: every transition is closed the moment its second event
-    arrives, so a bounded drain reproduces the batch matrix EXACTLY."""
+    arrives, so a bounded drain reproduces the batch matrix EXACTLY.
+
+    Ordering contract: rows are sorted within each micro-batch, but a row
+    arriving in a LATER batch with (us, event_id) at or behind the stored
+    last event sits behind the emitted frontier — its pairs were already
+    emitted in append mode and cannot be retracted.  Such rows are
+    DROPPED (a per-key frontier, the same late-data policy as a
+    watermark), so the hash-exact batch-oracle claim requires that
+    cross-batch delivery be non-decreasing per key, as it is for the
+    ordered CDC feeds this engine drains (cf. reference
+    cdc_kafka/validation.py ordering guarantees)."""
     rank = {t: i for i, t in enumerate(type_order)}
 
     def fold(
@@ -314,6 +324,11 @@ def markov_transitions_stateful(
         out: list[tuple[int, int, int]] = []
         for us, ev_id, r in rows:
             if last_rank is not None:
+                if (us, ev_id) <= (last_us, last_id):
+                    # behind the emitted frontier: pairs involving the
+                    # stored last event are already out (append mode) —
+                    # drop rather than silently diverge from the oracle
+                    continue
                 out.append((user_id, last_rank, r))
             last_us, last_id, last_rank = us, ev_id, r
         if last_rank is not None:
