@@ -1912,7 +1912,7 @@ _TS_DAY_US = 86_400_000_000
 
 @query(
     "ts_user_similarity_topk",
-    bench=True,
+    bench=False,  # documented exact baseline; bench runs the _scalable form
     oracle=f"""
 WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
 t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us,
@@ -2022,6 +2022,195 @@ def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed top-N over the unbounded pair relation (see
     # olap_basket_affinity) — never a global rank window
     return pairs.orderBy("dist2", "user_a", "user_b").limit(20)
+
+
+_TS_SIM_BLOCKS = 8  # hash blocks; scale knob, see docstring
+
+
+@query(
+    "ts_user_similarity_topk_scalable",
+    bench=True,
+    oracle=f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+t0 AS (SELECT CAST(MIN(us) AS BIGINT) AS start_us,
+              CAST((MAX(us) - MIN(us)) // {_TS_DAY_US} + 1 AS BIGINT)
+                AS n_buckets
+       FROM ev),
+counts AS (
+  SELECT user_id,
+         CAST((us - t0.start_us) // {_TS_DAY_US} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev CROSS JOIN t0 GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM ev),
+grid AS (
+  SELECT u.user_id, CAST(b AS BIGINT) AS bucket
+  FROM users u CROSS JOIN t0, LATERAL unnest(range(0, t0.n_buckets)) AS g(b)),
+dense AS (
+  SELECT g.user_id, g.bucket, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c
+    ON c.user_id = g.user_id AND c.bucket = g.bucket),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2
+  FROM dense a JOIN dense b
+    ON a.bucket = b.bucket AND a.user_id < b.user_id
+  GROUP BY 1, 2)
+SELECT user_a, user_b, dist2
+FROM pairs
+QUALIFY row_number() OVER (ORDER BY dist2, user_a, user_b) <= 20
+""",
+)
+def q_ts_user_similarity_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE path for ts_user_similarity_topk — EXACT block-matrix top-k,
+    not an approximation.  The exact baseline's pair stage self-joins the
+    dense user×day grid on bucket equality: the shuffle key is the day
+    bucket (30 distinct values here — parallelism capped at |days| and
+    skewed by construction) and it materializes O(U²·days) joined rows.
+    A sign-LSH candidate route (pipeline/similarity.py) was measured
+    first and rejected: on this corpus (short dense count vectors,
+    near-uniform pair-distance distribution — top-20 dist2 ≈ 34 vs
+    median ≈ 130 at sf0.1) banding reached only 13–19/20 recall while
+    still emitting 34–65% of all pairs; uniform data is LSH's lower-bound
+    regime, so the honest scalable design keeps exactness and fixes the
+    SHUFFLE instead:
+
+      1. collapse each user to ONE dense bigint vector (groupBy user —
+         a well-distributed key — then map_from_entries + sequence fill,
+         all JVM-side; dim = day span, bounded by time not data);
+      2. hash users into B = {_TS_SIM_BLOCKS} blocks (md5 idiom, engine-
+         portable) and cogroup the B(B+1)/2 unordered block pairs: the
+         A side of block i fans out to cells (i, j ≥ i), the B side of
+         block j to cells (i ≤ j, j), so every user pair lands in exactly
+         one cell and every cell holds ~(U/B)² pairs — UNIFORM cost, no
+         skew, parallelism B(B+1)/2 (tune B ≈ 4·√cores at cluster scale;
+         replication factor is B, so B also bounds the per-cell Arrow
+         batch at U/B · dim · 8 bytes per side);
+      3. per cell, one Arrow-batched numpy int64 matmul scores the whole
+         (U/B)×(U/B) distance matrix (‖a‖² + ‖b‖² − 2·A·Bᵀ — exact
+         integer math, hash-identical to the SQL oracle) and emits only
+         the cell-local top-20 under the global tiebreak, so the global
+         stage sorts B(B+1)/2 · 20 rows, never the pair space.
+
+    The pair space is never shuffled or materialized as rows — it exists
+    only as a per-cell dense matrix inside the vectorized kernel (the
+    brief's sanctioned applyInPandas shape for dense linear algebra).
+    Local-top20-then-global-top20 is exactly correct because cells
+    partition the pair space.  Oracle: the SAME dense-grid SQL as the
+    exact baseline — this query must reproduce it bit-for-bit, and
+    test_ts_similarity_scalable_agreement pins Spark-vs-Spark equality
+    of the two forms as well."""
+    import numpy as np
+    import pandas as pd
+
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
+        epoch_micros,
+    )
+
+    B = _TS_SIM_BLOCKS
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("user_id", epoch_micros(events, "ts").alias("us"))
+    t0 = ev.agg(
+        F.min("us").cast("bigint").alias("start_us"),
+        (
+            (F.max("us") - F.min("us")) / F.lit(_TS_DAY_US)
+        ).cast("bigint").alias("nb_minus"),
+    ).select("start_us", (F.col("nb_minus") + 1).alias("n_buckets"))
+    counts = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "user_id",
+            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    vec = (
+        counts.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "c"))
+            ).alias("m")
+        )
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "user_id",
+            F.transform(
+                F.expr("sequence(cast(0 as bigint), n_buckets - 1)"),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0)).cast("bigint"),
+            ).alias("v"),
+        )
+    )
+    blocked = vec.withColumn(
+        "beta",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % B
+        ).cast("int"),
+    )
+    a_side = blocked.withColumn(
+        "j", F.explode(F.expr(f"sequence(beta, {B - 1})"))
+    ).select(F.col("beta").alias("i"), F.col("j").cast("int"), "user_id", "v")
+    # distinct output names on the B side mint fresh attribute ids, so the
+    # cogroup of two projections of the same lineage is not ambiguous
+    b_side = blocked.withColumn(
+        "i", F.explode(F.expr("sequence(0, beta)"))
+    ).select(
+        F.col("i").cast("int").alias("ib"),
+        F.col("beta").alias("jb"),
+        F.col("user_id").alias("user_id_b"),
+        F.col("v").alias("vb"),
+    )
+
+    out_schema = "user_a bigint, user_b bigint, dist2 bigint"
+
+    def cell_topk(key, left: pd.DataFrame, right: pd.DataFrame):
+        i, j = int(key[0]), int(key[1])
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "user_a": pd.Series([], dtype="int64"),
+                    "user_b": pd.Series([], dtype="int64"),
+                    "dist2": pd.Series([], dtype="int64"),
+                }
+            )
+        A = np.array(left["v"].tolist(), dtype=np.int64)
+        Bm = np.array(right["vb"].tolist(), dtype=np.int64)
+        ua = left["user_id"].to_numpy(dtype=np.int64)
+        ub = right["user_id_b"].to_numpy(dtype=np.int64)
+        na = (A * A).sum(axis=1)
+        nb = (Bm * Bm).sum(axis=1)
+        d2 = na[:, None] + nb[None, :] - 2 * (A @ Bm.T)
+        ga = np.broadcast_to(ua[:, None], d2.shape)
+        gb = np.broadcast_to(ub[None, :], d2.shape)
+        if i == j:
+            # both sides carry block i: strict upper triangle by user id
+            # covers each unordered pair exactly once, excludes self
+            mask = ga < gb
+        else:
+            # disjoint blocks: every (a, b) pair once; canonicalize order
+            mask = np.ones(d2.shape, dtype=bool)
+        pa = np.minimum(ga[mask], gb[mask])
+        pb = np.maximum(ga[mask], gb[mask])
+        pd2 = d2[mask]
+        order = np.lexsort((pb, pa, pd2))[:20]
+        return pd.DataFrame(
+            {"user_a": pa[order], "user_b": pb[order], "dist2": pd2[order]}
+        )
+
+    cells = (
+        a_side.groupBy("i", "j")
+        .cogroup(b_side.groupBy("ib", "jb"))
+        .applyInPandas(cell_topk, out_schema)
+    )
+    # global winner selection over B(B+1)/2 · 20 rows — bounded, never the
+    # pair space
+    return cells.orderBy("dist2", "user_a", "user_b").limit(20)
 
 
 # ---------------------------------------------------------------------------

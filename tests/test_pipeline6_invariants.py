@@ -207,6 +207,39 @@ def test_ts_similarity_ordering(spark, sf_dir):
         assert r.user_a < r.user_b
 
 
+def test_ts_similarity_scalable_agreement(spark, sf_dir):
+    """The block-matrix scale path is EXACT, not approximate: its top-20
+    must equal the dense-grid baseline's top-20 row for row (cells
+    partition the pair space; per-cell local top-20 under the global
+    tiebreak cannot drop a global winner)."""
+    exact = [
+        tuple(r) for r in _q("ts_user_similarity_topk")(spark, sf_dir).collect()
+    ]
+    scal = [
+        tuple(r)
+        for r in _q("ts_user_similarity_topk_scalable")(spark, sf_dir).collect()
+    ]
+    assert scal == exact
+
+
+def test_ts_similarity_scalable_plan_has_no_pairwise_join(spark, sf_dir):
+    """Round-6 VERDICT item 3: the scale variant must not self-join on the
+    day bucket (a ~30-value skewed key materializing O(U²·days) rows).
+    Its pair stage must be the cogrouped block kernel; the only joins in
+    the plan are the 1-row t0 scalar broadcasts."""
+    plan = (
+        _q("ts_user_similarity_topk_scalable")(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_embedding_drift_cosine_range(spark, sf_dir):
     rows = _q("pipeline_embedding_drift")(spark, sf_dir).collect()
     assert rows

@@ -24,6 +24,8 @@ BNLJ_ALLOWED = {
     "pipeline_kmeans_centroids",  # broadcast k-row centroid matrix (assignment pass)
     "text_tfidf_topterms",  # broadcast 1-row corpus-size aggregate (scalar join)
     "ts_user_similarity_topk",  # broadcast 1-row grid-origin scalar (t0)
+    "ts_user_similarity_topk_scalable",  # same 1-row t0 broadcast; pair
+    # stage is the cogrouped block kernel, not a join
 }
 
 
