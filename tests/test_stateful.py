@@ -63,6 +63,77 @@ def test_stateful_sessions_match_batch_across_microbatches(spark, sf_dir, tmp_pa
     assert len(got) > 0
 
 
+def test_stateful_sessionize_crash_resume(spark, sf_dir, tmp_path):
+    """The reference's exactly-once progress-resume guarantee (T2,
+    main.py:319-350) applied to the one operator family that carries
+    cross-batch state: kill the sessionizer after batch 1 (query object
+    discarded — only the checkpoint + state store survive), let the second
+    file arrive while it is down, then resume with a NEW query from the
+    same checkpoint.  The restored open-session state must close exactly
+    the batch gaps-and-islands oracle's sessions — no loss, no
+    re-emission.  The cut is placed at the last event of a known
+    multi-event session so at least one session provably straddles the
+    restart."""
+    from sqlserver_cdc_to_kafka_spark.streaming.stateful import (
+        SESSION_GAP_US,
+    )
+
+    ev = _events_us(spark, sf_dir)
+    straddle = (
+        batch_closed_sessions(ev)
+        .filter(F.col("n_events") >= 2)
+        .orderBy("user_id", "session_start_us")
+        .first()
+    )
+    assert straddle is not None, "test data must contain a multi-event session"
+    cut = straddle["session_end_us"] - SESSION_GAP_US  # its last event's us
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def stage(df, name):
+        d = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(d))
+        shutil.copyfile(next(d.glob("part-*.parquet")), src / f"{name}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(ev.filter(F.col("us") < cut), "a")
+    run_once()  # crash: query gone; checkpoint + state store remain
+    stage(ev.filter(F.col("us") >= cut), "b")
+    run_once()  # fresh query resumes from the checkpoint
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(out))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect()
+    )
+    want = sorted(
+        (
+            r["user_id"],
+            r["session_start_us"],
+            r["session_end_us"],
+            r["n_events"],
+        )
+        for r in batch_closed_sessions(ev).collect()
+    )
+    assert got == want
+    assert tuple(straddle) in got  # the session that straddled the restart
+
+
 def test_funnel_stateful_same_instant_ties_and_order(spark, tmp_path):
     """Equal-timestamp events must process in funnel-step order (a click at
     the exact instant of the first view still counts, matching the batch

@@ -65,6 +65,16 @@ def main() -> int:
         help="override spark.sql.shuffle.partitions — results must be "
         "partition-count invariant (probe with an odd value like 7)",
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        metavar="PATH",
+        help="also write per-query results as a JSON object in the same "
+        "shape as the driver's CORRECTNESS_r*.json (rows_match / "
+        "schema_match / hash_match / spark_rows / oracle_rows / err) — "
+        "the committed LOCALCHECK_r*.json artifact that makes full local "
+        "sweeps auditable without a re-run",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -81,6 +91,27 @@ def main() -> int:
     con = duckdb_conn(args.sf)
 
     n_pass = n_fail = 0
+    report: dict[str, dict] = {}
+
+    def record(
+        name: str,
+        *,
+        rows_match: bool,
+        schema_match: bool,
+        hash_match: bool,
+        spark_rows=None,
+        oracle_rows=None,
+        err=None,
+    ) -> None:
+        report[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name in names:
         q = registry[name]
         t0 = time.time()
@@ -89,10 +120,25 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: spark raised")
             traceback.print_exc()
+            record(
+                name,
+                rows_match=False,
+                schema_match=False,
+                hash_match=False,
+                err="spark raised: " + traceback.format_exc().splitlines()[-1],
+            )
             n_fail += 1
             continue
         if q.oracle is None:
             print(f"SKIP {name}: no oracle (rows-only), rows={len(got)} [{time.time()-t0:.1f}s]")
+            record(
+                name,
+                rows_match=True,
+                schema_match=True,
+                hash_match=True,
+                spark_rows=len(got),
+                err="rows-only (no oracle)",
+            )
             n_pass += 1
             continue
         try:
@@ -100,13 +146,23 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: duckdb raised")
             traceback.print_exc()
+            record(
+                name,
+                rows_match=False,
+                schema_match=False,
+                hash_match=False,
+                spark_rows=len(got),
+                err="duckdb raised: " + traceback.format_exc().splitlines()[-1],
+            )
             n_fail += 1
             continue
         ok = True
+        schema_ok = True
+        rows_ok = len(got) == len(want)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
-            ok = False
-        elif len(got) != len(want):
+            ok = schema_ok = False
+        elif not rows_ok:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             ok = False
         else:
@@ -125,7 +181,7 @@ def main() -> int:
                         f"spark={g.dtype} duckdb={w.dtype} "
                         "(driver hash would mismatch — CAST the oracle)"
                     )
-                    ok = False
+                    ok = schema_ok = False
                     break
                 if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
                     eq = np.isclose(
@@ -145,12 +201,26 @@ def main() -> int:
                         print(f"   spark={g.iloc[i]!r} duckdb={w.iloc[i]!r}")
                     ok = False
                     break
+        record(
+            name,
+            rows_match=rows_ok,
+            schema_match=schema_ok,
+            hash_match=ok,
+            spark_rows=len(got),
+            oracle_rows=len(want),
+        )
         if ok:
             print(f"PASS {name}: rows={len(got)} [{time.time()-t0:.1f}s]")
             n_pass += 1
         else:
             n_fail += 1
 
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {args.json} ({len(report)} queries)")
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
