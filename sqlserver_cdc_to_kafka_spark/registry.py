@@ -49,6 +49,15 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # here jump ahead of the staleness ranking (use it to force a same-round
 # witness for a query whose semantics just changed).  Unknown names raise:
 # a typo here must not silently drop a query out of the window.
+#
+# ROUND-8 SCHEDULE (round-6 VERDICT item 7): once the round-7 window
+# drains the never-witnessed olap/stream block, the stalest DRIVER rows
+# are the r1–r3 `val_*`/`cdc_*` CDC-parity core.  At round-8 open, pin
+# ~10 of those names here (val_set_reconciliation, val_lag_regressions,
+# val_missing_offsets, cdc_ordered_merge, cdc_replay_merge, …) ahead of
+# the remaining ~64 never-witnessed queries so no SURVEY §2 component goes
+# more than ~4 rounds without a fresh driver row; the never-witnessed
+# remainder keeps its LOCALCHECK_r*.json audit trail in the meantime.
 _DRIVER_PRIORITY: list[str] = []
 
 
