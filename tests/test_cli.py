@@ -150,3 +150,12 @@ def test_run_query_and_list(spark, sf_dir, capsys):
 
     rc = main(["--run-query", "no_such_query", "--sf-dir", sf_dir])
     assert rc == 2
+
+    # a bad SECOND name must fail the whole request up front — no partial
+    # results may be emitted before the exit code 2
+    rc = main(
+        ["--run-query", "cdc_count_by_operation,no_such_query",
+         "--sf-dir", sf_dir]
+    )
+    assert rc == 2
+    assert not [r for r in _emitted(capsys) if r["kind"] == "query"]
