@@ -63,3 +63,25 @@ def test_selection_bucket_boundary_values(spark):
 def test_selection_negative_values(spark):
     data = [("g", v) for v in [-50, -1, 0, 3, -999, 17]]
     _check(spark, data, {"p50": lambda n: (n + 1) // 2, "min": lambda n: 1})
+
+
+def test_selection_huge_range_bucket_boundaries(spark):
+    """Regression: with a 2^60 value range the bucket width is ~2^50, and
+    double division (v - lo)/w can round a just-below-boundary value into
+    the NEXT bucket (v = k*w - 1 is not double-representable at this
+    magnitude), disagreeing with pass 2's integer range filter and
+    breaking the EXACT guarantee.  Bucketing must use integer floored
+    division."""
+    w = (1 << 50) + 1  # the width exact_group_kth derives for range 2^60
+    data = [("g", 0), ("g", 1 << 60)] + [
+        ("g", k * w - 1) for k in (37, 512, 900)
+    ] + [("g", k * w) for k in (37, 900)]
+    _check(
+        spark,
+        data,
+        {
+            "p50": lambda n: (n + 1) // 2,
+            "p25": lambda n: (n + 3) // 4,
+            "max": lambda n: n,
+        },
+    )
