@@ -303,3 +303,51 @@ def test_markov_transitions_stateful_across_microbatches(spark, sf_dir, tmp_path
     )
     assert got == want
     assert sum(got.values()) > 0
+
+
+def test_markov_late_cross_batch_row_is_dropped(spark, tmp_path):
+    """The operator's documented late-data policy: a row arriving in a
+    LATER micro-batch with (us, event_id) at or behind the stored last
+    event sits behind the emitted frontier (its pairs are already out in
+    append mode) and must be DROPPED — not spliced in to emit transitions
+    the batch oracle never saw.  Subsequent in-order rows still pair
+    against the stored frontier event."""
+    import pandas as pd
+
+    from sqlserver_cdc_to_kafka_spark.streaming.stateful import (
+        markov_transitions_stateful,
+    )
+
+    types = ("A", "B", "C")
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ["user_id", "event_type", "us", "event_id"]
+    pd.DataFrame(
+        [(1, "A", 100, 1), (1, "B", 200, 2)], columns=cols
+    ).to_parquet(src / "a.parquet")
+    pd.DataFrame(
+        [(1, "C", 150, 3), (1, "A", 300, 4)], columns=cols
+    ).to_parquet(src / "b.parquet")
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        markov_transitions_stateful(stream, types)
+        .writeStream.format("memory")
+        .queryName("markov_late_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["user_id"], r["prev_rank"], r["curr_rank"])
+        for r in spark.sql("SELECT * FROM markov_late_out").collect()
+    )
+    # A->B in batch 1; the late C (us=150 < frontier 200) is dropped, so
+    # batch 2 emits only frontier(B) -> A
+    assert got == [(1, 0, 1), (1, 1, 0)]
