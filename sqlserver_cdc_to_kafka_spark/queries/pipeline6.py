@@ -1950,12 +1950,14 @@ def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are ranked by INTEGER squared-L2 distance — fully exact, no floats
     anywhere.  This is the distributed form of the streaming-similarity
     problem (EDBT'19 shape): profile vectors aggregate first (|users| ≪
-    |events|), the pair space is the documented exact baseline over the
-    aggregate, and the scale path reuses the sign-LSH banding from
-    pipeline/similarity.py over the same vectors.  Zero-filled grid via a
-    broadcast (user × bucket) frame so absent days count as distance, not
-    as missing rows; top-20 is a bounded TakeOrdered, never a global
-    sort."""
+    |events|), and the pair space here is the documented exact BASELINE
+    over the aggregate — an all-pairs self-join on the day bucket, kept
+    registered for auditability but NOT benched: the production form is
+    ``ts_user_similarity_topk_scalable`` (same rows, same oracle), whose
+    cogrouped block-matrix kernel never shuffles the pair space and has
+    no skewed join key.  Zero-filled grid via a broadcast (user × bucket)
+    frame so absent days count as distance, not as missing rows; top-20
+    is a bounded TakeOrdered, never a global sort."""
     from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
         epoch_micros,
     )
