@@ -222,6 +222,23 @@ def test_ts_similarity_scalable_agreement(spark, sf_dir):
     assert scal == exact
 
 
+def test_ts_similarity_scalable_block_count_invariance(spark, sf_dir, monkeypatch):
+    """Hash-blocking is pure partitioning: the top-20 must be identical
+    under any block count (cells always partition the pair space)."""
+    from sqlserver_cdc_to_kafka_spark.queries import pipeline6
+
+    base = [
+        tuple(r)
+        for r in _q("ts_user_similarity_topk_scalable")(spark, sf_dir).collect()
+    ]
+    monkeypatch.setattr(pipeline6, "_TS_SIM_BLOCKS", 3)
+    alt = [
+        tuple(r)
+        for r in _q("ts_user_similarity_topk_scalable")(spark, sf_dir).collect()
+    ]
+    assert alt == base
+
+
 def test_ts_similarity_scalable_plan_has_no_pairwise_join(spark, sf_dir):
     """Round-6 VERDICT item 3: the scale variant must not self-join on the
     day bucket (a ~30-value skewed key materializing O(U²·days) rows).
