@@ -58,6 +58,12 @@ def connected_components(
             .groupBy("doc_id")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # localCheckpoint (not cache): caching keeps re-execution away but
+        # the LOGICAL plan still nests every previous round's — by round N
+        # the AQE explain/task binaries grow geometrically and the driver
+        # OOMs building plan strings (seen at sf0.1).  Same per-round
+        # truncation the star variant uses; on a real cluster swap for
+        # reliable checkpoint() if executor loss must be survivable.
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -69,12 +75,9 @@ def connected_components(
                     "__changed"
                 ),
             )
-        ).cache()
+        ).localCheckpoint(eager=True)
         n_changed = updated.filter(F.col("__changed")).count()
-        new_labels = updated.drop("__changed").cache()
-        labels.unpersist()
-        updated.unpersist()
-        labels = new_labels
+        labels = updated.drop("__changed")
         if n_changed == 0:
             break
     return labels

@@ -642,7 +642,7 @@ best AS (SELECT l_partkey, MIN(unit_price) AS min_price
          FROM priced GROUP BY l_partkey)
 SELECT p.l_partkey AS p_partkey, p_name,
        CAST(MIN(l_suppkey) AS BIGINT) AS best_suppkey,
-       ROUND(min_price, 6) AS min_unit_price
+       CAST(FLOOR(min_price * 1000000 + 0.5) AS BIGINT) AS min_unit_price_micros
 FROM priced p
 JOIN best b ON p.l_partkey = b.l_partkey AND p.unit_price = b.min_price
 JOIN part ON p.l_partkey = part.p_partkey
@@ -657,7 +657,13 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash gate; MIN(suppkey) at the min price makes ties total.  The
     unit-price double division is a single IEEE op, so the equality
     join-back matches bit-for-bit cross-engine.  Both aggs and the join
-    share the l_partkey shuffle key — co-partitioned, one real exchange."""
+    share the l_partkey shuffle key — co-partitioned, one real exchange.
+
+    The exposed price is integer MICROS via floor(x*1e6 + 0.5), not
+    ROUND(x, 6): at sf0.1 three parts have a min price on an exact
+    half-boundary (e.g. 133.7415625) where Spark's BigDecimal HALF_UP and
+    DuckDB's float rounding disagree in the 6th decimal — floor of the
+    identical double is engine-portable (the repo-wide quantize idiom)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     priced = li.select(
         "l_partkey",
@@ -683,7 +689,9 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             "best_suppkey",
-            F.round("min_price", 6).alias("min_unit_price"),
+            F.floor(F.col("min_price") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("min_unit_price_micros"),
         )
     )
 
