@@ -80,6 +80,16 @@ def connected_components(
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
+    else:
+        # never converged: labels are WRONG for any component whose
+        # diameter exceeds max_iterations — failing loudly beats silently
+        # returning partial propagation (long transitive near-dup chains
+        # at 100 TB are exactly the case the star variant exists for)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (component diameter too large) — use "
+            "connected_components_star, which needs O(log n) rounds"
+        )
     return labels
 
 

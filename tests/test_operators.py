@@ -390,6 +390,23 @@ def test_star_components_long_chain_logarithmic_rounds(spark):
     assert all(r.component == 0 for r in out)
 
 
+def test_label_propagation_raises_instead_of_silent_partial(spark):
+    """Min-label propagation must FAIL LOUDLY when the diameter exceeds its
+    round cap — a silently returned partial propagation would merge dedup
+    clusters incorrectly downstream.  (The star variant is the documented
+    long-chain path; see test above.)"""
+    import pytest
+
+    from sqlserver_cdc_to_kafka_spark.pipeline.components import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(60)]  # diameter 60 > cap
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=10)
+
+
 def test_star_components_singleton_and_pair(spark):
     from sqlserver_cdc_to_kafka_spark.pipeline.components import (
         connected_components_star,
