@@ -222,6 +222,83 @@ def test_ts_similarity_scalable_agreement(spark, sf_dir):
     assert scal == exact
 
 
+def _ts_brute_topk(rows, k=20):
+    """Pure-python reference for the block-matrix kernel: dense day-grid
+    vectors, all-pairs integer squared-L2, (dist2, user_a, user_b) order."""
+    import numpy as np
+
+    day = 86_400_000_000
+    t0 = min(us for _, us in rows)
+    nb = (max(us for _, us in rows) - t0) // day + 1
+    users = sorted({u for u, _ in rows})
+    idx = {u: i for i, u in enumerate(users)}
+    V = np.zeros((len(users), nb), dtype=np.int64)
+    for u, us in rows:
+        V[idx[u], (us - t0) // day] += 1
+    out = []
+    for i in range(len(users)):
+        for j in range(i + 1, len(users)):
+            d = int(((V[i] - V[j]) ** 2).sum())
+            out.append((d, users[i], users[j]))
+    out.sort()
+    return [(a, b, d) for d, a, b in out[:k]]
+
+
+def _ts_case_to_dir(rows, tmp_path, name):
+    import pandas as pd
+
+    d = tmp_path / name
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "user_id": pd.Series([u for u, _ in rows], dtype="int64"),
+            "ts": pd.Series(
+                pd.to_datetime([us for _, us in rows], unit="us")
+            ).astype("datetime64[us]"),
+        }
+    )
+    pdf.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def test_ts_similarity_scalable_equals_brute_force_on_adversarial_cases(
+    spark, tmp_path
+):
+    """The kernel's exactness claim, exercised off the fixture distribution:
+    all-ties (every dist2 identical — pure tiebreak), fewer pairs than k,
+    a single user (empty result), duplicate vectors (dist2 = 0 winners),
+    and two seeded random corpora with empty days and uneven activity."""
+    import random
+
+    day = 86_400_000_000
+    cases = {
+        # 25 identical one-event-per-day users: all pair distances equal
+        "ties": [(u, d * day + 500) for u in range(1, 26) for d in range(4)],
+        # 5 users -> only 10 pairs (fewer than k)
+        "few": [(u, (u % 3) * day + u * 1000) for u in range(1, 6)],
+        "single": [(7, 123), (7, day + 5), (7, 3 * day)],
+        # users 1 and 2 identical, 3 and 4 identical: dist2=0 pairs first
+        "dups": (
+            [(1, d * day + 9) for d in (0, 2, 5)]
+            + [(2, d * day + 77) for d in (0, 2, 5)]
+            + [(3, day + 1), (4, day + 2)]
+            + [(5, 4 * day + 3), (5, 4 * day + 4)]
+        ),
+    }
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        cases[f"rand{seed}"] = [
+            (rng.randrange(1, 40), rng.randrange(0, 45 * day))
+            for _ in range(600)
+        ]
+    fn = _q("ts_user_similarity_topk_scalable")
+    for name, rows in cases.items():
+        sf_dir = _ts_case_to_dir(rows, tmp_path, name)
+        got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        want = _ts_brute_topk(rows)
+        assert got == want, f"case {name}: {got[:3]} != {want[:3]}"
+
+
 def test_ts_similarity_scalable_block_count_invariance(spark, sf_dir, monkeypatch):
     """Hash-blocking is pure partitioning: the top-20 must be identical
     under any block count (cells always partition the pair space)."""
