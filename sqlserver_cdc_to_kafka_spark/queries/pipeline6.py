@@ -2861,7 +2861,16 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_value/nth_value is the classic correctness trap: the DEFAULT
     frame stops at CURRENT ROW).  Partitioned by priority (no global
     sort); output trimmed to 3 rows per partition by a row_number from
-    the same window definition."""
+    the same window definition.
+
+    ROUND(percent_rank/cume_dist, 6) half-boundary note: (rank-1)/(n-1)
+    can in principle land on an exact x.xxxxxx5 where Spark's HALF_UP and
+    DuckDB's float rounding split (the olap_cheapest_supplier_per_part
+    bug class).  Measured margin to the nearest boundary is ≥5e-9 at
+    sf0.001/0.01/0.1 (vs ~1e-16 double error) — safe here; at n ≳ 2e6
+    rows per partition the rank granularity crosses the 5e-7 boundary
+    spacing and this exposure should move to floor(x*1e6 + 0.5) micros
+    like the rest of the repo."""
     from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
         epoch_micros,
     )
