@@ -66,6 +66,12 @@ def main() -> int:
         "partition-count invariant (probe with an odd value like 7)",
     )
     ap.add_argument(
+        "--no-aqe",
+        action="store_true",
+        help="disable adaptive query execution — results must be invariant "
+        "to AQE's runtime re-planning (coalesce, skew-join splits)",
+    )
+    ap.add_argument(
         "--json",
         default=None,
         metavar="PATH",
@@ -88,6 +94,8 @@ def main() -> int:
         spark.conf.set("spark.sql.session.timeZone", args.tz)
     if args.shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    if args.no_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     con = duckdb_conn(args.sf)
 
     n_pass = n_fail = 0
