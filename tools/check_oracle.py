@@ -72,6 +72,12 @@ def main() -> int:
         "to AQE's runtime re-planning (coalesce, skew-join splits)",
     )
     ap.add_argument(
+        "--no-codegen",
+        action="store_true",
+        help="disable whole-stage codegen — results must be invariant to "
+        "the interpreted vs generated evaluation path",
+    )
+    ap.add_argument(
         "--json",
         default=None,
         metavar="PATH",
@@ -96,6 +102,8 @@ def main() -> int:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     if args.no_aqe:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if args.no_codegen:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
     con = duckdb_conn(args.sf)
 
     n_pass = n_fail = 0
