@@ -64,6 +64,11 @@ def test_staged_but_uncommitted_batch_is_invisible(spark, sf_dir, tmp_path):
     feed.limit(5).write.mode("overwrite").parquet(str(tmp_path / "out/data/batch=1"))
     assert sink.read_committed(spark).count() == 100  # phantom dir ignored
     assert set(sink.committed_batches()) == {0}
+    # replay of the crashed batch id must supersede the phantom dir: the
+    # re-commit overwrites data/batch=1 and the manifest now records it
+    assert sink.commit_batch(feed.limit(7), 1, position=106)
+    assert set(sink.committed_batches()) == {0, 1}
+    assert sink.read_committed(spark).count() == 107
 
 
 def test_observed_metrics_and_reporters(spark, sf_dir, tmp_path):
