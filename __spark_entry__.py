@@ -20,6 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+# Python WORKERS resolve cloudpickled module references through their own
+# environment, not the driver's sys.path — export the repo root so pandas-UDF
+# closures that name module-level helpers import cleanly from any cwd.
+# Effective as long as this import happens before the JVM first launches
+# (the driver loads this shim before running any query).
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT
+        + (os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else "")
+    )
 
 FLAGSHIP = "cdc_replay_merge"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

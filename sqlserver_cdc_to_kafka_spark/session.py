@@ -13,11 +13,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _export_package_pythonpath() -> None:
+    """Make the engine package importable inside Python WORKERS regardless
+    of the driver's cwd. Pandas-UDF closures can reference module-level
+    helpers (cloudpickle serializes those by module+name, not by value), and
+    the worker daemon resolves imports from its own environment — which in
+    local mode is the env the JVM inherited at launch, NOT the driver's
+    ``sys.path``. Without this, any run whose cwd is outside the repo dies
+    in ``read_udfs`` with ModuleNotFoundError; on a real cluster this is the
+    local-mode analog of shipping the package to executors (--py-files /
+    pip-installed env). Must run BEFORE the JVM starts."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
+
 def get_spark(
     app_name: str = "sqlserver-cdc-to-kafka-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    _export_package_pythonpath()
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     if shuffle_partitions is None:
