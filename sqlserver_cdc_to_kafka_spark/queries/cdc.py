@@ -585,6 +585,9 @@ def q_stream_drain_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = stream.writeStream.format("memory").queryName(qname).start()
     sq.processAllAvailable()
     sq.stop()
+    # the memory sink holds the drained rows; the staged source files are
+    # no longer referenced by the returned plan
+    shutil.rmtree(tmp, ignore_errors=True)
     out = spark.table(qname)
     return out.select(
         "__operation",

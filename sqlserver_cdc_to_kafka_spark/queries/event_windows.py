@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import as_event_time
 from sqlserver_cdc_to_kafka_spark.registry import query
+from sqlserver_cdc_to_kafka_spark.streaming.windows import drained
 from sqlserver_cdc_to_kafka_spark.tables import load_table
 
 _SLIDE_US = 1_800_000_000  # 30 min
@@ -237,7 +238,7 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(outdir)
+    return drained(spark.read.parquet(outdir), scratch)
 
 
 @query(
@@ -432,13 +433,14 @@ def q_stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return (
+    return drained(
         spark.read.parquet(outdir)
         .groupBy("step")
         .agg(
             F.count("*").alias("n_users"),
             F.sum("at_us").cast("bigint").alias("t_checksum"),
-        )
+        ),
+        scratch,
     )
 
 
@@ -497,7 +499,7 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(outdir)
+    return drained(spark.read.parquet(outdir), scratch)
 
 
 _DG_SHORT_US = 300_000_000  # 5 min gap for click bursts

@@ -435,6 +435,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     format) must aggregate identically to the parquet source. Proves the
     whole egress+ingest path, including that nothing was quarantined."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -451,12 +452,17 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_jsonl(docs, path)
     clean, _corrupt = split_corrupt(read_jsonl(spark, path, DOCUMENTS_SCHEMA))
-    return clean.groupBy("source").agg(
+    out = clean.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("doc_id").alias("id_checksum"),
         F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
         F.count_distinct(F.md5("text")).alias("n_unique"),
     )
+    # pin the bounded per-source aggregate, then remove the scratch files
+    # the lazy read would otherwise have to outlive
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 _CHUNK_WORDS = 20

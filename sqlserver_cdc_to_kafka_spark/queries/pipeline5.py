@@ -512,6 +512,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays line-splittable (no multiLine), which is what keeps a 100 TB
     CSV ingest parallel."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -526,12 +527,17 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"csv_rt_{uuid.uuid4().hex[:12]}")
     write_csv(docs, path)
     clean, _corrupt = split_corrupt(read_csv_strict(spark, path, DOCUMENTS_SCHEMA))
-    return clean.groupBy("source").agg(
+    out = clean.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("doc_id").alias("id_checksum"),
         F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
         F.count_distinct(F.md5("text")).alias("n_unique"),
     )
+    # pin the bounded per-source aggregate, then remove the scratch files
+    # the lazy read would otherwise have to outlive
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 @query(

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import as_event_time
-from sqlserver_cdc_to_kafka_spark.streaming.windows import events_schema
+from sqlserver_cdc_to_kafka_spark.streaming.windows import drained, events_schema
 
 
 def _sides(ev, left_type: str, right_type: str):
@@ -106,7 +106,7 @@ def attribution_join_drain(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(outdir)
+    return drained(spark.read.parquet(outdir), scratch)
 
 
 def attribution_join_outer_drain(
@@ -217,4 +217,5 @@ def attribution_join_outer_drain(
     )
     q.awaitTermination()
     out = spark.read.parquet(outdir)
-    return out.filter(F.col("user_id").isNotNull())  # sentinel rows excluded
+    # sentinel rows excluded
+    return drained(out.filter(F.col("user_id").isNotNull()), scratch)

@@ -19,6 +19,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sqlserver_cdc_to_kafka_spark.streaming.windows import drained
+
 
 def incremental_dedup_stream_drain(
     spark: SparkSession,
@@ -56,4 +58,4 @@ def incremental_dedup_stream_drain(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(outdir)
+    return drained(spark.read.parquet(outdir), scratch)

@@ -21,6 +21,22 @@ from pyspark.sql import types as T
 from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import as_event_time
 
 
+def drained(df: DataFrame, scratch: str) -> DataFrame:
+    """Pin a drain result off its scratch files, then remove them.
+
+    Every ``*_drain`` helper stages its source/sink/checkpoint under a
+    per-run scratch dir, and the parquet read of the sink is LAZY — the
+    files must outlive the returned plan. An eager ``localCheckpoint``
+    materializes the (bounded: aggregates/matches, never the raw stream)
+    result into block storage so the scratch dir can be deleted before
+    returning, closing the per-invocation temp leak the markov drain was
+    first flagged for. Cleanup is success-path and best-effort — it must
+    never fail a green drain."""
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """The ACTUAL schema of the events fixture, read from the parquet footer
     via a batch scan (schema-only; no data read). Hard-coding the schema here
@@ -191,7 +207,10 @@ def windowed_counts_file_sink(
     _run_pass()
 
     out = spark.read.parquet(outdir)
-    return out.filter(F.unix_micros(F.col("window_start")) < F.lit(sentinel_cutoff_us))
+    return drained(
+        out.filter(F.unix_micros(F.col("window_start")) < F.lit(sentinel_cutoff_us)),
+        scratch,
+    )
 
 
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
