@@ -40,6 +40,22 @@ def epoch_micros(df: DataFrame, col: str) -> Column:
     raise TypeError(f"{col}: unsupported time column type {dt}")
 
 
+def int_div(num: Column, denom: Column | int) -> Column:
+    """Exact integral division (Spark's ``div`` operator, LongType result).
+
+    ``(a / b).cast("bigint")`` goes through an IEEE double: above 2^53 the
+    quotient can round across an integer boundary before the cast truncates
+    (the round-7 ADVICE failure class, first fixed in operators/selection.py).
+    ``div`` divides JVM-side in integer arithmetic — exact for all bigint
+    inputs.  Matches DuckDB ``//`` for non-negative numerators (``div``
+    truncates toward zero, ``//`` floors — all engine call sites bucket
+    non-negative epoch/offset spans, where the two agree).
+    """
+    if isinstance(denom, int):
+        denom = F.lit(denom)
+    return F.call_function("div", num, denom)
+
+
 def as_event_time(df: DataFrame, col: str) -> Column:
     """A TimestampType *instant* rebuilt from any supported time column —
     the form ``F.window`` / ``F.session_window`` / watermarks need. Built

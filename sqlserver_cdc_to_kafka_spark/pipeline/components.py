@@ -81,15 +81,31 @@ def connected_components(
         if n_changed == 0:
             break
     else:
-        # never converged: labels are WRONG for any component whose
-        # diameter exceeds max_iterations — failing loudly beats silently
-        # returning partial propagation (long transitive near-dup chains
-        # at 100 TB are exactly the case the star variant exists for)
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            "rounds (component diameter too large) — use "
-            "connected_components_star, which needs O(log n) rounds"
+        # The cap round itself may have made the LAST change (diameter ==
+        # max_iterations exactly): one more no-change probe before raising
+        # avoids that false positive (round-7 ADVICE).  Converged labels
+        # are a fixpoint, so "no neighbor offers a smaller component" is
+        # the full convergence condition.
+        still_changing = (
+            adj.join(labels, adj.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "component")
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("nbr_min"))
+            .join(labels, "doc_id")
+            .filter(F.col("nbr_min") < F.col("component"))
+            .count()
         )
+        if still_changing:
+            # never converged: labels are WRONG for any component whose
+            # diameter exceeds max_iterations — failing loudly beats
+            # silently returning partial propagation (long transitive
+            # near-dup chains at 100 TB are exactly the case the star
+            # variant exists for)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "rounds (component diameter too large) — use "
+                "connected_components_star, which needs O(log n) rounds"
+            )
     return labels
 
 

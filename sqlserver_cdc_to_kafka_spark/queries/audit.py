@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
+from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros, int_div
 from sqlserver_cdc_to_kafka_spark.operators.validation import (
     lag_regressions,
     progress_rollup,
@@ -180,7 +180,7 @@ def q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     so results are identical under any session timezone."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     us = epoch_micros(ev, "ts")
-    days = (us / F.lit(_DAY_US)).cast("bigint")
+    days = int_div(us, _DAY_US)
     return ev.select(
         "event_id",
         days.alias("epoch_days"),

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import int_div
 from sqlserver_cdc_to_kafka_spark.registry import query
 from sqlserver_cdc_to_kafka_spark.tables import ensure_parallel, load_table
 
@@ -1244,14 +1245,12 @@ def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = orders.select(
         "o_orderkey",
-        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
-        .cast("bigint")
+        int_div(epoch_micros(orders, "o_orderdate"), 86400000000)
         .alias("start_day"),
     )
     c = li.select(
         "l_orderkey",
-        (epoch_micros(li, "l_shipdate") / F.lit(86400000000))
-        .cast("bigint")
+        int_div(epoch_micros(li, "l_shipdate"), 86400000000)
         .alias("ship_day"),
     ).groupBy("l_orderkey").agg(F.max("ship_day").alias("end_day"))
     iv = o.join(c, o.o_orderkey == c.l_orderkey).select(
@@ -1873,8 +1872,7 @@ def q_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     last_order = orders.select(
         "o_custkey",
-        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
-        .cast("bigint")
+        int_div(epoch_micros(orders, "o_orderdate"), 86400000000)
         .alias("day"),
     ).groupBy("o_custkey").agg(F.max("day").alias("last_day"))
     horizon = last_order.agg(
@@ -1968,9 +1966,7 @@ def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t0 = ev.agg(
         F.min("us").cast("bigint").alias("start_us"),
-        (
-            (F.max("us") - F.min("us")) / F.lit(_TS_DAY_US)
-        ).cast("bigint").alias("nb_minus"),
+        int_div(F.max("us") - F.min("us"), _TS_DAY_US).alias("nb_minus"),
     ).select(
         "start_us", (F.col("nb_minus") + 1).alias("n_buckets")
     )
@@ -1978,8 +1974,7 @@ def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(t0))
         .select(
             "user_id",
-            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
-            .cast("bigint")
+            int_div(F.col("us") - F.col("start_us"), _TS_DAY_US)
             .alias("bucket"),
         )
         .groupBy("user_id", "bucket")
@@ -2113,16 +2108,13 @@ def q_ts_user_similarity_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = events.select("user_id", epoch_micros(events, "ts").alias("us"))
     t0 = ev.agg(
         F.min("us").cast("bigint").alias("start_us"),
-        (
-            (F.max("us") - F.min("us")) / F.lit(_TS_DAY_US)
-        ).cast("bigint").alias("nb_minus"),
+        int_div(F.max("us") - F.min("us"), _TS_DAY_US).alias("nb_minus"),
     ).select("start_us", (F.col("nb_minus") + 1).alias("n_buckets"))
     counts = (
         ev.crossJoin(F.broadcast(t0))
         .select(
             "user_id",
-            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
-            .cast("bigint")
+            int_div(F.col("us") - F.col("start_us"), _TS_DAY_US)
             .alias("bucket"),
         )
         .groupBy("user_id", "bucket")
@@ -2671,8 +2663,7 @@ def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(t0))
         .select(
             "user_id",
-            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
-            .cast("bigint")
+            int_div(F.col("us") - F.col("start_us"), _TS_DAY_US)
             .alias("day"),
         )
         .distinct()
@@ -2878,8 +2869,7 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     o = orders.select(
         F.col("o_orderpriority").alias("pri"),
-        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
-        .cast("bigint")
+        int_div(epoch_micros(orders, "o_orderdate"), 86400000000)
         .alias("day"),
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
@@ -3424,8 +3414,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     o = orders.select(
         "o_custkey",
-        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
-        .cast("bigint")
+        int_div(epoch_micros(orders, "o_orderdate"), 86400000000)
         .alias("day"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
@@ -3877,12 +3866,8 @@ def q_shipping_delay_percentiles(
         .select(
             F.col("o_orderpriority").alias("pri"),
             (
-                (epoch_micros(li, "l_shipdate") / F.lit(86400000000)).cast(
-                    "bigint"
-                )
-                - (
-                    epoch_micros(orders, "o_orderdate") / F.lit(86400000000)
-                ).cast("bigint")
+                int_div(epoch_micros(li, "l_shipdate"), 86400000000)
+                - int_div(epoch_micros(orders, "o_orderdate"), 86400000000)
             ).alias("delay"),
         )
     )
@@ -4300,8 +4285,7 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(t0))
         .select(
             "event_type",
-            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
-            .cast("bigint")
+            int_div(F.col("us") - F.col("start_us"), _TS_DAY_US)
             .alias("day"),
             "v",
         )
@@ -4571,8 +4555,7 @@ def q_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(t0))
         .select(
             "event_type",
-            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
-            .cast("bigint")
+            int_div(F.col("us") - F.col("start_us"), _TS_DAY_US)
             .alias("day"),
             "v",
         )
@@ -5191,8 +5174,7 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(t0))
         .select(
             "event_type",
-            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
-            .cast("bigint")
+            int_div(F.col("us") - F.col("start_us"), _TS_DAY_US)
             .alias("day"),
         )
         .groupBy("event_type", "day")
@@ -5354,8 +5336,7 @@ def q_customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     o = orders.select(
         "o_custkey",
-        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
-        .cast("bigint")
+        int_div(epoch_micros(orders, "o_orderdate"), 86400000000)
         .alias("day"),
     ).select(
         "o_custkey",
@@ -5850,8 +5831,7 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(t0))
         .select(
             "user_id",
-            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
-            .cast("bigint")
+            int_div(F.col("us") - F.col("start_us"), _TS_DAY_US)
             .alias("day"),
         )
         .distinct()
@@ -5919,8 +5899,7 @@ def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     o = orders.select(
         "o_custkey",
-        (epoch_micros(orders, "o_orderdate") / F.lit(86400000000))
-        .cast("bigint")
+        int_div(epoch_micros(orders, "o_orderdate"), 86400000000)
         .alias("day"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     ).select(
@@ -6297,8 +6276,7 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(t0))
         .select(
             "user_id",
-            ((F.col("us") - F.col("start_us")) / F.lit(_TS_DAY_US))
-            .cast("bigint")
+            int_div(F.col("us") - F.col("start_us"), _TS_DAY_US)
             .alias("day"),
         )
         .distinct()

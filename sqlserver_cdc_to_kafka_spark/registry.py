@@ -50,15 +50,25 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # witness for a query whose semantics just changed).  Unknown names raise:
 # a typo here must not silently drop a query out of the window.
 #
-# ROUND-8 SCHEDULE (round-6 VERDICT item 7): once the round-7 window
-# drains the never-witnessed olap/stream block, the stalest DRIVER rows
-# are the r1–r3 `val_*`/`cdc_*` CDC-parity core.  At round-8 open, pin
-# ~10 of those names here (val_set_reconciliation, val_lag_regressions,
-# val_missing_offsets, cdc_ordered_merge, cdc_replay_merge, …) ahead of
-# the remaining ~64 never-witnessed queries so no SURVEY §2 component goes
-# more than ~4 rounds without a fresh driver row; the never-witnessed
-# remainder keeps its LOCALCHECK_r*.json audit trail in the meantime.
-_DRIVER_PRIORITY: list[str] = []
+# ROUND-8 PINS (round-7 VERDICT task 1): the SURVEY §2 CDC-parity core
+# last has driver rows from r4 — exactly at the ~4-round staleness
+# threshold.  These ten names jump ahead of the ~64 never-witnessed
+# queries so CORRECTNESS_r08 refreshes the core (ref analogs:
+# validation.py:56–395, progress_topic_validator.py:56–153,
+# main.py:304–350, replayer.py:429–491); the never-witnessed remainder
+# keeps its LOCALCHECK_r*.json audit trail and drains across r8–r9.
+_DRIVER_PRIORITY: list[str] = [
+    "val_set_reconciliation",
+    "val_lag_regressions",
+    "val_missing_offsets",
+    "val_topic_summary",
+    "val_max_key_sentinel",
+    "val_snapshot_key_order",
+    "val_duplicate_entries",
+    "val_metrics_rollup",
+    "cdc_ordered_merge",
+    "cdc_replay_merge",
+]
 
 
 def _witness_ages() -> dict[str, tuple[int, int]]:

@@ -407,6 +407,22 @@ def test_label_propagation_raises_instead_of_silent_partial(spark):
         connected_components(df, max_iterations=10)
 
 
+def test_label_propagation_converging_exactly_at_cap_returns(spark):
+    """diameter == max_iterations is CONVERGED, not an error: the cap round
+    makes the last change, so the loop exhausts with n_changed > 0, but a
+    final no-change probe must accept the fixpoint instead of raising the
+    false positive (round-7 ADVICE on pipeline/components.py)."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.components import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(7)]  # 8 nodes, diameter 7
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    out = connected_components(df, max_iterations=7).collect()
+    assert len(out) == 8
+    assert all(r.component == 0 for r in out)
+
+
 def test_star_components_singleton_and_pair(spark):
     from sqlserver_cdc_to_kafka_spark.pipeline.components import (
         connected_components_star,

@@ -50,14 +50,18 @@ def test_unknown_pin_name_raises():
 
 
 def test_never_witnessed_queries_lead_the_window():
-    order = list(registry.load_all())
+    """Among the non-pinned queries, never-driver-witnessed ones must come
+    first (pins sit ahead of everything by design — r8 pins the stale-r4
+    CDC-parity core, which IS witnessed, into slots 0..len(pins))."""
+    pins = set(registry._DRIVER_PRIORITY)
+    order = [n for n in registry.load_all() if n not in pins]
     witnessed = _witnesses()
     never = [n for n in order if n not in witnessed]
     if not never:
         pytest.skip("every registered query has a driver witness")
     head = order[: len(never)]
-    assert set(head) >= set(never) - set(
-        registry._DRIVER_PRIORITY
+    assert set(head) >= set(
+        never
     ), f"never-witnessed queries not at the head of the driver window: {never[:5]}"
 
 

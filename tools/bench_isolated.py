@@ -1,0 +1,89 @@
+"""Isolated per-query bench: a FRESH JVM/session per repetition.
+
+bench.py times all headline queries inside one shared session, so as the
+bench set grows, later/repeat rounds accumulate JVM state (code cache,
+broadcast cleanup, GC pressure) that reads as per-query "drift" even when
+plans are unchanged.  This tool adjudicates such drift (round-7 VERDICT
+task 3): each repetition forks a clean interpreter, builds a fresh session,
+applies the same warm-up bench.py uses (parquet footer + Arrow worker
+pool), and times the query best-of-2 — numbers here are the query's true
+steady-state cost, free of shared-session history.
+
+    python tools/bench_isolated.py NAME [NAME...] [--reps 3] [--sf DIR]
+
+Prints one JSON line: {"sf": ..., "reps": N, "queries": {name: {"runs":
+[...], "best": s, "median": s}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_CHILD = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from sqlserver_cdc_to_kafka_spark.registry import load_all
+from sqlserver_cdc_to_kafka_spark.session import get_spark
+
+name, sf_dir, cpus = {name!r}, {sf_dir!r}, {cpus}
+spark = get_spark("bench-isolated", cpus=cpus, shuffle_partitions=cpus)
+spark.read.parquet(f"{{sf_dir}}/region.parquet").count()
+spark.range(2).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+    "overwrite"
+).save()
+fn = load_all()[name].fn
+best = None
+for _ in range(2):
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print("BENCH_ISOLATED_RESULT " + json.dumps(best))
+"""
+
+
+def run_one(name: str, sf_dir: str, cpus: int) -> float:
+    code = _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir, cpus=cpus)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_ISOLATED_RESULT "):
+            return float(json.loads(line.split(" ", 1)[1]))
+    raise RuntimeError(f"{name}: no result line in child output:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("names", nargs="+")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = p.parse_args()
+
+    report: dict[str, dict] = {}
+    for name in args.names:
+        runs = []
+        for i in range(args.reps):
+            dt = run_one(name, args.sf, args.cpus)
+            runs.append(round(dt, 3))
+            print(f"# {name} rep{i + 1}: {dt:.3f}s", file=sys.stderr)
+        report[name] = {
+            "runs": runs,
+            "best": min(runs),
+            "median": round(statistics.median(runs), 3),
+        }
+    print(json.dumps({"sf": args.sf, "reps": args.reps, "queries": report}))
+
+
+if __name__ == "__main__":
+    main()

@@ -112,9 +112,9 @@ def main() -> int:
     def record(
         name: str,
         *,
-        rows_match: bool,
-        schema_match: bool,
-        hash_match: bool,
+        rows_match: bool | None,
+        schema_match: bool | None,
+        hash_match: bool | None,
         spark_rows=None,
         oracle_rows=None,
         err=None,
@@ -146,15 +146,20 @@ def main() -> int:
             n_fail += 1
             continue
         if q.oracle is None:
+            # Rows-only query: nothing was COMPARED, so record null for the
+            # three match fields instead of true — a LOCALCHECK artifact must
+            # not overstate what it verified (round-7 ADVICE item).  The
+            # query still counts as a pass: it ran and produced rows.
             print(f"SKIP {name}: no oracle (rows-only), rows={len(got)} [{time.time()-t0:.1f}s]")
             record(
                 name,
-                rows_match=True,
-                schema_match=True,
-                hash_match=True,
+                rows_match=None,
+                schema_match=None,
+                hash_match=None,
                 spark_rows=len(got),
-                err="rows-only (no oracle)",
+                err=None,
             )
+            report[name]["status"] = "rows-only (no oracle; ran, not compared)"
             n_pass += 1
             continue
         try:
