@@ -70,6 +70,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # ambient-load stamp: 1/5/15-min load averages + schedulable CPUs,
+        # recorded so cross-round absolute comparisons can adjudicate
+        # machine noise without a BENCHNOTE archaeology session (the r7→r8
+        # "drift" was a 3–4 load average while this repo was idle)
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "cpus_available": len(os.sched_getaffinity(0)),
     }
     if errors:
         out["errors"] = errors

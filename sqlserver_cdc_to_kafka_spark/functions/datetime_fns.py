@@ -47,9 +47,16 @@ def int_div(num: Column, denom: Column | int) -> Column:
     quotient can round across an integer boundary before the cast truncates
     (the round-7 ADVICE failure class, first fixed in operators/selection.py).
     ``div`` divides JVM-side in integer arithmetic — exact for all bigint
-    inputs.  Matches DuckDB ``//`` for non-negative numerators (``div``
-    truncates toward zero, ``//`` floors — all engine call sites bucket
-    non-negative epoch/offset spans, where the two agree).
+    inputs.
+
+    Sign semantics (round-8 ADVICE closure, resolved by measurement): the
+    advice flagged a presumed trunc-vs-floor divergence from the DuckDB
+    ``//`` oracle on negative numerators.  Measured on the shipped DuckDB
+    (1.0.0): integer ``//`` ALSO truncates toward zero (``-7 // 3 = -2``,
+    ``7 // -3 = -2``) — identical to ``div`` for every sign combination, so
+    no precondition exists and no guard is needed.  Pinned by
+    ``test_int_div_truncation_matches_duckdb_all_signs`` so a future DuckDB
+    upgrade that switches ``//`` to floor semantics fails loudly.
     """
     if isinstance(denom, int):
         denom = F.lit(denom)

@@ -50,25 +50,13 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # witness for a query whose semantics just changed).  Unknown names raise:
 # a typo here must not silently drop a query out of the window.
 #
-# ROUND-8 PINS (round-7 VERDICT task 1): the SURVEY §2 CDC-parity core
-# last has driver rows from r4 — exactly at the ~4-round staleness
-# threshold.  These ten names jump ahead of the ~64 never-witnessed
-# queries so CORRECTNESS_r08 refreshes the core (ref analogs:
-# validation.py:56–395, progress_topic_validator.py:56–153,
-# main.py:304–350, replayer.py:429–491); the never-witnessed remainder
-# keeps its LOCALCHECK_r*.json audit trail and drains across r8–r9.
-_DRIVER_PRIORITY: list[str] = [
-    "val_set_reconciliation",
-    "val_lag_regressions",
-    "val_missing_offsets",
-    "val_topic_summary",
-    "val_max_key_sentinel",
-    "val_snapshot_key_order",
-    "val_duplicate_entries",
-    "val_metrics_rollup",
-    "cdc_ordered_merge",
-    "cdc_replay_merge",
-]
+# ROUND 9: pins cleared (round-8 VERDICT task 1).  The r8 pins refreshed
+# the CDC-parity core, so the staleness ordering alone now puts the 24
+# remaining never-witnessed queries at the head of the 50-slot window,
+# with the ~26 spare slots auto-filling from the oldest (r4) rows.
+# Leaving the r8 names pinned would have wasted 10 slots on queries the
+# driver just witnessed.
+_DRIVER_PRIORITY: list[str] = []
 
 
 def _witness_ages() -> dict[str, tuple[int, int]]:

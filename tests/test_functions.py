@@ -124,3 +124,34 @@ def test_epoch_micros_ntz_is_tz_invariant_in_dst_gap(spark):
             assert row.asDict() == want, f"tz={tz}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_int_div_truncation_matches_duckdb_all_signs(spark):
+    """Round-8 ADVICE closure: the advice presumed DuckDB ``//`` floors and
+    flagged negative numerators as a silent one-bucket divergence.  Measured:
+    DuckDB 1.0.0 integer ``//`` truncates toward zero, exactly like Spark's
+    ``div`` — int_div therefore matches the oracle for EVERY sign
+    combination, including quotients above 2^53 where the old double-cast
+    idiom rounded across bucket boundaries.  If a DuckDB upgrade ever flips
+    ``//`` to floor semantics, this test fails loudly instead of letting a
+    signed call site drift."""
+    import duckdb
+
+    from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import int_div
+
+    cases = [
+        (7, 3), (-7, 3), (7, -3), (-7, -3),          # inexact, all signs
+        (6, 3), (-6, 3), (6, -3), (-6, -3),          # exact, all signs
+        (0, 5), (0, -5), (1, 2), (-1, 2),
+        (2**60 + 1, 7), (-(2**60 + 1), 7),           # above double precision
+        (2**62, 86_400_000_000), (-(2**62), 86_400_000_000),
+    ]
+    df = spark.createDataFrame(cases, "n long, d long")
+    got = {
+        (r["n"], r["d"]): r["q"]
+        for r in df.select("n", "d", int_div(F.col("n"), F.col("d")).alias("q")).collect()
+    }
+    con = duckdb.connect()
+    for n, d in cases:
+        want = con.execute(f"SELECT CAST({n} AS BIGINT) // CAST({d} AS BIGINT)").fetchone()[0]
+        assert got[(n, d)] == want, f"{n} // {d}: spark={got[(n, d)]} duckdb={want}"

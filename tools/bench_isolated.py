@@ -52,8 +52,15 @@ print("BENCH_ISOLATED_RESULT " + json.dumps(best))
 def run_one(name: str, sf_dir: str, cpus: int) -> float:
     code = _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir, cpus=cpus)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+        [sys.executable, "-c", code], capture_output=True, text=True, check=False
     )
+    # round-8 ADVICE: check=True swallowed the child's stderr inside
+    # CalledProcessError — surface it on BOTH failure paths (non-zero exit
+    # and zero exit without a result line)
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"{name}: child exited {out.returncode}:\n{out.stderr[-2000:]}"
+        )
     for line in out.stdout.splitlines():
         if line.startswith("BENCH_ISOLATED_RESULT "):
             return float(json.loads(line.split(" ", 1)[1]))
@@ -82,7 +89,17 @@ def main() -> None:
             "best": min(runs),
             "median": round(statistics.median(runs), 3),
         }
-    print(json.dumps({"sf": args.sf, "reps": args.reps, "queries": report}))
+    # ambient-load stamp (round-8 VERDICT task 3): absolute timings on a
+    # shared box are only adjudicable across rounds if the artifact records
+    # what else the machine was doing
+    out = {
+        "sf": args.sf,
+        "reps": args.reps,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "cpus_available": len(os.sched_getaffinity(0)),
+        "queries": report,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9,11 +9,35 @@ and never cross replicas, so join/agg selectivities match the source SF and
 row counts scale exactly ×FACTOR.  region/nation are fixed dimensions in
 TPC-H and are copied unchanged (their FKs are untouched).
 
-Text/embedding payloads repeat verbatim across replicas — identical to the
-scale-stress protocol (tests/test_scale_stress.py), so dedup-family queries
-see FACTOR-sized identical groups by construction.
+Default (verbatim) mode repeats text/embedding payloads unchanged across
+replicas — identical to the scale-stress protocol
+(tests/test_scale_stress.py), so dedup-family queries see FACTOR-sized
+identical groups by construction and near-dup PAIR counts grow
+quadratically in FACTOR (the round-8 sf1 probe's two >10× ratios were
+exactly this output explosion, not engine super-linearity).
 
-    python tools/gen_scaled_sf.py --out .localdata/sf1          # 10x sf0.1
+``--perturb`` (round-8 VERDICT task 4) applies a deterministic per-replica
+transform that keeps WITHIN-replica duplicate structure intact while
+decorrelating ACROSS replicas, so dedup/ANN output grows ≈×FACTOR
+(realistic duplicate rates) instead of ×FACTOR²:
+
+- ``documents.text``: per-replica vowel substitution via ``translate`` —
+  a character bijection ('aeiou' → five replica-keyed Greek codepoints
+  absent from the ASCII source), so within a replica every word-shingle
+  relation is EXACTLY preserved (bijections on characters are bijections
+  on shingles) while across replicas nearly every shingle differs
+  (word-3-gram Jaccard ≈ 0).  Length-preserving, so ``n_chars`` stays
+  consistent.  Replica 0 is verbatim.
+- ``embeddings.embedding``: per-replica orthogonal transform — cyclic
+  coordinate rotation by ``(replica*7) mod dim`` plus whole-vector
+  negation on odd replicas.  Orthogonal maps preserve every within-replica
+  dot product/norm (up to float summation order), so within-replica cosine
+  structure is intact; across replicas the rotation decorrelates (measured
+  on the shipped sf0.1 sample: self-vs-rotated cosine mean ≈0.01,
+  max ≈0.39 < the 0.4 query threshold).  Replica 0 is verbatim.
+
+    python tools/gen_scaled_sf.py --out .localdata/sf1            # verbatim
+    python tools/gen_scaled_sf.py --out .localdata/sf1p --perturb # realistic
 """
 
 from __future__ import annotations
@@ -23,7 +47,10 @@ import os
 
 import duckdb
 
-# one global offset, far above every sf0.1 key (max key there is 149_999)
+# one global offset; replica key ranges are [i*OFFSET, i*OFFSET + max_key],
+# collision-free iff every source key < OFFSET (asserted below per table —
+# round-8 ADVICE: pointing --src at a larger dataset must fail loudly, not
+# silently corrupt FK joins)
 OFFSET = 10_000_000
 
 # table -> id columns to shift per replica (key + FK sides use the same
@@ -42,11 +69,50 @@ SHIFT: dict[str, list[str]] = {
 }
 
 
+def _vowel_targets(replica: int) -> str:
+    """Five distinct non-ASCII codepoints per replica (Greek block), so the
+    per-replica character map is a bijection on the ASCII source alphabet."""
+    if replica == 0:
+        return "aeiou"
+    base = 0x3B1 + 5 * (replica - 1)  # α.. onward, 5 per replica
+    return "".join(chr(base + k) for k in range(5))
+
+
+def _perturb_expr(table: str, replica_var: str, factor: int) -> str | None:
+    """SQL REPLACE fragment perturbing the payload column for this table,
+    keyed on the replica index column ``replica_var``; None = no payload."""
+    if table == "documents":
+        cases = " ".join(
+            f"WHEN {replica_var} = {i} THEN "
+            f"translate(text, 'aeiou', '{_vowel_targets(i)}')"
+            for i in range(1, factor)
+        )
+        return f"CASE WHEN {replica_var} = 0 THEN text {cases} END AS text"
+    if table == "embeddings":
+        # rotation by (i*7) mod dim + negation on odd replicas; list slices
+        # are 1-based inclusive in DuckDB, len() handles the dim generically
+        rot = f"(({replica_var} * 7) % len(embedding))"
+        rotated = (
+            f"list_concat(embedding[{rot} + 1:], embedding[1:{rot}])"
+        )
+        return (
+            f"CASE WHEN {replica_var} % 2 = 0 THEN {rotated} "
+            f"ELSE list_transform({rotated}, e -> -e) END AS embedding"
+        )
+    return None
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--src", default="/root/testdata/sf0.1")
     p.add_argument("--out", default=".localdata/sf1")
     p.add_argument("--factor", type=int, default=10)
+    p.add_argument(
+        "--perturb",
+        action="store_true",
+        help="deterministically perturb text/embedding payloads per replica "
+        "(realistic duplicate rates; replica 0 verbatim)",
+    )
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -54,12 +120,25 @@ def main() -> None:
     for table, cols in SHIFT.items():
         src = os.path.join(args.src, f"{table}.parquet")
         dst = os.path.join(args.out, f"{table}.parquet")
+        for c in cols:  # collision guard (round-8 ADVICE)
+            mx = con.execute(
+                f"SELECT max({c}) FROM read_parquet('{src}')"
+            ).fetchone()[0]
+            if mx is not None and mx >= OFFSET:
+                raise SystemExit(
+                    f"{table}.{c}: max source key {mx} >= OFFSET {OFFSET}; "
+                    f"replica key ranges would collide — raise OFFSET"
+                )
         if not cols:
             sql = f"SELECT * FROM read_parquet('{src}')"
         else:
-            repl = ", ".join(f"{c} + r.i * {OFFSET} AS {c}" for c in cols)
+            repl_parts = [f"{c} + r.i * {OFFSET} AS {c}" for c in cols]
+            if args.perturb:
+                pexpr = _perturb_expr(table, "r.i", args.factor)
+                if pexpr:
+                    repl_parts.append(pexpr)
             sql = (
-                f"SELECT t.* REPLACE ({repl}) "
+                f"SELECT t.* REPLACE ({', '.join(repl_parts)}) "
                 f"FROM read_parquet('{src}') t CROSS JOIN range({args.factor}) r(i)"
             )
         con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
