@@ -1,0 +1,182 @@
+"""Pins for tools/gen_scaled_sf.py — the sf1 scale-probe dataset generator.
+
+The sf1 bench decade's validity rests on two constructions this file pins:
+
+- key-offset replication keeps FK joins intra-replica and collision-free
+  (the round-8 ADVICE guard: a source with keys >= OFFSET must fail loudly);
+- ``--perturb`` keeps WITHIN-replica duplicate structure exact while
+  decorrelating ACROSS replicas, so dedup/ANN outputs grow ~linearly in the
+  factor instead of quadratically (round-8 VERDICT task 4).
+
+DuckDB-only (no Spark session) — runs in seconds on the sf0.001 tables.
+"""
+
+from __future__ import annotations
+
+import math
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+TOOL = "tools/gen_scaled_sf.py"
+SRC = "/root/testdata/sf0.001"
+
+
+def _gen(tmp_path, *extra: str) -> str:
+    out = str(tmp_path / "scaled")
+    subprocess.run(
+        [sys.executable, TOOL, "--src", SRC, "--out", out, "--factor", "3", *extra],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def perturbed(tmp_path_factory):
+    return _gen(tmp_path_factory.mktemp("sf"), "--perturb")
+
+
+def test_row_counts_scale_by_factor_and_fks_stay_intra_replica(perturbed):
+    con = duckdb.connect()
+    src_orders = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SRC}/orders.parquet')"
+    ).fetchone()[0]
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{perturbed}/orders.parquet')"
+    ).fetchone()[0]
+    assert n == 3 * src_orders
+    # fixed dimensions copied unchanged
+    assert (
+        con.execute(
+            f"SELECT count(*) FROM read_parquet('{perturbed}/region.parquet')"
+        ).fetchone()[0]
+        == 5
+    )
+    # every order's customer lives in the same replica (o_custkey div OFFSET
+    # == o_orderkey div OFFSET) and the FK resolves
+    dangling = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{perturbed}/orders.parquet') o
+        LEFT JOIN read_parquet('{perturbed}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey IS NULL
+           OR o.o_custkey // 10000000 != o.o_orderkey // 10000000
+        """
+    ).fetchone()[0]
+    assert dangling == 0
+
+
+def test_collision_guard_rejects_oversized_source_keys(tmp_path):
+    bad_src = tmp_path / "badsrc"
+    bad_src.mkdir()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{bad_src}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    # poison one shifted key column past OFFSET
+    con.execute(
+        f"COPY (SELECT * REPLACE (c_custkey + 10000000 AS c_custkey) "
+        f"FROM read_parquet('{SRC}/customer.parquet')) "
+        f"TO '{bad_src}/customer.parquet' (FORMAT PARQUET)"
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            TOOL,
+            "--src",
+            str(bad_src),
+            "--out",
+            str(tmp_path / "out"),
+            "--factor",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode != 0
+    assert "collide" in proc.stderr
+
+
+def test_perturb_text_is_length_preserving_bijection_per_replica(perturbed):
+    con = duckdb.connect()
+    # replica 0 verbatim; replicas 1,2 vowel-translated, same length
+    rows = con.execute(
+        f"""
+        SELECT p.doc_id // 10000000 AS replica,
+               count(*) AS n,
+               sum(CASE WHEN len(p.text) = len(s.text) THEN 1 ELSE 0 END) AS same_len,
+               sum(CASE WHEN p.text = s.text THEN 1 ELSE 0 END) AS verbatim
+        FROM read_parquet('{perturbed}/documents.parquet') p
+        JOIN read_parquet('{SRC}/documents.parquet') s
+          ON s.doc_id = p.doc_id % 10000000
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert [r[0] for r in rows] == [0, 1, 2]
+    for replica, n, same_len, verbatim in rows:
+        assert same_len == n  # translate is length-preserving
+        if replica == 0:
+            assert verbatim == n
+        else:
+            assert verbatim == 0  # every doc contains a vowel in this corpus
+    # the per-replica character maps are injective bijections: distinct
+    # source texts stay distinct inside each replica
+    dup = con.execute(
+        f"""
+        SELECT max(cnt) FROM (
+          SELECT doc_id // 10000000 AS replica, text, count(*) AS cnt
+          FROM read_parquet('{perturbed}/documents.parquet') GROUP BY 1, 2)
+        """
+    ).fetchone()[0]
+    src_dup = con.execute(
+        f"SELECT max(cnt) FROM (SELECT text, count(*) AS cnt "
+        f"FROM read_parquet('{SRC}/documents.parquet') GROUP BY 1)"
+    ).fetchone()[0]
+    assert dup == src_dup  # no new within-replica text collisions
+
+
+def test_perturb_embeddings_orthogonal_within_decorrelated_across(perturbed):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding "
+        f"FROM read_parquet('{perturbed}/embeddings.parquet') "
+        f"WHERE vec_id % 10000000 < 40 ORDER BY vec_id"
+    ).fetchall()
+    by_rep: dict[int, dict[int, list[float]]] = {}
+    for vid, emb in rows:
+        by_rep.setdefault(vid // 10000000, {})[vid % 10000000] = emb
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    base = by_rep[0]
+    keys = sorted(base)
+    for rep in (1, 2):
+        for k in keys:
+            # orthogonal transform: norm exactly preserved (rotation is a
+            # permutation, negation is sign-exact in IEEE)
+            na = math.sqrt(sum(x * x for x in base[k]))
+            nb = math.sqrt(sum(x * x for x in by_rep[rep][k]))
+            assert abs(na - nb) < 1e-4
+        # within-replica cosine structure preserved to float-sum-order noise
+        for i in range(0, len(keys) - 1, 2):
+            a, b = keys[i], keys[i + 1]
+            assert abs(
+                cos(base[a], base[b]) - cos(by_rep[rep][a], by_rep[rep][b])
+            ) < 1e-5
+        # across replicas the same-origin vector is decorrelated well below
+        # the 0.4 query threshold
+        cross = [abs(cos(base[k], by_rep[rep][k])) for k in keys]
+        assert max(cross) < 0.4
