@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # ambient load is read BEFORE the runs: the benchmark inflates its own
+    # 1-min average, so a post-run read would always show a "busy" box
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
 
     from sqlserver_cdc_to_kafka_spark.registry import bench_queries
     from sqlserver_cdc_to_kafka_spark.session import get_spark
@@ -74,7 +77,8 @@ def main() -> None:
         # recorded so cross-round absolute comparisons can adjudicate
         # machine noise without a BENCHNOTE archaeology session (the r7→r8
         # "drift" was a 3–4 load average while this repo was idle)
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_start": load_at_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cpus_available": len(os.sched_getaffinity(0)),
     }
     if errors:

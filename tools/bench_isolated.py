@@ -77,6 +77,9 @@ def main() -> None:
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = p.parse_args()
 
+    # ambient load is read BEFORE the runs: the benchmark inflates its own
+    # 1-min average, so a post-run read would always show a "busy" box
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
     report: dict[str, dict] = {}
     for name in args.names:
         runs = []
@@ -95,7 +98,8 @@ def main() -> None:
     out = {
         "sf": args.sf,
         "reps": args.reps,
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_start": load_at_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cpus_available": len(os.sched_getaffinity(0)),
         "queries": report,
     }
