@@ -71,11 +71,23 @@ def main() -> None:
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("names", nargs="+")
+    p.add_argument("names", nargs="*")
+    p.add_argument(
+        "--all-bench",
+        action="store_true",
+        help="run every bench=True query from the registry (the r9 sf1 "
+        "full-decade protocol) instead of naming them individually",
+    )
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = p.parse_args()
+    if args.all_bench:
+        from sqlserver_cdc_to_kafka_spark.registry import bench_queries
+
+        args.names = sorted(set(args.names) | set(bench_queries()))
+    if not args.names:
+        p.error("give query NAMEs or --all-bench")
 
     # ambient load is read BEFORE the runs: the benchmark inflates its own
     # 1-min average, so a post-run read would always show a "busy" box
