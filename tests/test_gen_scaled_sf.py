@@ -180,3 +180,16 @@ def test_perturb_embeddings_orthogonal_within_decorrelated_across(perturbed):
         # the 0.4 query threshold
         cross = [abs(cos(base[k], by_rep[rep][k])) for k in keys]
         assert max(cross) < 0.4
+
+
+def test_sign_patterns_distinct_beyond_rotation_period():
+    """Rotation alone repeats mod dim (replica i and i+dim would share a
+    transform at factor > dim); the md5-keyed sign patterns must make every
+    replica's transform distinct for any plausible factor."""
+    sys.path.insert(0, ".")
+    from tools.gen_scaled_sf import _sign_pattern
+
+    pats = [tuple(_sign_pattern(i, 64)) for i in range(1, 200)]
+    assert len(set(pats)) == len(pats)
+    for p in pats:
+        assert set(p) <= {1.0, -1.0} and len(p) == 64

@@ -29,12 +29,16 @@ decorrelating ACROSS replicas, so dedup/ANN output grows ≈×FACTOR
   (word-3-gram Jaccard ≈ 0).  Length-preserving, so ``n_chars`` stays
   consistent.  Replica 0 is verbatim.
 - ``embeddings.embedding``: per-replica orthogonal transform — cyclic
-  coordinate rotation by ``(replica*7) mod dim`` plus whole-vector
-  negation on odd replicas.  Orthogonal maps preserve every within-replica
-  dot product/norm (up to float summation order), so within-replica cosine
-  structure is intact; across replicas the rotation decorrelates (measured
-  on the shipped sf0.1 sample: self-vs-rotated cosine mean ≈0.01,
-  max ≈0.39 < the 0.4 query threshold).  Replica 0 is verbatim.
+  coordinate rotation by ``(replica*7) mod dim`` composed with an
+  md5-keyed per-coordinate ±1 sign pattern (exact in IEEE; the signed
+  permutation group).  Orthogonal maps preserve every within-replica dot
+  product/norm (up to float summation order), so within-replica cosine
+  structure is intact; across replicas the transform decorrelates
+  (measured on the shipped sf0.1 sample: same-origin cross-replica cosine
+  mean ≈0.01, max <0.4 = the query threshold).  The md5-keyed signs make
+  every replica's transform distinct for ANY factor — rotation alone
+  repeats mod dim, which would hand replicas i and i+dim identical
+  embeddings at factor > dim.  Replica 0 is verbatim.
 
     python tools/gen_scaled_sf.py --out .localdata/sf1            # verbatim
     python tools/gen_scaled_sf.py --out .localdata/sf1p --perturb # realistic
@@ -78,7 +82,25 @@ def _vowel_targets(replica: int) -> str:
     return "".join(chr(base + k) for k in range(5))
 
 
-def _perturb_expr(table: str, replica_var: str, factor: int) -> str | None:
+def _sign_pattern(replica: int, dim: int) -> list[float]:
+    """Deterministic ±1.0 pattern per replica from md5 bits — distinct for
+    every replica index, so the transform family never repeats."""
+    import hashlib
+
+    bits: list[int] = []
+    counter = 0
+    while len(bits) < dim:
+        h = hashlib.md5(f"gen-scaled-sf-signs-{replica}-{counter}".encode()).digest()
+        for byte in h:
+            for k in range(8):
+                bits.append((byte >> k) & 1)
+        counter += 1
+    return [1.0 if b else -1.0 for b in bits[:dim]]
+
+
+def _perturb_expr(
+    table: str, replica_var: str, factor: int, emb_dim: int
+) -> str | None:
     """SQL REPLACE fragment perturbing the payload column for this table,
     keyed on the replica index column ``replica_var``; None = no payload."""
     if table == "documents":
@@ -89,15 +111,18 @@ def _perturb_expr(table: str, replica_var: str, factor: int) -> str | None:
         )
         return f"CASE WHEN {replica_var} = 0 THEN text {cases} END AS text"
     if table == "embeddings":
-        # rotation by (i*7) mod dim + negation on odd replicas; list slices
-        # are 1-based inclusive in DuckDB, len() handles the dim generically
+        # rotation by (i*7) mod dim composed with the per-replica sign
+        # pattern; list slices are 1-based inclusive in DuckDB
         rot = f"(({replica_var} * 7) % len(embedding))"
-        rotated = (
-            f"list_concat(embedding[{rot} + 1:], embedding[1:{rot}])"
+        rotated = f"list_concat(embedding[{rot} + 1:], embedding[1:{rot}])"
+        cases = " ".join(
+            f"WHEN {replica_var} = {i} THEN "
+            f"list_transform({rotated}, (e, k) -> e * (CAST("
+            f"{_sign_pattern(i, emb_dim)} AS FLOAT[]))[k])"
+            for i in range(1, factor)
         )
         return (
-            f"CASE WHEN {replica_var} % 2 = 0 THEN {rotated} "
-            f"ELSE list_transform({rotated}, e -> -e) END AS embedding"
+            f"CASE WHEN {replica_var} = 0 THEN embedding {cases} END AS embedding"
         )
     return None
 
@@ -117,6 +142,10 @@ def main() -> None:
 
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
+    emb_dim = con.execute(
+        f"SELECT max(len(embedding)) FROM "
+        f"read_parquet('{os.path.join(args.src, 'embeddings.parquet')}')"
+    ).fetchone()[0]
     for table, cols in SHIFT.items():
         src = os.path.join(args.src, f"{table}.parquet")
         dst = os.path.join(args.out, f"{table}.parquet")
@@ -134,7 +163,7 @@ def main() -> None:
         else:
             repl_parts = [f"{c} + r.i * {OFFSET} AS {c}" for c in cols]
             if args.perturb:
-                pexpr = _perturb_expr(table, "r.i", args.factor)
+                pexpr = _perturb_expr(table, "r.i", args.factor, emb_dim)
                 if pexpr:
                     repl_parts.append(pexpr)
             sql = (
