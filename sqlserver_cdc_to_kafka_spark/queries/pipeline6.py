@@ -2021,7 +2021,9 @@ def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("dist2", "user_a", "user_b").limit(20)
 
 
-_TS_SIM_BLOCKS = 8  # hash blocks; scale knob, see docstring
+_TS_SIM_BLOCKS = 8  # minimum hash blocks; scale knob, see docstring
+_TS_SIM_BLOCK_TARGET = 16384  # target users per block — bounds a cell's Arrow batch
+_TS_SIM_TILE = 1024  # kernel row-tile — bounds per-worker distance-matrix memory
 
 
 @query(
@@ -2089,8 +2091,19 @@ def q_ts_user_similarity_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
          stage sorts B(B+1)/2 · 20 rows, never the pair space.
 
     The pair space is never shuffled or materialized as rows — it exists
-    only as a per-cell dense matrix inside the vectorized kernel (the
-    brief's sanctioned applyInPandas shape for dense linear algebra).
+    only as per-cell ROW TILES inside the vectorized kernel (the brief's
+    sanctioned applyInPandas shape for dense linear algebra).  Round-9
+    sf10 probe (100× sf0.1, 150k users): materializing a whole cell's
+    (U/B)² distance matrix at B=8 allocated ~2.8 GB × several temporaries
+    × 32 concurrent workers and OOM-killed the box, so the kernel now
+    (a) evaluates each cell in {_TS_SIM_TILE}-row tiles with an exact
+    running top-20 (per-tile threshold keeps ALL boundary ties, so
+    dist2-tie pairs still resolve by the global (user_a, user_b)
+    tiebreak — memory is bounded by tile × U/B regardless of cell size)
+    and (b) scales the block count with the corpus, B = max(knob,
+    ceil(U / {_TS_SIM_BLOCK_TARGET})), via one cheap distinct-count job,
+    so a cell's Arrow batch stays bounded at any SF while cell count —
+    and with it cluster parallelism — grows with U².
     Local-top20-then-global-top20 is exactly correct because cells
     partition the pair space.  Oracle: the SAME dense-grid SQL as the
     exact baseline — this query must reproduce it bit-for-bit, and
@@ -2103,9 +2116,10 @@ def q_ts_user_similarity_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
         epoch_micros,
     )
 
-    B = _TS_SIM_BLOCKS
     events = load_table(spark, sf_dir, "events")
     ev = events.select("user_id", epoch_micros(events, "ts").alias("us"))
+    n_users = ev.select("user_id").distinct().count()
+    B = max(_TS_SIM_BLOCKS, -(-n_users // _TS_SIM_BLOCK_TARGET))
     t0 = ev.agg(
         F.min("us").cast("bigint").alias("start_us"),
         int_div(F.max("us") - F.min("us"), _TS_DAY_US).alias("nb_minus"),
@@ -2165,33 +2179,56 @@ def q_ts_user_similarity_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
 
     def cell_topk(key, left: pd.DataFrame, right: pd.DataFrame):
         i, j = int(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {
+                "user_a": pd.Series([], dtype="int64"),
+                "user_b": pd.Series([], dtype="int64"),
+                "dist2": pd.Series([], dtype="int64"),
+            }
+        )
         if left.empty or right.empty:
-            return pd.DataFrame(
-                {
-                    "user_a": pd.Series([], dtype="int64"),
-                    "user_b": pd.Series([], dtype="int64"),
-                    "dist2": pd.Series([], dtype="int64"),
-                }
-            )
+            return empty
         A = np.array(left["v"].tolist(), dtype=np.int64)
         Bm = np.array(right["vb"].tolist(), dtype=np.int64)
         ua = left["user_id"].to_numpy(dtype=np.int64)
         ub = right["user_id_b"].to_numpy(dtype=np.int64)
-        na = (A * A).sum(axis=1)
         nb = (Bm * Bm).sum(axis=1)
-        d2 = na[:, None] + nb[None, :] - 2 * (A @ Bm.T)
-        ga = np.broadcast_to(ua[:, None], d2.shape)
-        gb = np.broadcast_to(ub[None, :], d2.shape)
-        if i == j:
-            # both sides carry block i: strict upper triangle by user id
-            # covers each unordered pair exactly once, excludes self
-            mask = ga < gb
-        else:
-            # disjoint blocks: every (a, b) pair once; canonicalize order
-            mask = np.ones(d2.shape, dtype=bool)
-        pa = np.minimum(ga[mask], gb[mask])
-        pb = np.maximum(ga[mask], gb[mask])
-        pd2 = d2[mask]
+        sentinel = np.iinfo(np.int64).max
+        # row-tiled evaluation: never materialize the whole (U/B)² cell
+        # matrix (the round-9 sf10 OOM) — peak memory is tile × |right|.
+        # Exactness under dist2 ties: a tile keeps EVERY pair at or below
+        # its 20th-smallest dist2 (not an arbitrary 20), so the final
+        # lexsort still applies the global (dist2, user_a, user_b)
+        # tiebreak over a candidate superset of the true top-20.
+        cand: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for s in range(0, A.shape[0], _TS_SIM_TILE):
+            At = A[s : s + _TS_SIM_TILE]
+            uat = ua[s : s + _TS_SIM_TILE]
+            na = (At * At).sum(axis=1)
+            d2 = na[:, None] + nb[None, :] - 2 * (At @ Bm.T)
+            if i == j:
+                # both sides carry block i: strict upper triangle by user
+                # id covers each unordered pair exactly once, excludes self
+                d2 = np.where(uat[:, None] < ub[None, :], d2, sentinel)
+            flat = d2.ravel()
+            k = min(20, flat.size)
+            thr = np.partition(flat, k - 1)[k - 1]
+            if thr == sentinel:  # fewer than 20 valid pairs in this tile
+                sel = np.flatnonzero(flat < sentinel)
+            else:
+                sel = np.flatnonzero(flat <= thr)
+            if sel.size == 0:
+                continue
+            r_i, c_i = np.unravel_index(sel, d2.shape)
+            va, vb = uat[r_i], ub[c_i]
+            cand.append(
+                (flat[sel], np.minimum(va, vb), np.maximum(va, vb))
+            )
+        if not cand:
+            return empty
+        pd2 = np.concatenate([c[0] for c in cand])
+        pa = np.concatenate([c[1] for c in cand])
+        pb = np.concatenate([c[2] for c in cand])
         order = np.lexsort((pb, pa, pd2))[:20]
         return pd.DataFrame(
             {"user_a": pa[order], "user_b": pb[order], "dist2": pd2[order]}
