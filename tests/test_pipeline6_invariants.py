@@ -299,6 +299,70 @@ def test_ts_similarity_scalable_equals_brute_force_on_adversarial_cases(
         assert got == want, f"case {name}: {got[:3]} != {want[:3]}"
 
 
+def test_ts_similarity_scalable_tile_size_invariance(
+    spark, tmp_path, monkeypatch
+):
+    """The row-tiled cell evaluation (round-9 sf10 OOM fix) is pure memory
+    shaping: results must be identical at ANY tile size.  The default tile
+    (1024 rows) makes every test-scale cell single-tile, so this pins the
+    multi-tile path explicitly — per-tile 20th-smallest threshold, boundary
+    -tie retention (the all-ties case floods every tile with equal dist2),
+    sentinel masking on the diagonal cell, and tiles with zero valid pairs
+    (single-user corpus).  Tile sizes 1 and 3 force 1-row and ragged-edge
+    tiles; B=1 forces one giant diagonal cell so tiling does all the work."""
+    import random
+
+    from sqlserver_cdc_to_kafka_spark.queries import pipeline6
+
+    day = 86_400_000_000
+    cases = {
+        "ties": [(u, d * day + 500) for u in range(1, 26) for d in range(4)],
+        "few": [(u, (u % 3) * day + u * 1000) for u in range(1, 6)],
+        "single": [(7, 123), (7, day + 5), (7, 3 * day)],
+        "dups": (
+            [(1, d * day + 9) for d in (0, 2, 5)]
+            + [(2, d * day + 77) for d in (0, 2, 5)]
+            + [(3, day + 1), (4, day + 2)]
+            + [(5, 4 * day + 3), (5, 4 * day + 4)]
+        ),
+        "rand11": [
+            (rng.randrange(1, 40), rng.randrange(0, 45 * day))
+            for rng in [random.Random(11)]
+            for _ in range(600)
+        ],
+    }
+    fn = _q("ts_user_similarity_topk_scalable")
+    for name, rows in cases.items():
+        sf_dir = _ts_case_to_dir(rows, tmp_path, f"tile_{name}")
+        want = _ts_brute_topk(rows)
+        for tile, blocks in ((3, 1), (1, 2), (4, 8)):
+            monkeypatch.setattr(pipeline6, "_TS_SIM_TILE", tile)
+            monkeypatch.setattr(pipeline6, "_TS_SIM_BLOCKS", blocks)
+            got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+            assert got == want, f"case {name} tile={tile} B={blocks}"
+
+
+def test_ts_similarity_scalable_adaptive_block_count(spark, sf_dir, monkeypatch):
+    """B scales as max(knob, ceil(users/target)): shrinking the per-block
+    target must raise the cell count without changing the result — the
+    adaptive-B job is pure partitioning, like the block knob itself."""
+    from sqlserver_cdc_to_kafka_spark.queries import pipeline6
+
+    base = [
+        tuple(r)
+        for r in _q("ts_user_similarity_topk_scalable")(spark, sf_dir).collect()
+    ]
+    # sf0.001 has ~hundreds of users; target=16 forces the adaptive branch
+    # (B = ceil(U/16) > the knob's 8) through the same code the 100x probe
+    # exercises at 150k users.
+    monkeypatch.setattr(pipeline6, "_TS_SIM_BLOCK_TARGET", 16)
+    alt = [
+        tuple(r)
+        for r in _q("ts_user_similarity_topk_scalable")(spark, sf_dir).collect()
+    ]
+    assert alt == base
+
+
 def test_ts_similarity_scalable_block_count_invariance(spark, sf_dir, monkeypatch):
     """Hash-blocking is pure partitioning: the top-20 must be identical
     under any block count (cells always partition the pair space)."""
