@@ -2101,7 +2101,8 @@ def q_ts_user_similarity_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
     dist2-tie pairs still resolve by the global (user_a, user_b)
     tiebreak — memory is bounded by tile × U/B regardless of cell size)
     and (b) scales the block count with the corpus, B = max(knob,
-    ceil(U / {_TS_SIM_BLOCK_TARGET})), via one cheap distinct-count job,
+    ceil(U / {_TS_SIM_BLOCK_TARGET})), via one shuffle-free
+    approx_count_distinct sketch job (B needs an estimate, not a count),
     so a cell's Arrow batch stays bounded at any SF while cell count —
     and with it cluster parallelism — grows with U².
     Local-top20-then-global-top20 is exactly correct because cells
@@ -2118,7 +2119,15 @@ def q_ts_user_similarity_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
 
     events = load_table(spark, sf_dir, "events")
     ev = events.select("user_id", epoch_micros(events, "ts").alias("us"))
-    n_users = ev.select("user_id").distinct().count()
+    # B needs only an ESTIMATE of the corpus size (any B is exact — cells
+    # always partition the pair space, pinned by the block-count-invariance
+    # tests), so size it with a single-pass HLL sketch: map-side partials,
+    # one tiny merge, no shuffle of distinct ids.  An exact
+    # distinct().count() here would shuffle every distinct user id across
+    # the cluster just to pick a partitioning knob.
+    n_users = int(
+        ev.agg(F.approx_count_distinct("user_id").alias("u")).collect()[0]["u"]
+    )
     B = max(_TS_SIM_BLOCKS, -(-n_users // _TS_SIM_BLOCK_TARGET))
     t0 = ev.agg(
         F.min("us").cast("bigint").alias("start_us"),
