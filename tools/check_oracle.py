@@ -41,6 +41,13 @@ def canonicalize(df: pd.DataFrame, float_decimals: int = 6) -> pd.DataFrame:
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # DuckDB's default memory budget is 80% of RAM and it cannot see the
+    # Spark JVM sharing the box; at sf1p the quadratic oracle queries
+    # (all-pairs similarity) pushed the combined process past 110 GB and
+    # within sight of the OOM killer (measured). Cap the oracle so it
+    # spills to disk instead of racing Spark for the last gigabyte.
+    con.execute("SET memory_limit = '48GB'")
+    con.execute("SET temp_directory = '.oracle_tmp'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -142,6 +142,14 @@ def main() -> None:
 
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
+    # Without this, COPY preserves input row order and must MATERIALIZE the
+    # whole replicated result before writing — fine at factor 100 (fits in
+    # the buffer pool) but at factor 1000 the 600M-row lineitem spilled
+    # >15 GB to disk with the parquet file still at 0 bytes (measured).
+    # Row order in the output carries no meaning here: every downstream
+    # query/oracle is order-independent and the perturbation is keyed on
+    # the per-row replica index, not file position — so let COPY stream.
+    con.execute("SET preserve_insertion_order = false")
     emb_dim = con.execute(
         f"SELECT max(len(embedding)) FROM "
         f"read_parquet('{os.path.join(args.src, 'embeddings.parquet')}')"
