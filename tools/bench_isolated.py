@@ -32,8 +32,8 @@ sys.path.insert(0, {repo!r})
 from sqlserver_cdc_to_kafka_spark.registry import load_all
 from sqlserver_cdc_to_kafka_spark.session import get_spark
 
-name, sf_dir, cpus = {name!r}, {sf_dir!r}, {cpus}
-spark = get_spark("bench-isolated", cpus=cpus, shuffle_partitions=cpus)
+name, sf_dir, cpus, sp = {name!r}, {sf_dir!r}, {cpus}, {sp}
+spark = get_spark("bench-isolated", cpus=cpus, shuffle_partitions=sp)
 spark.read.parquet(f"{{sf_dir}}/region.parquet").count()
 spark.range(2).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
     "overwrite"
@@ -49,8 +49,8 @@ print("BENCH_ISOLATED_RESULT " + json.dumps(best))
 """
 
 
-def run_one(name: str, sf_dir: str, cpus: int) -> float:
-    code = _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir, cpus=cpus)
+def run_one(name: str, sf_dir: str, cpus: int, sp: int | None = None) -> float:
+    code = _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir, cpus=cpus, sp=sp or cpus)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=False
     )
@@ -81,6 +81,19 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    p.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions (default: --cpus). "
+        "Partition count must scale with DATA, not cores: at sf100 "
+        "(600M-row lineitem) 32 partitions is ~19M rows / >1 GB per sort "
+        "task against a 250 MB/core budget — the sorts spill their whole "
+        "input and the spill files exceeded the box's free disk "
+        "(measured: join_range_version_intervals died SPILL_OUT_OF_MEMORY"
+        "/no-space at sp=32, runs clean at sp=256, ~120 MB/partition — "
+        "the sizing a real cluster deployment would use)",
+    )
     args = p.parse_args()
     if args.all_bench:
         from sqlserver_cdc_to_kafka_spark.registry import bench_queries
@@ -96,7 +109,7 @@ def main() -> None:
     for name in args.names:
         runs = []
         for i in range(args.reps):
-            dt = run_one(name, args.sf, args.cpus)
+            dt = run_one(name, args.sf, args.cpus, args.shuffle_partitions)
             runs.append(round(dt, 3))
             print(f"# {name} rep{i + 1}: {dt:.3f}s", file=sys.stderr)
         report[name] = {
@@ -110,6 +123,7 @@ def main() -> None:
     out = {
         "sf": args.sf,
         "reps": args.reps,
+        "shuffle_partitions": args.shuffle_partitions or args.cpus,
         "loadavg_start": load_at_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cpus_available": len(os.sched_getaffinity(0)),
