@@ -32,7 +32,7 @@ sys.path.insert(0, {repo!r})
 from sqlserver_cdc_to_kafka_spark.registry import load_all
 from sqlserver_cdc_to_kafka_spark.session import get_spark
 
-name, sf_dir, cpus, sp = {name!r}, {sf_dir!r}, {cpus}, {sp}
+name, sf_dir, cpus, sp, runs = {name!r}, {sf_dir!r}, {cpus}, {sp}, {runs}
 spark = get_spark("bench-isolated", cpus=cpus, shuffle_partitions=sp)
 spark.read.parquet(f"{{sf_dir}}/region.parquet").count()
 spark.range(2).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
@@ -40,7 +40,7 @@ spark.range(2).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
 ).save()
 fn = load_all()[name].fn
 best = None
-for _ in range(2):
+for _ in range(runs):
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
@@ -49,8 +49,12 @@ print("BENCH_ISOLATED_RESULT " + json.dumps(best))
 """
 
 
-def run_one(name: str, sf_dir: str, cpus: int, sp: int | None = None) -> float:
-    code = _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir, cpus=cpus, sp=sp or cpus)
+def run_one(
+    name: str, sf_dir: str, cpus: int, sp: int | None = None, runs: int = 2
+) -> float:
+    code = _CHILD.format(
+        repo=REPO, name=name, sf_dir=sf_dir, cpus=cpus, sp=sp or cpus, runs=runs
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=False
     )
@@ -82,6 +86,17 @@ def main() -> None:
     p.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     p.add_argument(
+        "--runs-per-jvm",
+        type=int,
+        default=2,
+        help="timed executions per child JVM; the reported time is their "
+        "min (best-of-N). Use 1 for disk-bounded heavies: shuffle files "
+        "from run 1 are reclaimed lazily (ContextCleaner waits for JVM "
+        "GC), so two back-to-back ~20 GB-shuffle runs coexist on disk — "
+        "at sf100 dedup_two_stage died on no-space at runs=2 and passes "
+        "single-run on the same box (measured)",
+    )
+    p.add_argument(
         "--shuffle-partitions",
         type=int,
         default=None,
@@ -109,7 +124,9 @@ def main() -> None:
     for name in args.names:
         runs = []
         for i in range(args.reps):
-            dt = run_one(name, args.sf, args.cpus, args.shuffle_partitions)
+            dt = run_one(
+                name, args.sf, args.cpus, args.shuffle_partitions, args.runs_per_jvm
+            )
             runs.append(round(dt, 3))
             print(f"# {name} rep{i + 1}: {dt:.3f}s", file=sys.stderr)
         report[name] = {
@@ -123,6 +140,7 @@ def main() -> None:
     out = {
         "sf": args.sf,
         "reps": args.reps,
+        "runs_per_jvm": args.runs_per_jvm,
         "shuffle_partitions": args.shuffle_partitions or args.cpus,
         "loadavg_start": load_at_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
