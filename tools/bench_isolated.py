@@ -123,12 +123,20 @@ def main() -> None:
     report: dict[str, dict] = {}
     for name in args.names:
         runs = []
-        for i in range(args.reps):
-            dt = run_one(
-                name, args.sf, args.cpus, args.shuffle_partitions, args.runs_per_jvm
-            )
-            runs.append(round(dt, 3))
-            print(f"# {name} rep{i + 1}: {dt:.3f}s", file=sys.stderr)
+        try:
+            for i in range(args.reps):
+                dt = run_one(
+                    name, args.sf, args.cpus, args.shuffle_partitions, args.runs_per_jvm
+                )
+                runs.append(round(dt, 3))
+                print(f"# {name} rep{i + 1}: {dt:.3f}s", file=sys.stderr)
+        except RuntimeError as exc:
+            # a dead child is DATA for a scale probe (the sf100 failures at
+            # 150 MB/core were the round's real findings) — record it and
+            # keep probing the rest instead of aborting the whole batch
+            report[name] = {"error": str(exc)[:500], "runs": runs}
+            print(f"# {name} FAILED: {str(exc)[:200]}", file=sys.stderr)
+            continue
         report[name] = {
             "runs": runs,
             "best": min(runs),
