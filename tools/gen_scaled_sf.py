@@ -51,6 +51,21 @@ import os
 
 import duckdb
 
+# Tables whose REALISTIC ingest layout is clustered (an event log lands in
+# timestamp order) get an explicit ORDER BY on write: with streaming COPY
+# (preserve_insertion_order=false) rows interleave randomly, and a random
+# layout changed `events_gapfill_hourly`'s sf10 cost 7.6 -> 53.8 s on
+# identical data (measured): its 105M-group partial aggregation bounds each
+# map task's hash table to the task's time window ONLY when the scan is
+# time-clustered — randomly laid-out input makes every task see every
+# (user, hour) group, so map-side combine degrades to a full spill. Other
+# tables stay streamed: replication never key-clusters them anyway (the
+# order-preserving layout is source-row-major — adjacent rows are the SAME
+# source row in different replicas, i.e. keys 10M apart), and their probed
+# queries measured layout-insensitive (everything else shifted only the
+# 1.0–1.6x host band while gapfill moved 7x).
+CLUSTER: dict[str, str] = {"events": "ts"}
+
 # one global offset; replica key ranges are [i*OFFSET, i*OFFSET + max_key],
 # collision-free iff every source key < OFFSET (asserted below per table —
 # round-8 ADVICE: pointing --src at a larger dataset must fail loudly, not
@@ -178,6 +193,11 @@ def main() -> None:
                 f"SELECT t.* REPLACE ({', '.join(repl_parts)}) "
                 f"FROM read_parquet('{src}') t CROSS JOIN range({args.factor}) r(i)"
             )
+        if table in CLUSTER:
+            # the sort materializes, but only for the (small) clustered
+            # tables — the factor-1000 lineitem OOM that motivated
+            # streaming COPY stays on the streamed path
+            sql += f" ORDER BY {CLUSTER[table]}"
         con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{table}: {n} rows -> {dst}")
