@@ -78,11 +78,19 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowers to."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Node ids stay BIGINT through the hot path (custkey*2 / suppkey*2+1 —
+    # collision-free parity tag) and render to the oracle's 'c…'/'s…'
+    # strings only at the output boundary: the edge list is the query's
+    # dominant shuffle/persist payload, and an UnsafeRow string node costs
+    # ~3x the bytes of a long (sf100 measured: the string form needed
+    # ~100 GB scratch for the 1B-row edge persist + 2 iteration shuffles
+    # and died on local disk; the long form is the same plan at a third
+    # the bytes). Same groups, same integer masses, same output strings.
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .distinct()
     )
@@ -121,6 +129,12 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("pr"),
             )
-        return pr.select("node", F.col("pr").alias("pr_mass"))
+        return pr.select(
+            F.concat(
+                F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+                F.expr("node div 2").cast("string"),
+            ).alias("node"),
+            F.col("pr").alias("pr_mass"),
+        )
     finally:
         edges.unpersist()

@@ -150,6 +150,10 @@ def main() -> None:
         "reps": args.reps,
         "runs_per_jvm": args.runs_per_jvm,
         "shuffle_partitions": args.shuffle_partitions or args.cpus,
+        # memory per task slot = heap * 0.6 unified / cpus; at sf100 the 8g
+        # default (150 MB/slot) OOM'd two queries that run clean at a
+        # deployment-realistic 96g (3 GB/slot) — record which one ran
+        "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "loadavg_start": load_at_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cpus_available": len(os.sched_getaffinity(0)),
