@@ -90,6 +90,11 @@ def mismatch_blocks(diff: DataFrame) -> DataFrame:
     if not numeric:
         diff = diff.withColumn("__idx_num", _order_prefix_num(F.col("idx")))
         num_col = "__idx_num"
+    # persisted: the bounds collect below plus BOTH rank passes of the
+    # returned lazy plan read `diff`; the cache must outlive this function,
+    # so release is caller-managed — Spark's LRU storage eviction reclaims
+    # it under pressure, and long sessions can clearCache() between queries
+    # (same documented reliance as pipeline/clustering.py)
     diff = diff.persist()
     key = num_col or "idx"
     lo, hi = diff.agg(F.min(key), F.max(key)).collect()[0]

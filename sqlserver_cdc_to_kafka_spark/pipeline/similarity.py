@@ -167,7 +167,9 @@ def cosine_threshold_pairs_lsh(
         F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
     ).withColumn("n", l2_norm(F.col("v")))
     # persist: the self-join consumes the signatures twice; without this the
-    # Arrow/python signature pass runs once per side
+    # Arrow/python signature pass runs once per side. The returned plan reads
+    # the cache lazily, so release is caller-managed (LRU eviction /
+    # clearCache(), the documented reliance of pipeline/clustering.py)
     bands = _band_signatures(e, signs, band_size).persist()
     cand = (
         bands.alias("a")

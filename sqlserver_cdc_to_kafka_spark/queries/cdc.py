@@ -95,6 +95,10 @@ def _merged_with_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc.filter(F.col("change_seq") % 2 == 0),
         cdc.filter(F.col("change_seq") % 2 == 1),
     ]
+    # persisted: the frontier collect below plus the returned lazy rank plan
+    # both read `merged`, so the cache must outlive this function — release
+    # is caller-managed (LRU eviction / clearCache(), the documented
+    # reliance of pipeline/clustering.py)
     merged = feeds[0].unionByName(feeds[1]).persist()
     # ONE driver job for frontier + lower bound: per-feed maxes (the feed tag
     # is derivable from the index) and the global min together

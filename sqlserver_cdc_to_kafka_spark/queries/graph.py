@@ -86,6 +86,10 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~100 GB scratch for the 1B-row edge persist + 2 iteration shuffles
     # and died on local disk; the long form is the same plan at a third
     # the bytes). Same groups, same integer masses, same output strings.
+    # PRECONDITION: source keys must be NONNEGATIVE — the decode below uses
+    # `% 2` and `div 2`, which truncate toward zero, so a negative odd
+    # encoding (-5 % 2 = -1, -5 div 2 = -2) would mislabel and mis-decode.
+    # TPC-H keys are 1-based; a signed-key source needs pmod/floor-div here.
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(

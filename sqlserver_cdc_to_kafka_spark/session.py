@@ -31,6 +31,12 @@ def _export_package_pythonpath() -> None:
         )
 
 
+# single source of truth for the heap fallback: bench_isolated stamps the
+# resolved value into its artifacts, so a drift between the stamp and the
+# session default would record the wrong heap for unset-env runs
+DEFAULT_DRIVER_MEMORY = "8g"
+
+
 def get_spark(
     app_name: str = "sqlserver-cdc-to-kafka-spark",
     cpus: int | None = None,
@@ -51,7 +57,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", DEFAULT_DRIVER_MEMORY),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -204,10 +204,12 @@ def test_events_output_is_time_clustered(perturbed):
     Other tables stay streamed (replication is source-row-major; no key
     clustering exists to preserve)."""
     con = duckdb.connect()
+    # file_row_number gives the EXPLICIT file position; row_number() OVER ()
+    # with no ORDER BY only tracked it via DuckDB's preserve_insertion_order
+    # default, which the SQL standard doesn't guarantee (r9 ADVICE)
     unsorted = con.execute(
-        f"SELECT count(*) FROM (SELECT ts, lag(ts) OVER (ORDER BY rowid) prev "
-        f"FROM (SELECT ts, row_number() OVER () rowid "
-        f"      FROM read_parquet('{perturbed}/events.parquet'))) "
+        f"SELECT count(*) FROM (SELECT ts, lag(ts) OVER (ORDER BY file_row_number) prev "
+        f"FROM read_parquet('{perturbed}/events.parquet', file_row_number=true)) "
         f"WHERE prev IS NOT NULL AND ts < prev"
     ).fetchone()[0]
     assert unsorted == 0

@@ -58,7 +58,11 @@ def test_never_witnessed_queries_lead_the_window():
     witnessed = _witnesses()
     never = [n for n in order if n not in witnessed]
     if not never:
-        pytest.skip("every registered query has a driver witness")
+        pytest.skip(
+            "witness debt is ZERO — every registered query has a driver "
+            "witness (reached in r9; this skip is permanent and is the "
+            "success state, not missing coverage)"
+        )
     head = order[: len(never)]
     assert set(head) >= set(
         never

@@ -26,6 +26,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+
+def _default_driver_memory() -> str:
+    # deferred import: pulls pyspark transitively, which the argparse-only
+    # paths (e.g. --help) shouldn't pay for
+    from sqlserver_cdc_to_kafka_spark.session import DEFAULT_DRIVER_MEMORY
+
+    return DEFAULT_DRIVER_MEMORY
+
 _CHILD = """
 import json, sys, time
 sys.path.insert(0, {repo!r})
@@ -152,8 +160,12 @@ def main() -> None:
         "shuffle_partitions": args.shuffle_partitions or args.cpus,
         # memory per task slot = heap * 0.6 unified / cpus; at sf100 the 8g
         # default (150 MB/slot) OOM'd two queries that run clean at a
-        # deployment-realistic 96g (3 GB/slot) — record which one ran
-        "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        # deployment-realistic 96g (3 GB/slot) — record which one ran.
+        # The fallback is the session module's constant, not a re-hardcode,
+        # so the stamp can't drift from what the child JVM actually got
+        "driver_memory": os.environ.get(
+            "SPARK_DRIVER_MEMORY", _default_driver_memory()
+        ),
         "loadavg_start": load_at_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cpus_available": len(os.sched_getaffinity(0)),
