@@ -41,6 +41,7 @@ def get_spark(
     app_name: str = "sqlserver-cdc-to-kafka-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     _export_package_pythonpath()
     if cpus is None:
@@ -62,6 +63,10 @@ def get_spark(
             os.environ.get("SPARK_DRIVER_MEMORY", DEFAULT_DRIVER_MEMORY),
         )
     )
+    # probe hooks (e.g. the straggler probe's event log) — applied last so a
+    # probe can also override a default knob deliberately
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

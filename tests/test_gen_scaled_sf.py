@@ -213,3 +213,100 @@ def test_events_output_is_time_clustered(perturbed):
         f"WHERE prev IS NOT NULL AND ts < prev"
     ).fetchone()[0]
     assert unsorted == 0
+
+
+@pytest.fixture(scope="module")
+def skewed(tmp_path_factory):
+    return _gen(tmp_path_factory.mktemp("sfskew"), "--perturb", "--skew")
+
+
+def test_skew_user_draw_is_globally_zipfian_and_domain_valid(skewed):
+    """--skew must create ONE globally-hot user (not a per-replica hot user
+    that dilutes across replicas) while every drawn key stays inside a key
+    range the replication actually created."""
+    con = duckdb.connect()
+    total, top_user, top_cnt = con.execute(
+        f"""
+        SELECT (SELECT count(*) FROM read_parquet('{skewed}/events.parquet')),
+               user_id, count(*)
+        FROM read_parquet('{skewed}/events.parquet')
+        GROUP BY user_id ORDER BY count(*) DESC LIMIT 1
+        """
+    ).fetchone()
+    # bounded-Pareto rank 1 at alpha=1.1 over N=45 users holds ~15-25% of
+    # rows; uniform would be 1/45 ~ 2.2%. Generous band, strict vs uniform.
+    share = top_cnt / total
+    assert 0.05 < share < 0.45, f"rank-1 user share {share} not Zipf-shaped"
+    assert share > 5 * (1 / 45), "hot user indistinguishable from uniform"
+    assert top_user == 0, "rank 1 must map to global key 0 (replica 0)"
+    # domain validity: within-replica key < source cardinality (15 users at
+    # sf0.001), replica index < factor
+    bad = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{skewed}/events.parquet')
+        WHERE user_id % 10000000 >= 15 OR user_id // 10000000 >= 3
+           OR user_id < 0
+        """
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_skew_custkey_draw_keeps_fk_exact(skewed):
+    """Every Zipf-drawn o_custkey must exist in the replicated customer
+    table (the draw maps ranks into created key ranges, never inventing
+    keys) and the head must be globally hot."""
+    con = duckdb.connect()
+    dangling = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{skewed}/orders.parquet') o
+        LEFT JOIN read_parquet('{skewed}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey IS NULL
+        """
+    ).fetchone()[0]
+    assert dangling == 0
+    total, top_cnt = con.execute(
+        f"""
+        SELECT (SELECT count(*) FROM read_parquet('{skewed}/orders.parquet')),
+               count(*)
+        FROM read_parquet('{skewed}/orders.parquet')
+        GROUP BY o_custkey ORDER BY count(*) DESC LIMIT 1
+        """
+    ).fetchone()
+    assert top_cnt / total > 5 * (1 / 450), "no global hot customer"
+
+
+def test_skew_boilerplate_is_cross_replica_identical_and_consistent(skewed):
+    """The boilerplate suffix must be byte-identical across replicas (it is
+    appended AFTER the per-replica vowel perturbation — that is what makes
+    its shingles globally hot), hit ~25% of documents, and keep n_chars
+    consistent with the new text."""
+    con = duckdb.connect()
+    boiler, total, bad_len = con.execute(
+        f"""
+        SELECT count(*) FILTER (text LIKE '%terms of service apply'),
+               count(*),
+               count(*) FILTER (n_chars <> len(text))
+        FROM read_parquet('{skewed}/documents.parquet')
+        """
+    ).fetchone()
+    assert bad_len == 0, "n_chars out of sync with skewed text"
+    assert 0.15 < boiler / total < 0.35, f"boilerplate frac {boiler/total}"
+    # present in every replica (global hotness, not replica-0-only)
+    replicas = con.execute(
+        f"""
+        SELECT count(DISTINCT doc_id // 10000000)
+        FROM read_parquet('{skewed}/documents.parquet')
+        WHERE text LIKE '%terms of service apply'
+        """
+    ).fetchone()[0]
+    assert replicas == 3
+    # composes with --perturb: non-replica-0 docs still vowel-translated
+    greek_range = f"[{chr(0x3B1)}-{chr(0x3FF)}]"
+    greek = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{skewed}/documents.parquet')
+        WHERE doc_id >= 10000000 AND regexp_matches(text, '{greek_range}')
+        """
+    ).fetchone()[0]
+    assert greek > 0, "--skew must not disable --perturb's translation"

@@ -40,8 +40,36 @@ decorrelating ACROSS replicas, so dedup/ANN output grows ≈×FACTOR
   repeats mod dim, which would hand replicas i and i+dim identical
   embeddings at factor > dim.  Replica 0 is verbatim.
 
+``--skew`` (round-9 VERDICT task 1) makes the scaled dataset Zipfian instead
+of uniform — the one scale axis the three measured decades never exercised.
+Replication alone preserves the source's balanced key distribution inside
+every replica, so every measured shuffle had balanced partitions by
+construction; real 100 TB corpora have a hot user / hot customer / shared
+boilerplate.  Crucially the hot keys must be GLOBAL, not per-replica: a
+within-replica Zipf draw dilutes across FACTOR replicas (the per-replica
+head is ~8k rows in a 10M-row table — invisible to a 32-partition shuffle).
+So the draw is a bounded-Pareto inverse-CDF (the continuous Zipf
+approximation, exponent ``--skew-alpha`` ≈ 1.1) over the FULL replicated key
+domain, mapped back into valid replica key ranges
+(``key = (rank-1) % U + ((rank-1) // U) * OFFSET``) — rank 1 is one
+globally-hot key (~8–10% of all rows at alpha 1.1), the tail spans every
+replica, and FK validity is preserved exactly:
+
+- ``events.user_id``: Zipf-drawn over all FACTOR×U users, seeded by the
+  globally-unique shifted event_id (deterministic).  Stresses per-user
+  window sorts (sessionize — holistic, non-combinable) and per-user aggs.
+- ``orders.o_custkey``: Zipf-drawn over all FACTOR×C customer keys — every
+  drawn key exists in the replicated customer table, so customer⋈orders
+  selectivity stays total while one customer owns ~a tenth of all orders.
+- ``documents``: a fixed ASCII boilerplate sentence is appended to ~25% of
+  documents (hash-chosen, post-perturb so it stays IDENTICAL across
+  replicas) — the web-crawl footer pattern that hands shingle-based dedup a
+  set of hot shingles each shared by a quarter of the corpus; n_chars is
+  adjusted to stay consistent with the new text.
+
     python tools/gen_scaled_sf.py --out .localdata/sf1            # verbatim
     python tools/gen_scaled_sf.py --out .localdata/sf1p --perturb # realistic
+    python tools/gen_scaled_sf.py --out .localdata/sf1s --perturb --skew
 """
 
 from __future__ import annotations
@@ -113,6 +141,43 @@ def _sign_pattern(replica: int, dim: int) -> list[float]:
     return [1.0 if b else -1.0 for b in bits[:dim]]
 
 
+# appended (post-perturb, so it is byte-identical across replicas) to ~25%
+# of documents under --skew: ~11 globally-hot word-3-grams, each in a
+# quarter of the corpus — the boilerplate-footer shape of real web crawls
+BOILERPLATE = (
+    "all rights reserved subscribe to our newsletter "
+    "for updates terms of service apply"
+)
+_BOILER_MOD = 4  # hash(doc_id) % 4 == 0 -> boilerplated (~25%)
+
+
+def _zipf_key_expr(
+    id_seed: str, src_card: int, factor: int, alpha: float
+) -> str:
+    """SQL drawing a globally-Zipfian key over the replicated key domain.
+
+    Bounded-Pareto inverse CDF (continuous Zipf): with s=alpha and N total
+    keys, x = (1 + u*(N^(1-s) - 1))^(1/(1-s)) maps uniform u in [0,1) to a
+    rank in [1, N] with P(rank <= k) ~ Zipf mass. The rank then maps DENSELY
+    back into the replicated key space — (rank-1) % U is the within-replica
+    key, (rank-1) // U picks the replica offset — so every drawn key is a
+    key the replication actually created (FK-exact) and rank 1 is globally
+    hot. u comes from duckdb's hash() of the globally-unique seed column:
+    deterministic, row-stable, independent of file order."""
+    n_total = src_card * factor
+    one_minus_s = 1.0 - alpha
+    u = f"((hash({id_seed}) % 1000000007) / 1000000007.0)"
+    x = (
+        f"pow(1.0 + {u} * (pow({n_total}, {one_minus_s}) - 1.0), "
+        f"{1.0 / one_minus_s})"
+    )
+    rank = f"CAST(least(greatest(floor({x}), 1), {n_total}) AS BIGINT)"
+    return (
+        f"((({rank}) - 1) % {src_card} + "
+        f"((({rank}) - 1) // {src_card}) * {OFFSET})"
+    )
+
+
 def _perturb_expr(
     table: str, replica_var: str, factor: int, emb_dim: int
 ) -> str | None:
@@ -153,6 +218,19 @@ def main() -> None:
         help="deterministically perturb text/embedding payloads per replica "
         "(realistic duplicate rates; replica 0 verbatim)",
     )
+    p.add_argument(
+        "--skew",
+        action="store_true",
+        help="globally-Zipfian events.user_id / orders.o_custkey and a "
+        "shared boilerplate suffix on ~25%% of documents (hot-key probe "
+        "data; composes with --perturb)",
+    )
+    p.add_argument(
+        "--skew-alpha",
+        type=float,
+        default=1.1,
+        help="Zipf exponent for --skew (default 1.1)",
+    )
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -169,6 +247,24 @@ def main() -> None:
         f"SELECT max(len(embedding)) FROM "
         f"read_parquet('{os.path.join(args.src, 'embeddings.parquet')}')"
     ).fetchone()[0]
+    user_card = cust_card = 0
+    if args.skew:
+        # key-domain cardinalities for the global Zipf draw; source keys are
+        # dense from 0 (asserted by the rank mapping's % arithmetic — a
+        # sparse domain would only make some ranks alias existing keys,
+        # never invent one, but dense sources keep the distribution exact)
+        user_card = (
+            con.execute(
+                f"SELECT max(user_id) + 1 FROM "
+                f"read_parquet('{os.path.join(args.src, 'events.parquet')}')"
+            ).fetchone()[0]
+        )
+        cust_card = (
+            con.execute(
+                f"SELECT max(c_custkey) + 1 FROM "
+                f"read_parquet('{os.path.join(args.src, 'customer.parquet')}')"
+            ).fetchone()[0]
+        )
     for table, cols in SHIFT.items():
         src = os.path.join(args.src, f"{table}.parquet")
         dst = os.path.join(args.out, f"{table}.parquet")
@@ -189,10 +285,48 @@ def main() -> None:
                 pexpr = _perturb_expr(table, "r.i", args.factor, emb_dim)
                 if pexpr:
                     repl_parts.append(pexpr)
+            if args.skew and table == "events":
+                # seed on the globally-unique shifted event_id so the draw
+                # is per-row deterministic and replica-independent
+                repl_parts = [
+                    p for p in repl_parts if not p.endswith(" AS user_id")
+                ] + [
+                    _zipf_key_expr(
+                        f"t.event_id + r.i * {OFFSET}",
+                        user_card,
+                        args.factor,
+                        args.skew_alpha,
+                    )
+                    + " AS user_id"
+                ]
+            if args.skew and table == "orders":
+                repl_parts = [
+                    p for p in repl_parts if not p.endswith(" AS o_custkey")
+                ] + [
+                    _zipf_key_expr(
+                        f"t.o_orderkey + r.i * {OFFSET}",
+                        cust_card,
+                        args.factor,
+                        args.skew_alpha,
+                    )
+                    + " AS o_custkey"
+                ]
             sql = (
                 f"SELECT t.* REPLACE ({', '.join(repl_parts)}) "
                 f"FROM read_parquet('{src}') t CROSS JOIN range({args.factor}) r(i)"
             )
+            if args.skew and table == "documents":
+                # outer wrapper: doc_id is already globally unique here;
+                # keep n_chars consistent with the appended boilerplate
+                blen = len(BOILERPLATE) + 1
+                sql = (
+                    f"SELECT * REPLACE ("
+                    f"CASE WHEN hash(doc_id) % {_BOILER_MOD} = 0 "
+                    f"THEN text || ' {BOILERPLATE}' ELSE text END AS text, "
+                    f"CASE WHEN hash(doc_id) % {_BOILER_MOD} = 0 "
+                    f"THEN n_chars + {blen} ELSE n_chars END AS n_chars) "
+                    f"FROM ({sql})"
+                )
         if table in CLUSTER:
             # the sort materializes, but only for the (small) clustered
             # tables — the factor-1000 lineitem OOM that motivated
