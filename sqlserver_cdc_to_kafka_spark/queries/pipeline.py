@@ -75,14 +75,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs, "doc_id")
 
 
+# Stop-shingle cap for the registered near-dup query: shingles in more than
+# this many documents are corpus boilerplate, not duplication evidence.
+# Calibrated by measurement: max organic df is 25 at sf0.1 AND at the
+# uniform sf10 replica set (so the cap binds on NO witnessed dataset), while
+# the skewed probe corpus (25% of docs sharing a web-footer sentence) puts
+# 41 shingles above it, the hottest in 124,962 docs — without the cap that
+# one shingle's group is a 125k-id collect_list and a 7.8e9-pair explode
+# inside a SINGLE task (the r10 skew probe's measured kill).
+_NGRAM_MAX_DOC_FREQ = 64
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {_DUCK_SHINGLES},
+rare AS (SELECT shingle FROM shingled GROUP BY shingle
+         HAVING COUNT(*) <= {_NGRAM_MAX_DOC_FREQ}),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
           FROM shingled a JOIN shingled b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN rare r ON r.shingle = a.shingle
           GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter,
        sa.sz + sb.sz - inter AS union_size,
@@ -96,9 +110,22 @@ WHERE ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.3
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.3. Candidates via the
-    inverted shingle index self-join — never an all-pairs cross join."""
+    inverted shingle index self-join — never an all-pairs cross join.
+
+    The stop-shingle cap (df ≤ 64, mirrored exactly in the oracle) is the
+    query's scale contract: intersection counts exclude shingles shared by
+    >64 documents, so a pair whose only overlap is corpus boilerplate is
+    (correctly) not a near-duplicate, and the candidate stage's worst-case
+    group is bounded at 64 ids / ~2k pairs regardless of corpus shape.
+    Union sizes still count every shingle. On every organically-witnessed
+    dataset (sf0.001–sf0.1, and uniform replicas to sf10) the cap binds on
+    zero shingles and the output is bit-identical to the uncapped query;
+    on the r10 skewed probe corpus the uncapped plan builds one 125k-id
+    group and dies, the capped plan completes linear (measured)."""
     docs = _docs(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, "doc_id", threshold=0.3)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.3, max_doc_freq=_NGRAM_MAX_DOC_FREQ
+    )
 
 
 def _minhash_oracle() -> str:

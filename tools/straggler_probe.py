@@ -89,23 +89,37 @@ for path in paths:
                 continue
             m = ev.get("Task Metrics") or {{}}
             srm = m.get("Shuffle Read Metrics") or {{}}
+            im = m.get("Input Metrics") or {{}}
             st = stages.setdefault(sid, {{}})
             st.setdefault("run_ms", []).append(m.get("Executor Run Time", 0))
             st.setdefault("sread", []).append(
                 srm.get("Remote Bytes Read", 0) + srm.get("Local Bytes Read", 0)
             )
+            st.setdefault("recs", []).append(
+                im.get("Records Read", 0) + srm.get("Total Records Read", 0)
+            )
 print("STRAGGLER_RESULT " + json.dumps({{"wall": wall, "stages": stages}}))
 """
 
 
-def run_one(name: str, sf_dir: str, cpus: int, sp: int) -> dict:
+def run_one(
+    name: str, sf_dir: str, cpus: int, sp: int, timeout: int | None = None
+) -> dict:
     with tempfile.TemporaryDirectory(prefix="evlog-") as evdir:
         code = _CHILD.format(
             repo=REPO, name=name, sf_dir=sf_dir, cpus=cpus, sp=sp, evdir=evdir
         )
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            # a query that can't finish on skewed data IS the probe's
+            # finding — record it without letting it hold the box hostage
+            raise RuntimeError(f"{name}: timed out after {timeout}s")
     if out.returncode != 0:
         raise RuntimeError(
             f"{name}: child exited {out.returncode}:\n{out.stderr[-2000:]}"
@@ -123,16 +137,28 @@ def summarize(raw: dict, top: int = 6) -> dict:
         if not run_ms:
             continue
         sread = st.get("sread") or [0]
+        recs = st.get("recs") or [0] * len(run_ms)
         med = statistics.median(run_ms)
+        # the skew verdict uses ACTIVE tasks only: a single-file scan hands
+        # most byte-range splits zero row groups, and those ~0 ms empty
+        # tasks poison the median (a uniform dataset measured "ratio 229"
+        # from 11 empty splits out of 15 before this filter existed)
+        active = [t for t, r in zip(run_ms, recs) if r > 0] or run_ms
+        amed = statistics.median(active)
         rows.append(
             {
                 "stage": int(sid),
                 "name": st.get("name", ""),
                 "n_tasks": len(run_ms),
+                "n_active": len(active),
                 "max_ms": max(run_ms),
                 "median_ms": round(med, 1),
                 "total_ms": sum(run_ms),
-                "time_ratio": round(max(run_ms) / med, 2) if med > 0 else None,
+                "time_ratio": round(max(active) / amed, 2) if amed > 0 else None,
+                "max_records": max(recs),
+                "median_active_records": statistics.median(
+                    [r for r in recs if r > 0] or [0]
+                ),
                 "max_shuffle_read_mb": round(max(sread) / 1e6, 1),
                 "median_shuffle_read_mb": round(
                     statistics.median(sread) / 1e6, 1
@@ -145,7 +171,7 @@ def summarize(raw: dict, top: int = 6) -> dict:
     big = [
         r
         for r in rows
-        if r["max_ms"] >= 1000 and r["n_tasks"] >= 4 and r["time_ratio"]
+        if r["max_ms"] >= 1000 and r["n_active"] >= 4 and r["time_ratio"]
     ]
     worst = max(big, key=lambda r: r["time_ratio"], default=None)
     return {
@@ -166,6 +192,14 @@ def main() -> None:
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--timeout",
+        type=int,
+        default=None,
+        help="kill a child after N seconds and record the timeout as the "
+        "query's result (a non-finishing query is the finding, not a "
+        "reason to hang the probe)",
+    )
     args = p.parse_args()
     sp = args.shuffle_partitions or args.cpus
 
@@ -173,7 +207,7 @@ def main() -> None:
     report: dict[str, dict] = {}
     for name in args.names:
         try:
-            raw = run_one(name, args.sf, args.cpus, sp)
+            raw = run_one(name, args.sf, args.cpus, sp, args.timeout)
         except RuntimeError as exc:
             report[name] = {"error": str(exc)[:500]}
             print(f"# {name} FAILED: {str(exc)[:200]}", file=sys.stderr)
