@@ -117,7 +117,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     >64 documents, so a pair whose only overlap is corpus boilerplate is
     (correctly) not a near-duplicate, and the candidate stage's worst-case
     group is bounded at 64 ids / ~2k pairs regardless of corpus shape.
-    Union sizes still count every shingle. On every organically-witnessed
+    Per-doc sizes still count every shingle; the derived union
+    (sz_a + sz_b - inter) therefore GROWS as the cap shrinks inter, making
+    the capped jaccard a conservative underestimate (pinned by
+    tests/test_dedup_stop_shingles.py). On every organically-witnessed
     dataset (sf0.001–sf0.1, and uniform replicas to sf10) the cap binds on
     zero shingles and the output is bit-identical to the uncapped query;
     on the r10 skewed probe corpus the uncapped plan builds one 125k-id
