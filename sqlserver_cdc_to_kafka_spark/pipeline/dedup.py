@@ -188,12 +188,17 @@ def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """SimHash: each shingle votes ±1 per bit (bit b of the shingle's hash);
-    fingerprint bit b is 1 iff the vote sum is positive. Shingle hash = first
-    4 hex chars of md5 → 16-bit value (portable across engines)."""
+    fingerprint bit b is 1 iff the vote sum is positive. Shingle hash = the
+    first ``bits/4`` hex chars of md5 (portable across engines); bits must
+    be a multiple of 4 and ≤ 60 so the value stays inside a signed bigint."""
+    if bits % 4 or bits > 60:
+        raise ValueError("bits must be a multiple of 4, at most 60")
     idx = shingle_index(df, id_col, text_col)
     hashed = idx.select(
         id_col,
-        F.conv(F.substring(F.md5("shingle"), 1, 4), 16, 10).cast("int").alias("hv"),
+        F.conv(F.substring(F.md5("shingle"), 1, bits // 4), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
     )
     # one aggregation, `bits` parallel vote expressions — no row explosion
     vote_exprs = [

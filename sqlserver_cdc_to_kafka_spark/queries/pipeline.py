@@ -200,24 +200,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs, "doc_id")
 
 
+# Pair-blocking fingerprint width. 60 bits (15 md5 hex chars — the same
+# portable idiom as the HLL sketch), 4 bands of 15 bits: band cardinality
+# 32,768, so expected bucket size is N/32768 per band. The original 16-bit
+# pairs fingerprint was a measured SCALE DEFECT, not a skew one: with only
+# 65,536 possible fingerprints, 500k docs (uniform sf10) pigeonhole ~8 docs
+# onto every value — candidate generation AND the radius-3 output itself go
+# quadratic, and the r10 probe measured the uniform run dying with a
+# spilled-out shuffle after writing ~35 GB. The fingerprint-only query
+# (dedup_simhash) keeps its 16-bit contract: its output is one row per doc
+# at any scale; only pair BLOCKING needs width.
+_SIMHASH_PAIR_BITS = 60
+_SIMHASH_PAIR_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_PAIR_BITS // _SIMHASH_PAIR_BANDS
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+
+
 @query(
     "dedup_simhash_pairs",
     oracle=f"""
 WITH {_DUCK_SHINGLES},
 hashed AS (SELECT doc_id,
-                  CAST('0x' || substr(md5(shingle), 1, 4) AS INT) AS hv
+                  CAST('0x' || substr(md5(shingle), 1, {_SIMHASH_PAIR_BITS // 4})
+                       AS BIGINT) AS hv
            FROM shingled),
 votes AS (SELECT doc_id, b.bit,
                  SUM(CASE WHEN ((hv >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
-          FROM hashed, (SELECT unnest(range(0, 16)) AS bit) b
+          FROM hashed, (SELECT unnest(range(0, {_SIMHASH_PAIR_BITS})) AS bit) b
           GROUP BY doc_id, b.bit),
 fp AS (SELECT doc_id,
-              CAST(SUM(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
-                AS simhash
+              CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                            ELSE 0 END) AS BIGINT) AS simhash
        FROM votes GROUP BY doc_id),
 bands AS (SELECT doc_id, simhash, b.band,
-                 (simhash >> (b.band * 4)) & 15 AS bv
-          FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+                 (simhash >> (b.band * {_SIMHASH_BAND_BITS}))
+                   & {_SIMHASH_BAND_MASK} AS bv
+          FROM fp, (SELECT unnest(range(0, {_SIMHASH_PAIR_BANDS})) AS band) b),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 a.simhash AS fa, b.simhash AS fb
          FROM bands a JOIN bands b
@@ -231,11 +249,19 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one of 4 fingerprint bit-bands, then bit_count-XOR verify at radius 3.
     Pigeonhole makes the banding EXACT for that radius (recall 1.0 — any
     pair within hamming 3 leaves at least one of 4 bands untouched), unlike
-    the probabilistic cosine-LSH family. All JVM-side bit arithmetic."""
+    the probabilistic cosine-LSH family. All JVM-side bit arithmetic.
+    60-bit fingerprints (see _SIMHASH_PAIR_BITS above): width is the pair
+    operator's scale contract — 16 bits pigeonholes any 100k+-doc corpus
+    onto 65,536 values and goes quadratic (measured at uniform sf10)."""
     from sqlserver_cdc_to_kafka_spark.pipeline.dedup import simhash_hamming_pairs
 
     docs = _docs(spark, sf_dir)
-    return simhash_hamming_pairs(docs, "doc_id")
+    return simhash_hamming_pairs(
+        docs,
+        "doc_id",
+        bits=_SIMHASH_PAIR_BITS,
+        n_bands=_SIMHASH_PAIR_BANDS,
+    )
 
 
 @query(

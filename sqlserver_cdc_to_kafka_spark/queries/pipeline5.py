@@ -797,6 +797,12 @@ def q_hll_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CT_K = 5  # shingle width for containment
 _CT_MIN = 0.5  # containment threshold
+# Stop-shingle cap, same calibration discipline as dedup_ngram_jaccard's:
+# max organic 5-gram df is 4 at uniform sf10 (measured), so 64 binds on
+# nothing but corpus boilerplate — where, uncapped, the r10 skew probe's
+# 8 boilerplate 5-grams x 124,962 docs exploded 1.5e10 ORDERED pairs
+# inside single tasks and killed the run (uniform sf10 completes in 49 s).
+_CT_MAX_DF = 64
 
 
 @query(
@@ -806,10 +812,13 @@ WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (SELECT DISTINCT doc_id,
               array_to_string(ws[i:i+{_CT_K - 1}], ' ') AS shingle
        FROM toks, LATERAL unnest(range(1, len(ws) - {_CT_K} + 2)) AS t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) <= {_CT_MAX_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
            FROM sh a JOIN sh b ON a.shingle = b.shingle
                               AND a.doc_id <> b.doc_id
+           JOIN rare r ON r.shingle = a.shingle
            GROUP BY 1, 2)
 SELECT doc_a, doc_b, n_shared,
        sa.n_sh AS n_a,
@@ -825,7 +834,12 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard misses (a short doc quoted inside a long one scores near-zero
     Jaccard but full containment; the asymmetry also says which doc to
     drop).  Ordered pairs by construction.  Same single-shuffle inverted-
-    index candidate generation as the Jaccard op; the threshold test and
+    index candidate generation as the Jaccard op, with the same
+    stop-shingle scale contract (df ≤ 64, mirrored in the oracle):
+    shingles shared by more documents than the cap are boilerplate, not
+    containment evidence, and excluding them bounds the worst-case group
+    regardless of corpus shape (n_sh still counts every shingle, so capped
+    containment is a conservative underestimate).  The threshold test and
     the reported ratio are integer arithmetic (cross-multiply + ppm
     integer division) — no float division in the gate."""
     from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
@@ -839,7 +853,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         idx.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .filter(
+            (F.size("docs") > 1) & (F.size("docs") <= F.lit(_CT_MAX_DF))
+        )
     )
     # ordered pairs (both directions): containment is asymmetric
     pairs = grouped.select(

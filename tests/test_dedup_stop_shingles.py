@@ -82,3 +82,77 @@ def test_cap_is_noop_when_no_shingle_exceeds_it(spark):
     assert sorted(map(tuple, capped.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_containment_cap_same_discipline(spark):
+    """dedup_containment_pairs carries the same stop-shingle contract: a doc
+    fully contained in another qualifies on organic 5-grams alone; pairs
+    sharing only boilerplate do not appear."""
+    rows = [(0, _DUP_TEXT + " " + _BOILER)]  # 12 organic words + boiler
+    rows += [(1, _DUP_TEXT + " unique tail words here also " + _BOILER)]
+    rows += [
+        (i, " ".join(f"w{i}x{j}" for j in range(12)) + " " + _BOILER)
+        for i in range(2, 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # drive the candidate kernel on the fixture corpus (the same shapes the
+    # registered query builds inline, with a cap the boilerplate exceeds)
+    from pyspark.sql import functions as F
+    from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
+
+    sh = docs.select("doc_id", word_shingles("text", 5).alias("shingles"))
+    idx = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    grouped = (
+        idx.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") > 1) & (F.size("docs") <= 20))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) -> "
+                "transform(filter(docs, y -> y != x), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b").distinct()
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # doc 0's organic text is a prefix of doc 1's -> organic 5-grams shared;
+    # candidates contain (0,1)/(1,0) and NO boilerplate-only pair
+    assert (0, 1) in got and (1, 0) in got
+    assert got == {(0, 1), (1, 0)}
+
+
+def test_simhash_width_guard_and_wide_fingerprints(spark):
+    """The pair fingerprint must reject widths a signed bigint cannot hold
+    and produce 60-bit fingerprints whose identical-text docs collide while
+    distinct-text docs (on this fixture) do not — the blocking property the
+    16-bit width lost at 500k docs."""
+    import pytest as _pytest
+
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
+        simhash_fingerprints,
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, _DUP_TEXT), (1, _DUP_TEXT)]
+        + [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(2, 10)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError):
+        simhash_fingerprints(docs, "doc_id", bits=64)  # > 60
+    with _pytest.raises(ValueError):
+        simhash_fingerprints(docs, "doc_id", bits=58)  # not a multiple of 4
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(docs, "doc_id", bits=60).collect()
+    }
+    assert fps[0] == fps[1]  # identical text -> identical fingerprint
+    assert fps[0] < (1 << 60) and fps[0] >= 0
+    assert len(set(fps.values())) == 9  # the 8 distinct texts don't collide
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_hamming_pairs(docs, "doc_id", bits=60, n_bands=4).collect()
+    }
+    assert (0, 1) in pairs  # hamming 0 -> always a candidate (pigeonhole)
