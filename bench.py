@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -66,7 +67,16 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    # tolerate dataset-variant suffixes (sf1p, sf10s, ...): take the leading
+    # numeric run after the last "sf"; None if there is none
+    sf = None
+    if "sf" in sf_dir:
+        m = re.match(r"[0-9.]+", sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        if m:
+            try:
+                sf = float(m.group(0))
+            except ValueError:
+                sf = None
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -402,6 +402,12 @@ _ED_K = 8  # shingle width for candidate generation
 _ED_MIN_SHARED = 3  # candidate gate: shared distinct shingles
 _ED_PREFIX = 300  # verify on this char prefix
 _ED_MAX_DIST = 90  # near-dup verdict: ≤30% of the prefix edited
+# stop-shingle cap, same discipline as dedup_ngram_jaccard/containment: the
+# r10 boilerplate corpus puts 5 identical 8-grams in 25% of all docs —
+# >= _ED_MIN_SHARED, so EVERY boilerplated pair became a candidate and the
+# shared-session sf1-skewed bench heap-OOM'd here (measured); organic 8-gram
+# df is <= the 5-gram max of 4, so 64 binds on boilerplate only
+_ED_MAX_DF = 64
 
 
 @query(
@@ -412,10 +418,13 @@ WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (SELECT DISTINCT doc_id,
               array_to_string(ws[i:i+{_ED_K - 1}], ' ') AS shingle
        FROM toks, LATERAL unnest(range(1, len(ws) - {_ED_K} + 2)) AS t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) <= {_ED_MAX_DF}),
 cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 COUNT(*) AS n_shared_shingles
          FROM sh a JOIN sh b ON a.shingle = b.shingle
                             AND a.doc_id < b.doc_id
+         JOIN rare r ON r.shingle = a.shingle
          GROUP BY 1, 2
          HAVING COUNT(*) >= {_ED_MIN_SHARED})
 SELECT doc_a, doc_b, n_shared_shingles,
@@ -438,11 +447,15 @@ def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape mirrors ngram_jaccard_pairs: ONE shuffle of the shingle
     index (groupBy shingle → sorted doc list → in-group pair explode, not
-    a two-sided self-join), candidate count bounded far below |docs|², and
-    the quadratic-in-length levenshtein runs on a FIXED 300-char prefix
-    (bounded cost per pair) and only on candidates.  Both engines' builtin
-    levenshtein implement classic unit-cost edit distance — verified
-    value-identical, so the verdicts hash-match."""
+    a two-sided self-join) with the same stop-shingle contract (df ≤ 64,
+    mirrored in the oracle — without it 5 corpus-boilerplate 8-grams meet
+    the ≥3-shared gate on their own and every boilerplated pair becomes a
+    candidate; measured heap-OOM on the r10 skewed bench), candidate count
+    bounded far below |docs|², and the quadratic-in-length levenshtein
+    runs on a FIXED 300-char prefix (bounded cost per pair) and only on
+    candidates.  Both engines' builtin levenshtein implement classic
+    unit-cost edit distance — verified value-identical, so the verdicts
+    hash-match."""
     docs = ensure_parallel(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
@@ -454,7 +467,7 @@ def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         idx.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .filter((F.size("docs") > 1) & (F.size("docs") <= F.lit(_ED_MAX_DF)))
     )
     pairs = grouped.select(
         F.explode(
@@ -470,13 +483,26 @@ def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= _ED_MIN_SHARED)
     )
+    # BYTE-level edit distance is the query's contract (identical to
+    # codepoint distance on ASCII, where every witnessed SF lives).
+    # Engines disagree on non-ASCII: DuckDB's levenshtein counts BYTE
+    # edits ('aeiou' vs its Greek vowel translation = 10), Spark's counts
+    # codepoints (= 5) — measured on the r10 perturbed corpus, invisible
+    # on ASCII. The ISO-8859-1 decode of the UTF-8 bytes maps each byte to
+    # exactly one codepoint (a bijection, identity on ASCII), so Spark's
+    # codepoint levenshtein over it IS the byte distance both engines agree
+    # on. Prefix is taken in CHARACTERS first, matching the oracle's
+    # substr.
+    def _bytes_as_chars(col):
+        return F.decode(F.encode(col, "UTF-8"), "ISO-8859-1")
+
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
-        F.substring("text", 1, _ED_PREFIX).alias("pa"),
+        _bytes_as_chars(F.substring("text", 1, _ED_PREFIX)).alias("pa"),
     )
     tb = docs.select(
         F.col("doc_id").alias("doc_b"),
-        F.substring("text", 1, _ED_PREFIX).alias("pb"),
+        _bytes_as_chars(F.substring("text", 1, _ED_PREFIX)).alias("pb"),
     )
     dist = F.levenshtein("pa", "pb")
     return (
@@ -1088,6 +1114,9 @@ def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HY_JACCARD = 0.3
 _HY_COS = 0.4
+# the lexical side reuses ngram_jaccard_pairs and carries the same
+# stop-shingle contract (df <= 64; see dedup_ngram_jaccard's calibration)
+_HY_MAX_DF = 64
 
 
 @query(
@@ -1100,10 +1129,13 @@ WITH docsh AS (
     ELSE [] END AS shingles
   FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
 shingled AS (SELECT doc_id, unnest(shingles) AS shingle FROM docsh),
+hyrare AS (SELECT shingle FROM shingled GROUP BY shingle
+           HAVING COUNT(*) <= {_HY_MAX_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
           FROM shingled a JOIN shingled b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN hyrare r ON r.shingle = a.shingle
           GROUP BY 1, 2),
 tpairs AS (
   SELECT doc_a, doc_b FROM inter
@@ -1146,9 +1178,9 @@ def q_hybrid_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallel(load_table(spark, sf_dir, "documents"))
     emb = ensure_parallel(load_table(spark, sf_dir, "embeddings"))
-    tpairs = ngram_jaccard_pairs(docs, "doc_id", threshold=_HY_JACCARD).select(
-        "doc_a", "doc_b"
-    )
+    tpairs = ngram_jaccard_pairs(
+        docs, "doc_id", threshold=_HY_JACCARD, max_doc_freq=_HY_MAX_DF
+    ).select("doc_a", "doc_b")
     epairs = cosine_threshold_pairs(emb, "vec_id", "embedding", _HY_COS).select(
         F.col("vec_a").alias("e_a"), F.col("vec_b").alias("e_b")
     )

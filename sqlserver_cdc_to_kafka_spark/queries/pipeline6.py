@@ -578,10 +578,13 @@ WITH docsh AS (
     ELSE [] END AS shingles
   FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
 shingled AS (SELECT doc_id, unnest(shingles) AS shingle FROM docsh),
+rare AS (SELECT shingle FROM shingled GROUP BY shingle
+         HAVING COUNT(*) <= 64),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
           FROM shingled a JOIN shingled b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN rare r ON r.shingle = a.shingle
           GROUP BY 1, 2),
 banded AS (
   SELECT CAST(inter * 10 // (sa.sz + sb.sz - inter) AS BIGINT) AS band
@@ -598,7 +601,7 @@ FROM hist
 """,
 )
 def q_threshold_sweep(
-    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = None
+    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = 64
 ) -> DataFrame:
     """Dedup THRESHOLD SENSITIVITY sweep: the full Jaccard-similarity
     histogram of candidate pairs in integer deciles (band = ⌊10·J⌋), with
@@ -622,9 +625,12 @@ def q_threshold_sweep(
         F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
     if max_doc_freq is not None:
-        # stop-shingle cap (pipeline/dedup.py pattern): bounds the worst
-        # in-group pair explosion at web scale; OFF by default so the
-        # oracle histogram stays exact at test SFs
+        # stop-shingle cap (pipeline/dedup.py pattern), DEFAULT 64 since
+        # r10 and mirrored in the oracle: on the skewed probe corpus the
+        # uncapped sweep's candidate stage has the identical 125k-doc
+        # hot-shingle shape that heap-OOM'd dedup_ngram_jaccard (measured);
+        # 64 binds on zero shingles at every organically-witnessed SF, so
+        # the histogram there is unchanged
         grouped = grouped.filter(F.size("docs") <= max_doc_freq)
     pairs = (
         grouped.filter(F.size("docs") > 1)
