@@ -54,6 +54,13 @@ def main() -> None:
         best = None
         try:
             for _ in range(2):
+                # a query that persist()s an intermediate (e.g. the corpus
+                # funnel's cached base) must not let rep 2 silently reuse
+                # rep 1's cache — that reads as a warm-inflated "best" (the
+                # r9 25.8 s -> 4.2 s hazard).  Clearing between reps keeps
+                # the pair measuring steady-state COLD query cost while
+                # still separating codegen/JIT warmup.
+                spark.catalog.clearCache()
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()

@@ -79,6 +79,17 @@ def chunked_trailing_agg(
     3. evaluate the frame inside (key, bucket) over own + carried rows and
        drop the carried rows from the output.
 
+    PRECONDITION — ``chunk_col`` must be a MONOTONE NON-DECREASING function
+    of the ``order_cols`` prefix within each key (e.g. a time bucket
+    derived from the leading order column). The carry step sorts candidate
+    rows purely by ``order_cols`` inside the target bucket; a bucketing
+    that interleaves with the stream order (bucket 2 rows ordered before
+    bucket 1 rows) silently corrupts every frame — rows from a "later"
+    bucket would be stream-earlier yet never carried backwards. This is
+    not checked row-by-row at scale (it would cost a full extra window
+    pass); ``_assert_chunk_monotone`` below is the debug-path check and
+    tests/test_chunked_trailing_agg.py pins a violation raising it.
+
     Bit-identical to the single-partition window (same rows in every
     frame, same order), pinned by tests/test_chunked_trailing_agg.py.
     Returns df's columns plus ``__sum`` (sum of val_col over the frame)
@@ -127,3 +138,33 @@ def chunked_trailing_agg(
         .filter(~F.col("__carry"))
         .drop("__b", "__carry")
     )
+
+
+def _assert_chunk_monotone(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    chunk_col: str,
+) -> None:
+    """Debug-path check of chunked_trailing_agg's precondition: within each
+    ``part_col`` key, ``chunk_col`` is non-decreasing along ``order_cols``.
+
+    Deliberately NOT called on the scale path — it is itself a
+    single-partition-per-key window (the exact shape the operator exists
+    to avoid); use it in tests / one-off validation of a new bucketing.
+    Raises ValueError with the violation count if the bucketing
+    interleaves with the stream order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order_cols])
+    bad = (
+        df.withColumn("__prev", F.lag(chunk_col).over(w))
+        .filter(F.col("__prev") > F.col(chunk_col))
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"chunk_col {chunk_col!r} is not monotone non-decreasing in "
+            f"{list(order_cols)} within {part_col!r}: {bad} inversions — "
+            "chunked_trailing_agg would corrupt every frame touching them"
+        )

@@ -50,13 +50,20 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # witness for a query whose semantics just changed).  Unknown names raise:
 # a typo here must not silently drop a query out of the window.
 #
-# ROUND 9: pins cleared (round-8 VERDICT task 1).  The r8 pins refreshed
-# the CDC-parity core, so the staleness ordering alone now puts the 24
-# remaining never-witnessed queries at the head of the 50-slot window,
-# with the ~26 spare slots auto-filling from the oldest (r4) rows.
-# Leaving the r8 names pinned would have wasted 10 slots on queries the
-# driver just witnessed.
-_DRIVER_PRIORITY: list[str] = []
+# ROUND 11 (round-10 VERDICT task 2): pin the six dedup queries whose
+# round-10 stop-shingle caps / width changes altered BOTH query and oracle
+# AFTER their last driver witness (r6–r9).  All six are green in the r10
+# final-tree local sweeps and the judge's own oracle recheck, but the
+# driver's witness must postdate the semantic change.  Clear these pins in
+# round 12 so rotation resumes on the r5-aged tail.
+_DRIVER_PRIORITY: list[str] = [
+    "dedup_containment_pairs",
+    "dedup_edit_distance_verify",
+    "dedup_hybrid_consensus",
+    "dedup_threshold_sweep",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+]
 
 
 def _witness_ages() -> dict[str, tuple[int, int]]:

@@ -85,3 +85,25 @@ def test_chunked_single_row_and_all_one_bucket(spark):
     )
     _assert_equal(_plain(df), _chunked(df, 1_000_000))
     _assert_equal(_plain(df), _chunked(df, 1))
+
+
+def test_assert_chunk_monotone_flags_interleaved_bucketing(spark):
+    from sqlserver_cdc_to_kafka_spark.operators.skew import (
+        _assert_chunk_monotone,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 10, 1), (1, 2, 20, 1), (1, 3, 30, 1)],
+        "user_id long, event_id long, us long, v long",
+    )
+    # good: bucket derived from the leading order column
+    good = df.withColumn("__bucket", F.floor(F.col("us") / 15))
+    _assert_chunk_monotone(good, "user_id", ["us", "event_id"], "__bucket")
+    # bad: bucket interleaves with stream order (descending in us)
+    bad = df.withColumn("__bucket", -F.col("us"))
+    try:
+        _assert_chunk_monotone(bad, "user_id", ["us", "event_id"], "__bucket")
+    except ValueError as exc:
+        assert "monotone" in str(exc)
+    else:
+        raise AssertionError("interleaved bucketing not flagged")

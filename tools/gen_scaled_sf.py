@@ -232,6 +232,16 @@ def main() -> None:
         help="Zipf exponent for --skew (default 1.1)",
     )
     args = p.parse_args()
+    # the bounded-Pareto inverse CDF in _zipf_key_expr divides by (1-alpha):
+    # alpha == 1.0 is a ZeroDivisionError while BUILDING the SQL, and
+    # alpha < 1 silently inverts the distribution shape (rank N hot instead
+    # of rank 1).  Fail loud at the argument boundary.
+    if args.skew_alpha <= 1.0:
+        p.error(
+            f"--skew-alpha must be > 1.0 (got {args.skew_alpha}): the "
+            "bounded-Pareto mapping is undefined at 1.0 and shape-inverted "
+            "below it; use e.g. 1.0001 to approximate classic Zipf s=1"
+        )
 
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()

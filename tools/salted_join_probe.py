@@ -74,14 +74,21 @@ for p in (q for q in glob.glob(evdir + "/**/*", recursive=True) if os.path.isfil
 # the join stage = the stage with the largest total task time that READ
 # shuffle records (excludes scans)
 cand = {{sid: ts for sid, ts in stages.items() if sum(r for _, r in ts) > 0}}
-sid = max(cand, key=lambda s: sum(t for t, _ in cand[s]))
-active = [t for t, r in cand[sid] if r > 0]
-print("SALTED_PROBE_RESULT " + json.dumps({{
-    "mode": mode, "wall_sec": round(wall, 2), "rows": row["n"],
-    "checksum": round(row["s"], 2), "join_stage_tasks": len(active),
-    "max_task_ms": max(active), "median_task_ms": statistics.median(active),
-    "ratio": round(max(active) / statistics.median(active), 2),
-}}))
+res = {{"mode": mode, "wall_sec": round(wall, 2), "rows": row["n"],
+       "checksum": round(row["s"], 2)}}
+if cand:
+    sid = max(cand, key=lambda s: sum(t for t, _ in cand[s]))
+    active = [t for t, r in cand[sid] if r > 0]
+    res.update(join_stage_tasks=len(active), max_task_ms=max(active),
+               median_task_ms=statistics.median(active),
+               ratio=round(max(active) / statistics.median(active), 2))
+else:
+    # no stage read shuffle records (e.g. a future plan broadcasts the dim
+    # despite the merge hint) — keep the wall-clock numbers we DID measure
+    # instead of dying and losing the whole mode to a stderr blob
+    res.update(join_stage_tasks=0, max_task_ms=None,
+               median_task_ms=None, ratio=None)
+print("SALTED_PROBE_RESULT " + json.dumps(res))
 """
 
 
