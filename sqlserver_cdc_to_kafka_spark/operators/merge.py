@@ -195,3 +195,179 @@ def order_regression_check(
             F.count("*").alias("n_rows"),
         )
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_exprs: Sequence,
+    bucket_expr,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Running ``SUM(value) OVER (ORDER BY order_exprs ROWS UNBOUNDED
+    PRECEDING)`` — a GLOBAL total-order prefix sum — without the
+    single-partition exchange the plain window needs (the r11 plan-audit
+    class: at 100 TB every row funnels through ONE task).
+
+    Same two-phase shape as global_order_rank / grouped_prefix_sum, but
+    over a COMPOSITE order: ``order_exprs`` (Column expressions, packed
+    into a struct whose ascending sort IS the total order — negate
+    numerics for DESC components, include a tie-break) defines the order;
+    ``bucket_expr`` is any numeric expression MONOTONE NON-DECREASING in
+    that order (typically the leading component, double-cast is fine —
+    only bucket boundaries derive from it, never the in-bucket order).
+    Phase 1 range-buckets rows and collects one SUM per bucket (bounded
+    by bucket count); phase 2 window-sums within each bucket in parallel
+    and adds the exclusive prefix of earlier buckets."""
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = max(spark.sparkContext.defaultParallelism, 16)
+    d = df.withColumn("__num", bucket_expr).withColumn(
+        "__ord", F.struct(*order_exprs)
+    )
+    lo, hi = d.agg(F.min("__num"), F.max("__num")).collect()[0]
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    d = d.withColumn(
+        "__bucket",
+        F.width_bucket(F.col("__num"), F.lit(lo), F.lit(hi) + 1, F.lit(buckets)),
+    )
+    totals = sorted(
+        (r["__bucket"], r["t"])
+        for r in d.groupBy("__bucket").agg(F.sum(value_col).alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, t in totals:
+        offsets[b] = acc
+        acc += int(t)
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(b), off) for b, off in offsets.items()],
+            "__bucket bigint, __offset bigint",
+        )
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("__bucket", F.col("__bucket").cast("bigint"))
+        .join(off_df, "__bucket")
+        .withColumn(
+            out_col,
+            (F.sum(value_col).over(w) + F.col("__offset")).cast("bigint"),
+        )
+        .drop("__bucket", "__num", "__ord", "__offset")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_exprs: Sequence,
+    bucket_expr,
+    n_tiles: int,
+    out_col: str = "tile",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_exprs)`` without the
+    single-partition window: global_order_rank supplies the dense rank
+    scalably, a broadcast scalar supplies the row count, and the
+    SQL-standard ntile bucket formula maps (rank, n) -> tile: with
+    q = n DIV k and r = n MOD k the first r tiles hold q+1 rows, the rest
+    q — bit-identical to Spark's and DuckDB's ntile on a unique total
+    order (ties must be broken inside order_exprs).  ``bucket_expr`` as
+    in global_prefix_sum.  Pinned against F.ntile by
+    tests/test_global_order_ops.py across n % k residues."""
+    d = df.withColumn("__ord", F.struct(*order_exprs)).withColumn(
+        "__num", bucket_expr
+    )
+    ranked = global_order_rank(d, "__ord", buckets=buckets, numeric_col="__num")
+    tot = df.agg(F.count("*").cast("bigint").alias("__n"))
+    k = int(n_tiles)
+    tile = F.expr(
+        f"CAST(CASE WHEN global_rank <= (__n % {k}) * (__n DIV {k} + 1) "
+        f"THEN (global_rank + (__n DIV {k})) DIV ((__n DIV {k}) + 1) "
+        f"ELSE (__n % {k}) + (global_rank - (__n % {k}) * ((__n DIV {k}) + 1) "
+        f"+ (__n DIV {k}) - 1) DIV (__n DIV {k}) END AS BIGINT)"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(out_col, tile)
+        .drop("__ord", "__num", "__n", "global_rank")
+    )
+
+
+def global_gap_islands(
+    df: DataFrame,
+    ts_col: str,
+    gap: int,
+    out_col: str = "island",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Gaps-and-islands over a GLOBAL numeric order (no partition key):
+    assign consecutive island ids such that rows whose ``ts_col`` is
+    within ``gap`` of the previous row share an island — the global
+    sessionize the plain ``lag() OVER (ORDER BY ts)`` window computes
+    through a single task.
+
+    Two-phase: range-bucket on ``ts_col``; the within-bucket lag is a
+    parallel window; each bucket's FIRST row takes its predecessor from a
+    driver-collected per-bucket MAX(ts) (bounded by bucket count — the
+    nearest earlier non-empty bucket's max is the true global
+    predecessor).  Break flags then collapse to ONE row per DISTINCT
+    timestamp (at most one row among equal timestamps can break — only
+    the tie-order-first sees an earlier prev — so MAX over the tie group
+    is exact and makes the result tie-order independent: rows sharing a
+    timestamp always share an island, RANGE-frame semantics); the island
+    id is the global prefix sum of per-timestamp breaks via
+    global_prefix_sum (unique order key after the collapse), joined back
+    on the timestamp."""
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = max(spark.sparkContext.defaultParallelism, 16)
+    lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).collect()[0]
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    d = df.withColumn(
+        "__bucket",
+        F.width_bucket(F.col(ts_col), F.lit(lo), F.lit(hi) + 1, F.lit(buckets)),
+    )
+    maxes = sorted(
+        (r["__bucket"], r["m"])
+        for r in d.groupBy("__bucket").agg(F.max(ts_col).alias("m")).collect()
+    )
+    prev_max: dict[int, int | None] = {}
+    last = None
+    for b, m in maxes:
+        prev_max[b] = last
+        last = m
+    carry_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(b), pm) for b, pm in prev_max.items()],
+            "__bucket bigint, __carry_ts bigint",
+        )
+    )
+    w = Window.partitionBy("__bucket").orderBy(ts_col)
+    d = (
+        d.withColumn("__bucket", F.col("__bucket").cast("bigint"))
+        .join(carry_df, "__bucket")
+        .withColumn(
+            "__prev",
+            F.coalesce(F.lag(ts_col).over(w), F.col("__carry_ts")),
+        )
+        .withColumn(
+            "__brk",
+            (
+                F.col("__prev").isNull()
+                | (F.col(ts_col) - F.col("__prev") >= F.lit(gap))
+            ).cast("int"),
+        )
+        .drop("__bucket", "__carry_ts", "__prev")
+    )
+    per_ts = d.groupBy(ts_col).agg(F.max("__brk").alias("__brk"))
+    islands = global_prefix_sum(
+        per_ts, [F.col(ts_col)], F.col(ts_col), "__brk", out_col, buckets=buckets
+    ).drop("__brk")
+    return d.drop("__brk").join(islands, ts_col)
