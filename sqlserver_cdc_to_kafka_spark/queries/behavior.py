@@ -383,19 +383,20 @@ def q_interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("sess")
     )
-    we = Window.orderBy("us")
+    # the error stream has NO partition key — the plain lag/prefix-sum
+    # sessionize is a one-task total order over every error at 100 TB;
+    # global_gap_islands is the range-bucketed exact equivalent
+    # (equality-pinned in tests/test_global_order_ops.py)
+    from sqlserver_cdc_to_kafka_spark.operators.merge import (
+        global_gap_islands,
+    )
+
     bursts = (
-        ev.filter(F.col("event_type") == "error")
-        .withColumn(
-            "brk",
-            (
-                (F.col("us") - F.lag("us").over(we) >= _BURST_GAP_US)
-                | F.lag("us").over(we).isNull()
-            ).cast("int"),
-        )
-        .withColumn(
+        global_gap_islands(
+            ev.filter(F.col("event_type") == "error").select("us"),
+            "us",
+            _BURST_GAP_US,
             "burst",
-            F.sum("brk").over(we.rowsBetween(Window.unboundedPreceding, 0)),
         )
         .groupBy("burst")
         .agg(

@@ -718,12 +718,13 @@ FROM tiled GROUP BY decile
 def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-value decile segmentation: spend per customer, ntile(10)
     over the (spend DESC, custkey) total order, envelope stats per decile.
-    The ntile runs over an UNPARTITIONED frame — fine here because its
-    input is already one row per customer (the aggregate ran first), but
-    at 1e9 customers the same result comes from the bucketed prefix-sum
-    rank (operators/merge.global_order_rank) with decile = rank*10/n; the
-    tie-broken total order is what keeps either path deterministic."""
-    from pyspark.sql import Window
+    The ntile is EXACT ntile(10) semantics computed scalably via
+    global_ntile (range-bucketed rank + the SQL-standard tile formula,
+    equality-pinned to F.ntile) — the plain unpartitioned ntile window
+    funnels one row per customer (~1e9 at scale) through a single task;
+    the tie-broken (spend DESC, custkey) total order keeps the
+    assignment deterministic."""
+    from sqlserver_cdc_to_kafka_spark.operators.merge import global_ntile
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -732,9 +733,14 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.sum(_dec("o_totalprice")).alias("total_spend"))
     )
-    w = Window.orderBy(F.col("total_spend").desc(), "c_custkey")
     return (
-        spend.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        global_ntile(
+            spend,
+            [(-F.col("total_spend")).alias("o1"), F.col("c_custkey")],
+            (-F.col("total_spend")).cast("double"),
+            10,
+            "decile",
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -86,11 +86,11 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").cast("bigint").alias("pair_count"),
         F.count("*").cast("bigint").alias("n_word_types"),
     )
-    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 40)
-        .select("pair", "pair_count", "n_word_types")
+    # top-40 via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    # no single-partition rank window — the pair space is charset²-bounded
+    # anyway, but this shape is free)
+    return agg.orderBy(F.col("pair_count").desc(), "pair").limit(40).select(
+        "pair", "pair_count", "n_word_types"
     )
 
 
@@ -185,12 +185,15 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning STAGE assignment: score each document's
     difficulty (mean word length in ppm — a cheap syntactic-complexity
     proxy), then ntile(4) into easy→hard training stages with (score,
-    doc_id) ordering so ties are deterministic.  The global ntile is a
-    single total-order window — exact and fine up to ~1e9 rows; the 100 TB
-    path swaps the window for approxQuantile(difficulty, [.25,.5,.75])
-    thresholds (one pass, no global sort) at the cost of boundary-exact
-    stage sizes, same output schema.  Stage is the shuffle/sort key the
+    doc_id) ordering so ties are deterministic.  The stage assignment is
+    EXACT ntile(4) semantics computed scalably: global_ntile (range-
+    bucketed rank + the SQL-standard tile formula) — the plain ntile
+    window funnels every document through ONE task (the r11 single-
+    partition-window audit class), this form parallelizes across buckets
+    and is equality-pinned to F.ntile.  Stage is the shuffle/sort key the
     training dataloader consumes."""
+    from sqlserver_cdc_to_kafka_spark.operators.merge import global_ntile
+
     docs = _docs(spark, sf_dir).filter(
         F.expr("size(filter(split(text, ' '), w -> length(w) > 0)) > 0")
     )
@@ -201,12 +204,13 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(filter(split(text, ' '), w -> length(w) > 0)) as bigint)"
         ).alias("difficulty_ppm"),
     )
-    w = Window.orderBy("difficulty_ppm", "doc_id")
-    return scored.select(
-        "doc_id",
-        "difficulty_ppm",
-        F.ntile(4).over(w).cast("bigint").alias("stage"),
-    )
+    return global_ntile(
+        scored,
+        [F.col("difficulty_ppm"), F.col("doc_id")],
+        F.col("difficulty_ppm").cast("double"),
+        4,
+        "stage",
+    ).select("doc_id", "difficulty_ppm", "stage")
 
 
 # ---------------------------------------------------------------------------
@@ -1673,8 +1677,15 @@ def q_vocab_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+    # only ranks <= max sweep point matter downstream, so take the top-K
+    # DISTRIBUTED first (TakeOrderedAndProject — per-partition heaps, no
+    # shuffle of the full vocabulary) and window over those <=K rows; the
+    # previous form ran rank+cumsum over the ENTIRE word-frequency table
+    # through one task (Heaps-bounded, but ~1e9 words at 100 TB of text —
+    # the r11 single-partition-window audit's worst offender)
+    top_k = freq.orderBy(F.col("n").desc(), "w").limit(max(_VOCAB_SWEEP))
     wrank = Window.orderBy(F.col("n").desc(), "w")
-    ranked = freq.select(
+    ranked = top_k.select(
         "n",
         F.row_number().over(wrank).alias("rnk"),
         F.sum("n")
@@ -2308,12 +2319,9 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = seq.select(
         F.concat_ws(">", "t1", "t2", "t3").alias("path")
     ).groupBy("path").agg(F.count("*").cast("bigint").alias("n"))
-    wtop = Window.orderBy(F.col("n").desc(), "path")
-    return (
-        paths.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= 15)
-        .select("path", "n")
-    )
+    # top-15 via orderBy+limit (TakeOrderedAndProject — no rank window;
+    # the path space is |types|³-bounded anyway, but this shape is free)
+    return paths.orderBy(F.col("n").desc(), "path").limit(15).select("path", "n")
 
 
 # ---------------------------------------------------------------------------
@@ -4020,10 +4028,15 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.sum("d").alias("net"))
     )
-    wrun = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    running = deltas.select("t", F.sum("net").over(wrun).alias("conc"))
+    # the running balance is a GLOBAL prefix sum over boundary points —
+    # session-scale, so the plain total-order window would funnel every
+    # boundary through one task; global_prefix_sum range-buckets it
+    # (t is unique after the groupBy, so the order is total)
+    from sqlserver_cdc_to_kafka_spark.operators.merge import global_prefix_sum
+
+    running = global_prefix_sum(
+        deltas, [F.col("t")], F.col("t").cast("double"), "net", "conc"
+    ).select("t", "conc")
     peak = running.agg(F.max("conc").alias("peak"))
     return (
         running.crossJoin(F.broadcast(peak))
@@ -4689,9 +4702,9 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     into terciles (ntile with (value, user_id) deterministic ties; best
     recency = LOWEST days, so recency orders DESC) and combined into the
     RFM segment code, reported as segment sizes.  The ntiles run over one
-    row per user — the same documented total-order caveat as
-    olap_customer_value_deciles, with the same bucketed prefix-sum rank
-    swap at extreme user counts."""
+    row per user — unbounded at scale, so each is computed with
+    global_ntile (range-bucketed rank + exact tile formula), not a
+    single-partition ntile window."""
     from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import (
         epoch_micros,
     )
@@ -4725,17 +4738,31 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    scored = rfm.select(
-        F.ntile(3)
-        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
-        .alias("r_score"),
-        F.ntile(3)
-        .over(Window.orderBy("frequency", "user_id"))
-        .alias("f_score"),
-        F.ntile(3)
-        .over(Window.orderBy("monetary_cents", "user_id"))
-        .alias("m_score"),
-    )
+    # three EXACT global ntiles, each scalable (range-bucketed rank + tile
+    # formula) — the plain ntile windows ran one-task total orders over
+    # one row per user (~1e9 at 100 TB); DESC components negate into the
+    # ascending struct order
+    from sqlserver_cdc_to_kafka_spark.operators.merge import global_ntile
+
+    scored = rfm
+    for out, exprs, bucket in (
+        (
+            "r_score",
+            [(-F.col("recency_days")).alias("o1"), F.col("user_id")],
+            (-F.col("recency_days")).cast("double"),
+        ),
+        (
+            "f_score",
+            [F.col("frequency"), F.col("user_id")],
+            F.col("frequency").cast("double"),
+        ),
+        (
+            "m_score",
+            [F.col("monetary_cents"), F.col("user_id")],
+            F.col("monetary_cents").cast("double"),
+        ),
+    ):
+        scored = global_ntile(scored, exprs, bucket, 3, out)
     return (
         scored.select(
             (
@@ -4841,19 +4868,24 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend (rank ties broken on custkey).  Moments accumulate exactly
     (rank·cents products in decimal(38,0)); the final expression is one
     correctly-rounded IEEE formula over identical integers.  The global
-    rank runs over one row per customer — the deciles caveat applies,
-    with the same bucketed prefix-sum swap at extreme customer counts."""
+    rank runs over one row per customer — unbounded at scale, so it is
+    global_order_rank (range-bucketed), not a single-partition window."""
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = spend.select(
-        "cents",
-        F.row_number().over(w).alias("i"),
-    )
+    # global rank without the one-task total order (one row per customer —
+    # unbounded): the house range-bucketed rank, ordered by the same
+    # (cents, custkey) tie-broken total order
+    from sqlserver_cdc_to_kafka_spark.operators.merge import global_order_rank
+
+    ranked = global_order_rank(
+        spend.withColumn("__ord", F.struct(F.col("cents"), F.col("o_custkey"))),
+        "__ord",
+        numeric_col="cents",
+    ).select("cents", F.col("global_rank").alias("i"))
     dec = "decimal(19,0)"
     m = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
@@ -5800,9 +5832,9 @@ def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     prioritization classic (count how few parts deserve most of the
     attention).  Class boundaries are integer cross-products (cum·100 vs
     total·80/95, no float shares); revenue first collapses to one row per
-    part, and the cumulative window's total order carries the
-    deciles/Gini caveat with the same bucketed-prefix-sum swap at
-    extreme part counts."""
+    part — still unbounded at scale, so the cumulative is
+    global_prefix_sum (range-bucketed) and the grand total a broadcast
+    scalar, not single-partition windows."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -5813,15 +5845,21 @@ def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    wcum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wtot = Window.partitionBy()
-    ranked = rev.select(
+    # one row per part is still ~1e9 rows at 100 TB: the cumulative runs
+    # through global_prefix_sum (range-bucketed, DESC via negation) and
+    # the grand total through a broadcast scalar — the previous
+    # Window.orderBy cumsum AND the empty-partition total window were
+    # both single-partition exchanges
+    from sqlserver_cdc_to_kafka_spark.operators.merge import global_prefix_sum
+
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    ranked = global_prefix_sum(
+        rev,
+        [(-F.col("cents")).alias("o1"), F.col("l_partkey")],
+        (-F.col("cents")).cast("double"),
         "cents",
-        F.sum("cents").over(wcum).alias("cum"),
-        F.sum("cents").over(wtot).alias("total"),
-    )
+        "cum",
+    ).crossJoin(F.broadcast(tot))
     classed = ranked.select(
         "cents",
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
