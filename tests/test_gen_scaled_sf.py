@@ -310,3 +310,48 @@ def test_skew_boilerplate_is_cross_replica_identical_and_consistent(skewed):
         """
     ).fetchone()[0]
     assert greek > 0, "--skew must not disable --perturb's translation"
+
+
+def test_multi_file_output_splits_big_tables_and_preserves_counts(tmp_path):
+    """--files N writes big non-clustered tables as DIRECTORIES of >1
+    parquet file (scan parallelism at sf10 was capped at the single
+    file's 4-5 row groups — the r10 straggler-probe poison), with row
+    counts and FK structure identical to single-file output."""
+    import os
+
+    out = str(tmp_path / "multi")
+    subprocess.run(
+        [sys.executable, TOOL, "--src", SRC, "--out", out, "--factor", "3",
+         "--files", "4", "--min-file-bytes", "1"],
+        check=True, capture_output=True, text=True,
+    )
+    con = duckdb.connect()
+    # lineitem is big + non-clustered -> directory with multiple files
+    li = os.path.join(out, "lineitem.parquet")
+    assert os.path.isdir(li), "big table should be a multi-file directory"
+    assert len(os.listdir(li)) > 1
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{li}/*.parquet')").fetchone()[0]
+    n_src = con.execute(f"SELECT count(*) FROM read_parquet('{SRC}/lineitem.parquet')").fetchone()[0]
+    assert n == 3 * n_src
+    # events is CLUSTERED (ts order) -> stays a single sorted file
+    assert os.path.isfile(os.path.join(out, "events.parquet"))
+    # FKs stay intra-replica across the file split: every order key the
+    # lineitems reference exists in the replicated orders table
+    orders = os.path.join(out, "orders.parquet")
+    orc = f"read_parquet('{orders}/*.parquet')" if os.path.isdir(orders) else f"read_parquet('{orders}')"
+    dangling = con.execute(
+        f"SELECT count(*) FROM read_parquet('{li}/*.parquet') l "
+        f"LEFT JOIN {orc} o ON l.l_orderkey = o.o_orderkey "
+        f"WHERE o.o_orderkey IS NULL"
+    ).fetchone()[0]
+    assert dangling == 0
+
+
+def test_skew_alpha_at_or_below_one_rejected(tmp_path):
+    r = subprocess.run(
+        [sys.executable, TOOL, "--src", SRC, "--out", str(tmp_path / "x"),
+         "--factor", "2", "--skew", "--skew-alpha", "1.0"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    assert "skew-alpha" in r.stderr

@@ -49,9 +49,12 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con.execute("SET memory_limit = '48GB'")
     con.execute("SET temp_directory = '.oracle_tmp'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # multi-file tables (gen_scaled_sf --files) are directories; DuckDB
+        # needs the glob while Spark reads the directory path natively
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

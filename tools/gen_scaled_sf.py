@@ -151,6 +151,12 @@ BOILERPLATE = (
 _BOILER_MOD = 4  # hash(doc_id) % 4 == 0 -> boilerplated (~25%)
 
 
+def _rp(path: str) -> str:
+    """read_parquet-able path: multi-file tables are DIRECTORIES (the
+    --files output shape), which DuckDB reads only via a glob."""
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 def _zipf_key_expr(
     id_seed: str, src_card: int, factor: int, alpha: float
 ) -> str:
@@ -231,6 +237,23 @@ def main() -> None:
         default=1.1,
         help="Zipf exponent for --skew (default 1.1)",
     )
+    p.add_argument(
+        "--files",
+        type=int,
+        default=32,
+        help="target parquet files per BIG table (directory output via "
+        "FILE_SIZE_BYTES). A single file caps Spark's scan parallelism at "
+        "its row-group count (4-5 for documents at sf10 — measured: it "
+        "poisons straggler ratios because the probe's denominator is "
+        "starved tasks, not slow ones). 0/1 = legacy single file.",
+    )
+    p.add_argument(
+        "--min-file-bytes",
+        type=int,
+        default=4 * 1024 * 1024,
+        help="never split below this per-file size (small tables stay "
+        "single-file regardless of --files)",
+    )
     args = p.parse_args()
     # the bounded-Pareto inverse CDF in _zipf_key_expr divides by (1-alpha):
     # alpha == 1.0 is a ZeroDivisionError while BUILDING the SQL, and
@@ -255,7 +278,7 @@ def main() -> None:
     con.execute("SET preserve_insertion_order = false")
     emb_dim = con.execute(
         f"SELECT max(len(embedding)) FROM "
-        f"read_parquet('{os.path.join(args.src, 'embeddings.parquet')}')"
+        f"read_parquet('{_rp(os.path.join(args.src, 'embeddings.parquet'))}')"
     ).fetchone()[0]
     user_card = cust_card = 0
     if args.skew:
@@ -266,13 +289,13 @@ def main() -> None:
         user_card = (
             con.execute(
                 f"SELECT max(user_id) + 1 FROM "
-                f"read_parquet('{os.path.join(args.src, 'events.parquet')}')"
+                f"read_parquet('{_rp(os.path.join(args.src, 'events.parquet'))}')"
             ).fetchone()[0]
         )
         cust_card = (
             con.execute(
                 f"SELECT max(c_custkey) + 1 FROM "
-                f"read_parquet('{os.path.join(args.src, 'customer.parquet')}')"
+                f"read_parquet('{_rp(os.path.join(args.src, 'customer.parquet'))}')"
             ).fetchone()[0]
         )
     for table, cols in SHIFT.items():
@@ -280,7 +303,7 @@ def main() -> None:
         dst = os.path.join(args.out, f"{table}.parquet")
         for c in cols:  # collision guard (round-8 ADVICE)
             mx = con.execute(
-                f"SELECT max({c}) FROM read_parquet('{src}')"
+                f"SELECT max({c}) FROM read_parquet('{_rp(src)}')"
             ).fetchone()[0]
             if mx is not None and mx >= OFFSET:
                 raise SystemExit(
@@ -288,7 +311,7 @@ def main() -> None:
                     f"replica key ranges would collide — raise OFFSET"
                 )
         if not cols:
-            sql = f"SELECT * FROM read_parquet('{src}')"
+            sql = f"SELECT * FROM read_parquet('{_rp(src)}')"
         else:
             repl_parts = [f"{c} + r.i * {OFFSET} AS {c}" for c in cols]
             if args.perturb:
@@ -323,7 +346,7 @@ def main() -> None:
                 ]
             sql = (
                 f"SELECT t.* REPLACE ({', '.join(repl_parts)}) "
-                f"FROM read_parquet('{src}') t CROSS JOIN range({args.factor}) r(i)"
+                f"FROM read_parquet('{_rp(src)}') t CROSS JOIN range({args.factor}) r(i)"
             )
             if args.skew and table == "documents":
                 # outer wrapper: doc_id is already globally unique here;
@@ -342,9 +365,36 @@ def main() -> None:
             # tables — the factor-1000 lineitem OOM that motivated
             # streaming COPY stays on the streamed path
             sql += f" ORDER BY {CLUSTER[table]}"
-        con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
-        print(f"{table}: {n} rows -> {dst}")
+        # multi-file output for big non-clustered tables: the per-file
+        # target is source-size x factor / --files, floored so tiny tables
+        # stay single-file; clustered tables stay single-file to keep the
+        # sort's row-group locality
+        per_file = 0
+        if args.files > 1 and table not in CLUSTER:
+            est = os.path.getsize(src) * max(args.factor, 1)
+            per_file = est // args.files
+        if per_file >= args.min_file_bytes:
+            # FILE_SIZE_BYTES only rolls files at ROW GROUP boundaries, so
+            # the group size must be a fraction of the per-file row target
+            # or small tables land in one giant group = one file anyway
+            rows_total = con.execute(
+                f"SELECT count(*) FROM read_parquet('{_rp(src)}')"
+            ).fetchone()[0] * max(args.factor, 1)
+            rg = max(min(rows_total // args.files // 4, 122_880), 2_048)
+            con.execute(
+                f"COPY ({sql}) TO '{dst}' "
+                f"(FORMAT PARQUET, FILE_SIZE_BYTES {per_file}, "
+                f"ROW_GROUP_SIZE {rg})"
+            )
+            read_back = f"{dst}/*.parquet"
+        else:
+            con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+            read_back = dst
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{read_back}')"
+        ).fetchone()[0]
+        nf = len(os.listdir(dst)) if os.path.isdir(dst) else 1
+        print(f"{table}: {n} rows -> {dst} ({nf} file{'s' if nf != 1 else ''})")
 
 
 if __name__ == "__main__":

@@ -70,6 +70,94 @@ def source_flags(fn) -> list[str]:
     return flags
 
 
+_TREE_LINE = re.compile(r"^[\s:+\-]*(?:\*\s*)?(\w[\w ]*?)\s+\((\d+)\)\s*$")
+# block-local: an Exchange detail block is exactly header + Input + Arguments;
+# a DOTALL .*? here would skip past this block's own Arguments line and bind
+# the id to a LATER exchange's SinglePartition (measured false positive)
+_SP_EXCHANGE = re.compile(
+    r"^\((\d+)\) Exchange\s*\nInput[^\n]*\nArguments: SinglePartition", re.M
+)
+# ancestors that legitimately reduce data before/at a single-partition
+# exchange: global aggregates see one row per map task; limits are bounded
+# by their literal
+_BENIGN_ANCESTORS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "GlobalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+)
+# operators that pass unbounded data through unchanged — keep walking up
+_PASSTHROUGH_ANCESTORS = ("Sort", "Project", "Filter", "ColumnarToRow")
+
+
+def single_partition_window_count(plan: str) -> int:
+    """Count Exchange SinglePartition nodes that feed a WINDOW (directly or
+    through sort/project passthroughs) — the plan shape where EVERY row of
+    an unbounded relation funnels through ONE task (a no-partition
+    ``Window.orderBy``).  Global-aggregate and limit single-partition
+    exchanges are benign (their input is already reduced map-side) and are
+    not counted; an UNKNOWN ancestor counts, conservatively, so new plan
+    shapes surface as flags instead of slipping past the audit."""
+    sp_ids = {m.group(1) for m in _SP_EXCHANGE.finditer(plan)}
+    if not sp_ids:
+        return 0
+    # (depth, name, id) for every operator line of every plan/subquery tree
+    tree: list[tuple[int, str, str]] = []
+    for line in plan.splitlines():
+        m = _TREE_LINE.match(line)
+        if m:
+            tree.append((line.index(m.group(1)), m.group(1).strip(), m.group(2)))
+    n = 0
+    for i, (depth, name, nid) in enumerate(tree):
+        if nid not in sp_ids or name != "Exchange":
+            continue
+        cur = depth
+        for j in range(i - 1, -1, -1):
+            d, nm, _ = tree[j]
+            if d >= cur:
+                continue
+            cur = d
+            if nm.startswith("Window"):  # Window / WindowGroupLimit
+                n += 1
+                break
+            if nm in _BENIGN_ANCESTORS:
+                break
+            if nm in _PASSTHROUGH_ANCESTORS:
+                continue
+            n += 1  # unknown consumer of a single-partition exchange
+            break
+    return n
+
+
+# Queries whose physical plan may legitimately contain a single-partition
+# window exchange because the windowed relation is BOUNDED BY CONTRACT —
+# a constant or slowly-growing domain, not data volume.  Adjudicated one
+# by one in round 11 (the last unaudited plan-shape class); any query with
+# winSP > 0 not in this dict is a FLAG and the scan exits non-zero.
+SINGLEPART_BY_CONTRACT: dict[str, str] = {
+    "dedup_threshold_sweep": (
+        "cumulative window over the Jaccard-decile band histogram — the "
+        "windowed relation is <= 11 rows (bands 0..10) at ANY data size"
+    ),
+    "events_session_depth_histogram": (
+        "cumulative-share window over the per-depth session histogram — "
+        "bounded by the maximum observed session depth (~1e3 for a "
+        "10-minute gap rule), not by event volume"
+    ),
+    "olap_order_backlog": (
+        "running balance over per-DAY open/close deltas — the windowed "
+        "relation is one row per calendar day (~1e4 rows over three "
+        "decades), aggregated before the window"
+    ),
+    "pipeline_mixture_budget": (
+        "greedy prefix-sum over one row per corpus SOURCE (a handful; "
+        "grows with catalog curation, not data volume)"
+    ),
+}
+
+
 # Queries whose physical plan may legitimately contain a CartesianProduct,
 # name -> justification.  MEASURED EMPTY: the full-registry scan found zero
 # CartesianProduct nodes — even the quadratic-by-contract baselines
@@ -96,11 +184,12 @@ def scan_all(spark, registry, names, args) -> int:
         "Arrow-batched Python stages, plus the source-level scans",
         "(complete-mode sinks, row-at-a-time loops).",
         "",
-        "| query | cart | bcast | smj | shuffle | pyArrow | flags |",
-        "|---|---|---|---|---|---|---|",
+        "| query | cart | bcast | smj | shuffle | winSP | pyArrow | flags |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     n_flags = 0
     cart_seen: dict[str, int] = {}
+    winsp_seen: dict[str, int] = {}
     for name in names:
         q = registry[name]
         try:
@@ -111,7 +200,7 @@ def scan_all(spark, registry, names, args) -> int:
                 )
             )
         except Exception as exc:  # noqa: BLE001 — scan must report, not die
-            lines.append(f"| {name} | - | - | - | - | - | ERROR: {exc} |")
+            lines.append(f"| {name} | - | - | - | - | - | - | ERROR: {exc} |")
             n_flags += 1
             print(f"{name}: ERROR {exc}")
             continue
@@ -122,16 +211,30 @@ def scan_all(spark, registry, names, args) -> int:
         pya = len(
             re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas", plan)
         )
+        winsp = single_partition_window_count(plan)
         flags = source_flags(q.fn)
         if cart:
             cart_seen[name] = cart
             if name not in CARTESIAN_BY_CONTRACT:
                 flags.append("FLAG: undocumented CartesianProduct")
+        if winsp:
+            winsp_seen[name] = winsp
+            if name not in SINGLEPART_BY_CONTRACT:
+                flags.append("FLAG: undocumented single-partition window")
         n_flags += len(flags)
         lines.append(
-            f"| {name} | {cart} | {bcast} | {smj} | {shuf} | {pya} | "
+            f"| {name} | {cart} | {bcast} | {smj} | {shuf} | {winsp} | {pya} | "
             f"{'; '.join(flags) if flags else ''} |"
         )
+    lines += ["", "## Single-partition windows by contract", ""]
+    if SINGLEPART_BY_CONTRACT:
+        for name, why in sorted(SINGLEPART_BY_CONTRACT.items()):
+            hit = (
+                f"×{winsp_seen[name]}" if name in winsp_seen else "not present in plan"
+            )
+            lines.append(f"- `{name}` ({hit}): {why}")
+    else:
+        lines.append("(none)")
     lines += ["", "## Cartesians by contract", ""]
     if CARTESIAN_BY_CONTRACT:
         for name, why in sorted(CARTESIAN_BY_CONTRACT.items()):
