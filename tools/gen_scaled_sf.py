@@ -250,9 +250,13 @@ def main() -> None:
     p.add_argument(
         "--min-file-bytes",
         type=int,
-        default=4 * 1024 * 1024,
+        default=1024 * 1024,
         help="never split below this per-file size (small tables stay "
-        "single-file regardless of --files)",
+        "single-file regardless of --files). 1 MiB default: documents at "
+        "sf10 is only ~1.9 MiB/file compressed yet its single-file form "
+        "has 4-5 row groups = 4-5 scan tasks on 32 slots (the r10 probe "
+        "poison) — the floor exists for region/nation-sized dimensions, "
+        "not for anything a probe scans",
     )
     args = p.parse_args()
     # the bounded-Pareto inverse CDF in _zipf_key_expr divides by (1-alpha):
