@@ -105,6 +105,7 @@ BROADCAST_ALLOWED = {
     ("queries/pipeline6.py", "q"),  # recall-audit query sample: ≤1000 rows
     # by predicate contract (vec_id % 10 == 0 AND vec_id < 10000)
     ("queries/pipeline6.py", "sp"),  # scalar aggregate (1 row: fold spread)
+    ("operators/merge.py", "tot"),  # scalar aggregate (1 row: ntile row count)
 }
 
 
