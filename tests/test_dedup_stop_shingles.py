@@ -156,3 +156,62 @@ def test_simhash_width_guard_and_wide_fingerprints(spark):
         for r in simhash_hamming_pairs(docs, "doc_id", bits=60, n_bands=4).collect()
     }
     assert (0, 1) in pairs  # hamming 0 -> always a candidate (pigeonhole)
+
+
+def test_decontamination_cap_same_discipline(spark):
+    """cross_split_contamination carries the r11 stop-shingle cap: shingles
+    in more than max_doc_freq TRAIN docs are boilerplate and contribute
+    neither overlap counts nor train-doc counts; organic contamination
+    survives; a cap nothing exceeds is a bit-exact no-op."""
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
+        cross_split_contamination,
+    )
+
+    rows = []
+    # train docs 0..27: doc 0's organic text is the contamination source,
+    # the rest unique; all carry the boilerplate suffix (train df = 28)
+    for i in range(28):
+        organic = _DUP_TEXT if i == 0 else " ".join(
+            f"w{i}x{j}" for j in range(12)
+        )
+        rows.append((i, organic + " " + _BOILER, "train"))
+    # eval doc 28 repeats doc 0's full text (genuine contamination);
+    # eval doc 29 shares ONLY the boilerplate suffix
+    rows.append((28, _DUP_TEXT + " " + _BOILER, "eval"))
+    rows.append((29, " ".join(f"e29y{j}" for j in range(12)) + " " + _BOILER, "eval"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, split string")
+
+    capped = {
+        r.doc_id: r
+        for r in cross_split_contamination(
+            docs, "doc_id", "text", "split", k=4, max_doc_freq=20
+        ).collect()
+    }
+    # 24 words -> 21 distinct 4-grams: 9 organic + 3 seam + 9 boilerplate;
+    # the boilerplate 4-grams (train df 28 > 20) are dropped, so doc 28
+    # keeps its 12 organic+seam overlaps, all against train doc 0 alone
+    assert capped[28].n_overlap_shingles == 12
+    assert capped[28].n_train_docs == 1
+    # doc 29's only overlap was boilerplate -> absent from the report
+    assert 29 not in capped
+
+    uncapped = {
+        r.doc_id: r
+        for r in cross_split_contamination(
+            docs, "doc_id", "text", "split", k=4
+        ).collect()
+    }
+    # uncapped, boilerplate drowns the report: doc 29 "collides" with every
+    # train doc - the false-contamination noise the cap removes
+    assert uncapped[29].n_overlap_shingles == 9
+    assert uncapped[29].n_train_docs == 28
+    assert uncapped[28].n_overlap_shingles == 21
+
+    # a cap no shingle exceeds is a bit-exact no-op
+    noop = {
+        r.doc_id: tuple(r)
+        for r in cross_split_contamination(
+            docs, "doc_id", "text", "split", k=4, max_doc_freq=1000
+        ).collect()
+    }
+    assert noop == {r: tuple(v) for r, v in uncapped.items()}
