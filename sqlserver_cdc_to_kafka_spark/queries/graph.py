@@ -98,6 +98,16 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Caller-managed cache (the documented lazy-return persist pattern, same
+    # as cdc.py / similarity.py): the function returns a LAZY plan whose
+    # every iteration reads `edges`, so an in-function try/finally unpersist
+    # fires BEFORE any job runs and the cache never exists during execution
+    # (measured: getPersistentRDDs is empty when the action starts — the r10
+    # audit mislabeled this site as a working release). Without the live
+    # cache each of the 2 iterations plus the degree pass recomputes the
+    # join+distinct edge derivation, tripling the dominant subtree's memory
+    # pressure (the flaky 8 g heap death at sf10). Release is the session
+    # LRU / the bench harness's clearCache between reps.
     edges = (
         pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
         .unionByName(
@@ -105,40 +115,37 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    try:
-        # deg doubles as the node base (every node appears as a src of the
-        # undirected edge list), and the rank vector CARRIES outdeg — one
-        # join per iteration against edges instead of separate pr/deg/nodes
-        # joins (3→2 per round, measured on the sf0.1 bench)
-        deg = edges.groupBy(F.col("src").alias("node")).agg(
-            F.count("*").alias("outdeg")
+    # deg doubles as the node base (every node appears as a src of the
+    # undirected edge list), and the rank vector CARRIES outdeg — one
+    # join per iteration against edges instead of separate pr/deg/nodes
+    # joins (3→2 per round, measured on the sf0.1 bench)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    pr = deg.withColumn("pr", F.lit(_MASS).cast("bigint"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .groupBy(F.col("dst").alias("node"))
+            # true integer division (`div`), not a double-division cast:
+            # at outdeg > ~5e5 the float quotient can round across an
+            # integer boundary and diverge from the oracle's `//`
+            .agg(F.sum(F.expr("pr div outdeg")).alias("inmass"))
         )
-        pr = deg.withColumn("pr", F.lit(_MASS).cast("bigint"))
-        for _ in range(_ITERS):
-            contrib = (
-                edges.join(pr, edges.src == pr.node)
-                .groupBy(F.col("dst").alias("node"))
-                # true integer division (`div`), not a double-division cast:
-                # at outdeg > ~5e5 the float quotient can round across an
-                # integer boundary and diverge from the oracle's `//`
-                .agg(F.sum(F.expr("pr div outdeg")).alias("inmass"))
-            )
-            pr = deg.join(contrib, "node", "left").select(
-                "node",
-                "outdeg",
-                (
-                    F.lit(_MASS * (_D_DEN - _D_NUM) // _D_DEN)
-                    + F.expr(
-                        f"({_D_NUM} * coalesce(inmass, cast(0 as bigint))) div {_D_DEN}"
-                    )
-                ).alias("pr"),
-            )
-        return pr.select(
-            F.concat(
-                F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
-                F.expr("node div 2").cast("string"),
-            ).alias("node"),
-            F.col("pr").alias("pr_mass"),
+        pr = deg.join(contrib, "node", "left").select(
+            "node",
+            "outdeg",
+            (
+                F.lit(_MASS * (_D_DEN - _D_NUM) // _D_DEN)
+                + F.expr(
+                    f"({_D_NUM} * coalesce(inmass, cast(0 as bigint))) div {_D_DEN}"
+                )
+            ).alias("pr"),
         )
-    finally:
-        edges.unpersist()
+    return pr.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.expr("node div 2").cast("string"),
+        ).alias("node"),
+        F.col("pr").alias("pr_mass"),
+    )

@@ -49,6 +49,11 @@ spark.range(2).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
 fn = load_all()[name].fn
 best = None
 for _ in range(runs):
+    # same honesty rule as bench.py: queries that persist() an intermediate
+    # (caller-managed lazy-return caches, e.g. pagerank's edge list) must
+    # not let run 2 silently reuse run 1's blocks - the warm "best" would
+    # measure the cache, not the query
+    spark.catalog.clearCache()
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
