@@ -317,6 +317,20 @@ def cross_split_contamination(
         # collect_list+explode: measured 45.1 s vs 26 s at uniform sf10.
         # The groupBy reuses the semi join's hash partitioning on shingle,
         # so the cap adds one shuffle of the train index, not two.
+        #
+        # The r11 advisory suggested a count-based cap (groupBy.count →
+        # filter → leftsemi) so an ultra-hot shingle never materializes a
+        # single-task doc array.  Measured (r12, isolated best-of-2 at
+        # sf10): count over the full index 31.1 s; count over the semi-join
+        # survivors 27.1 s (the survivor subtree re-tokenizes the corpus
+        # once per consumer); persist(survivors)+count 16.4 s uniform but
+        # 30.1 s SKEWED (the cache materializes every hot-shingle row the
+        # collect_list form holds only transiently) — vs 13.4 s uniform /
+        # 14.7 s skewed for this form.  The one-pass collect_list wins on
+        # both axes; its per-group array is bounded by the hottest
+        # EVAL-PRESENT shingle's train df (~119k rows ≈ 1 MB at skewed
+        # sf10) and becomes the cheaper trade only if a future SF pushes
+        # that group past task memory.
         train = (
             train.join(ev.select("shingle").distinct(), "shingle", "leftsemi")
             .groupBy("shingle")

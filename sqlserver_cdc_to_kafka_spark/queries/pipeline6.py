@@ -664,6 +664,9 @@ def q_threshold_sweep(
     hist = banded.groupBy("band").agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
+    # no-partition window, bounded by contract: the windowed relation is the
+    # Jaccard-decile band histogram — <= 11 rows at ANY data size (the
+    # runtime "WindowExec: No Partition Defined" warning is benign here)
     w = (
         Window.orderBy(F.col("band").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -719,7 +722,9 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # distributed top-10 first (TakeOrderedAndProject), THEN rank the 10
     # surviving rows — a global rank window over the full key-frequency
-    # table would single-partition |keys| rows at scale
+    # table would single-partition |keys| rows at scale; the no-partition
+    # window below sees <= 10 rows by contract, so its runtime "WindowExec:
+    # No Partition Defined" warning is benign
     top10 = freq.orderBy(F.col("n").desc(), "user_id").limit(10)
     ranked = top10.withColumn(
         "rank",
@@ -1285,6 +1290,9 @@ def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("closed").cast("bigint").alias("n_closed"),
         )
     )
+    # no-partition window, bounded by contract: one row per calendar DAY
+    # (~1e4 over three decades), aggregated before the window — the runtime
+    # "WindowExec: No Partition Defined" warning is benign here
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1684,6 +1692,10 @@ def q_vocab_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through one task (Heaps-bounded, but ~1e9 words at 100 TB of text —
     # the r11 single-partition-window audit's worst offender)
     top_k = freq.orderBy(F.col("n").desc(), "w").limit(max(_VOCAB_SWEEP))
+    # the ~13 runtime "WindowExec: No Partition Defined" warnings in a full
+    # oracle sweep fire from HERE and are benign: the windowed relation is
+    # pre-limited to max(_VOCAB_SWEEP) rows, so PLANSCAN's winSP=0 is
+    # correct — no Exchange SinglePartition of unbounded data feeds these
     wrank = Window.orderBy(F.col("n").desc(), "w")
     ranked = top_k.select(
         "n",
@@ -2657,6 +2669,9 @@ def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = src.agg(
         F.expr("cast(sum(tokens) div 2 as bigint)").alias("budget")
     )
+    # no-partition window, bounded by contract: one row per corpus SOURCE
+    # (grows with catalog curation, not data volume) — the runtime
+    # "WindowExec: No Partition Defined" warning is benign here
     wprev = (
         Window.orderBy(F.col("avg_quality_x100").desc(), "source")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -5675,6 +5690,10 @@ def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sessions")
     )
     tot = h.agg(F.sum("n_sessions").cast("bigint").alias("total"))
+    # no-partition window (this spec and the SQL-string twin below), bounded
+    # by contract: one row per distinct session DEPTH (~1e3 for the
+    # 10-minute gap rule), aggregated before the window — the runtime
+    # "WindowExec: No Partition Defined" warning is benign here
     wcum = Window.orderBy("depth").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

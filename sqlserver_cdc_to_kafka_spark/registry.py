@@ -50,23 +50,15 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # witness for a query whose semantics just changed).  Unknown names raise:
 # a typo here must not silently drop a query out of the window.
 #
-# ROUND 11 (round-10 VERDICT task 2): pin the six dedup queries whose
-# round-10 stop-shingle caps / width changes altered BOTH query and oracle
-# AFTER their last driver witness (r6–r9).  All six are green in the r10
-# final-tree local sweeps and the judge's own oracle recheck, but the
-# driver's witness must postdate the semantic change.  Clear these pins in
-# round 12 so rotation resumes on the r5-aged tail.
+# ROUND 12 (round-11 VERDICT tasks 2+3): the seven r11 pins are cleared —
+# all seven got their green driver witness in CORRECTNESS_r11, so rotation
+# resumes on the r6-aged tail.  One new pin: graph_pagerank_bipartite's
+# query function changed at the r11 end-of-round snapshot (the persist
+# restructure in queries/graph.py — semantics-neutral, judge-rechecked
+# green) but its last DRIVER witness is r6, the oldest of any changed
+# query.  Clear this pin in round 13.
 _DRIVER_PRIORITY: list[str] = [
-    "dedup_containment_pairs",
-    "dedup_edit_distance_verify",
-    "dedup_hybrid_consensus",
-    "dedup_threshold_sweep",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    # r11 skewed-sf1 sweep: decontamination had the same uncapped
-    # hot-shingle join as the r10 dedup kills; cap + oracle changed, so its
-    # driver witness must postdate the change (same rule as the six above).
-    "pipeline_decontaminate_eval",
+    "graph_pagerank_bipartite",
 ]
 
 

@@ -1,0 +1,42 @@
+"""The caller-managed-persist set is pinned (round-11 VERDICT task 4).
+
+Every .persist()/.cache() call whose enclosing function never releases it
+relies on Spark's LRU storage eviction (plus the bench harness's clearCache
+between reps) for reclamation — acceptable per-site, but a slow leak in a
+long-lived shared session if the set grows silently.  This test pins the
+set: adding an unreleased persist without a written rationale in
+tools/plan_audit.py:UNRELEASED_PERSIST_BY_CONTRACT fails here (and FLAGs in
+PLANSCAN), as does leaving a stale rationale behind after a site is fixed.
+
+Pure AST — no SparkSession needed.
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from plan_audit import UNRELEASED_PERSIST_BY_CONTRACT, persist_audit  # noqa: E402
+
+
+def test_unreleased_persists_exactly_match_contract():
+    sites, flags = persist_audit()
+    assert flags == [], "\n".join(flags)
+    assert set(sites) == set(UNRELEASED_PERSIST_BY_CONTRACT)
+
+
+def test_pinned_totals():
+    # The numbers the round-11 verdict counted (8 named sites) plus the
+    # three the sweep found that it didn't enumerate (components ×2,
+    # split_corrupt, ivf_topk — see PLANSCAN).  If this moves, the PLANSCAN
+    # section and a rationale must move with it — that's the point.
+    sites, _ = persist_audit()
+    assert len(sites) == 11
+    assert sum(sites.values()) == 12  # connected_components holds two
+
+
+def test_every_contract_rationale_is_substantive():
+    for site, why in UNRELEASED_PERSIST_BY_CONTRACT.items():
+        assert len(why) > 40, f"{site}: rationale too thin to adjudicate"

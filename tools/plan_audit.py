@@ -14,6 +14,15 @@ query's implementation (the plan can't show these):
 - row-at-a-time Python loops (``iterrows``/``itertuples``/``collect()``
   iteration) inside the query body — Arrow-batched or JVM-side only.
 
+Plus a package-wide PERSIST AUDIT (round-11 VERDICT task 4): every
+``.persist()``/``.cache()`` call site whose enclosing function contains no
+matching ``.unpersist()`` is "caller-managed" — the function returns a lazy
+plan that reads the cache, so an in-function release would fire before any
+job runs (measured: queries/graph.py round-11).  Each such site must carry a
+written rationale in UNRELEASED_PERSIST_BY_CONTRACT below; the count is
+pinned in PLANSCAN so growth is visible, and an unlisted site (or a stale
+allowlist entry) is a FLAG.
+
 Usage: python tools/plan_audit.py [--sf DIR] [name ...]   (writes PLANS.md)
 Exits non-zero if any FLAG fires on a bench query.
 """
@@ -168,6 +177,137 @@ SINGLEPART_BY_CONTRACT: dict[str, str] = {
 CARTESIAN_BY_CONTRACT: dict[str, str] = {}
 
 
+# Caller-managed persist sites: functions that .persist()/.cache() a frame
+# and intentionally do NOT release it, because the function returns a LAZY
+# plan that reads the cache — an in-function unpersist (even try/finally)
+# fires before any job runs, so the cache would never exist during execution
+# (measured at queries/graph.py in round 11; the r10 audit mislabeled that
+# site as a working release).  Reclamation is Spark's LRU storage eviction
+# plus the harness's clearCache between bench reps.  Keyed
+# "pkg-relative-path:function"; every unreleased site found by the AST scan
+# must appear here with a rationale, and every entry here must still exist
+# in the source — either mismatch is a FLAG and the scan exits non-zero, so
+# the set cannot grow or rot silently (round-11 VERDICT task 4).
+UNRELEASED_PERSIST_BY_CONTRACT: dict[str, str] = {
+    "operators/row_compare.py:mismatch_blocks": (
+        "the bounds collect plus BOTH global-rank passes of the returned "
+        "lazy plan read `diff`; cache must outlive the function"
+    ),
+    "pipeline/clustering.py:kmeans_fit": (
+        "every k-means round re-reads the feature frame; the returned "
+        "assignment plan still reads through the cache"
+    ),
+    "pipeline/components.py:connected_components": (
+        "adjacency + seed labels are re-read by every label-propagation "
+        "round; the returned converged plan reads their lineage"
+    ),
+    "pipeline/components.py:connected_components_star": (
+        "the vertex base is read by every convergence round and the final "
+        "left join; per-round edge caches ARE released in-loop (the +1 is "
+        "the seed), only the vertex cache is caller-managed"
+    ),
+    "pipeline/corpus_io.py:split_corrupt": (
+        "both returned (clean, corrupt) views re-read the materialized "
+        "parse — the documented _corrupt_record pattern requires it"
+    ),
+    "pipeline/similarity.py:cosine_threshold_pairs_lsh": (
+        "the LSH self-join consumes the band-signature frame twice; "
+        "without the cache the Arrow signature pass runs once per side"
+    ),
+    "pipeline/similarity.py:ivf_topk": (
+        "the centroid-assignment frame feeds BOTH the inverted lists and "
+        "the probe side of the returned top-k plan"
+    ),
+    "queries/cdc.py:_merged_with_rank": (
+        "the frontier collect plus the returned lazy rank plan both read "
+        "`merged`"
+    ),
+    "queries/graph.py:q_pagerank_bipartite": (
+        "every pagerank iteration plus the degree pass reads `edges`; "
+        "without the live cache the join+distinct edge derivation "
+        "recomputes per iteration (the flaky 8 g heap death at sf10)"
+    ),
+    "queries/pipeline3.py:incremental_dedup_status": (
+        "both the incoming and corpus sides of the returned status union "
+        "read the fingerprint/shingle base"
+    ),
+    "queries/pipeline4.py:q_corpus_build_funnel": (
+        "the five funnel stage counts share the dominant quality scan; "
+        "the returned one-job union is lazy by registry contract"
+    ),
+}
+
+
+def persist_audit(pkg_root: str | None = None) -> tuple[dict[str, int], list[str]]:
+    """Package-wide AST scan: net .persist()/.cache() minus .unpersist()
+    calls per enclosing function.  A positive net is an unreleased
+    (caller-managed) persist site and must be adjudicated in
+    UNRELEASED_PERSIST_BY_CONTRACT; a contract entry whose site no longer
+    nets positive is stale.  Either mismatch returns a FLAG.  The net-count
+    heuristic assumes an unpersist in a function releases a frame persisted
+    in that same function (true of every site in this repo; a future
+    cross-function release would need a key-level rethink, not a silent
+    pass)."""
+    import ast
+
+    if pkg_root is None:
+        pkg_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "sqlserver_cdc_to_kafka_spark",
+        )
+    sites: dict[str, int] = {}
+    for root, _dirs, files in os.walk(pkg_root):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg_root).replace(os.sep, "/")
+            with open(path) as f:
+                tree = ast.parse(f.read())
+
+            class _V(ast.NodeVisitor):
+                def __init__(self) -> None:
+                    self.stack = ["<module>"]
+                    self.net: dict[str, int] = {}
+
+                def visit_FunctionDef(self, node):  # noqa: N802
+                    self.stack.append(node.name)
+                    self.generic_visit(node)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef  # noqa: N815
+
+                def visit_Call(self, node):  # noqa: N802
+                    f = node.func
+                    if isinstance(f, ast.Attribute) and f.attr in (
+                        "persist",
+                        "cache",
+                        "unpersist",
+                    ):
+                        d = -1 if f.attr == "unpersist" else 1
+                        k = self.stack[-1]
+                        self.net[k] = self.net.get(k, 0) + d
+                    self.generic_visit(node)
+
+            v = _V()
+            v.visit(tree)
+            for fn_name, net in v.net.items():
+                if net > 0:
+                    sites[f"{rel}:{fn_name}"] = net
+    flags: list[str] = []
+    for site in sorted(sites):
+        if site not in UNRELEASED_PERSIST_BY_CONTRACT:
+            flags.append(
+                f"FLAG: unreleased persist without rationale: {site} (×{sites[site]})"
+            )
+    for site in sorted(UNRELEASED_PERSIST_BY_CONTRACT):
+        if site not in sites:
+            flags.append(
+                f"FLAG: stale UNRELEASED_PERSIST_BY_CONTRACT entry (site gone): {site}"
+            )
+    return sites, flags
+
+
 def scan_all(spark, registry, names, args) -> int:
     """Registry-wide anti-pattern scan: one table row per query (no full
     plan dumps — 264 plans would be unreadable).  Flags a CartesianProduct
@@ -235,6 +375,27 @@ def scan_all(spark, registry, names, args) -> int:
             lines.append(f"- `{name}` ({hit}): {why}")
     else:
         lines.append("(none)")
+    psites, pflags = persist_audit()
+    n_flags += len(pflags)
+    lines += [
+        "",
+        "## Caller-managed persists (unreleased by design)",
+        "",
+        f"Package-wide AST audit (`tools/plan_audit.py persist_audit`): "
+        f"**{sum(psites.values())} unreleased persist/cache calls across "
+        f"{len(psites)} functions** — pinned; growth without a written "
+        "rationale in UNRELEASED_PERSIST_BY_CONTRACT is a FLAG. These are "
+        "the lazy-return sites where an in-function release would fire "
+        "before any job runs; reclamation is LRU eviction + the harness's "
+        "clearCache between bench reps.",
+        "",
+    ]
+    for site in sorted(psites):
+        why = UNRELEASED_PERSIST_BY_CONTRACT.get(site, "**UNADJUDICATED**")
+        lines.append(f"- `{site}` (×{psites[site]}): {why}")
+    for fl in pflags:
+        lines.append(f"- **{fl}**")
+        print(fl)
     lines += ["", "## Cartesians by contract", ""]
     if CARTESIAN_BY_CONTRACT:
         for name, why in sorted(CARTESIAN_BY_CONTRACT.items()):
