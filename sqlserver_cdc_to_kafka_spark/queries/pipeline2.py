@@ -278,7 +278,7 @@ tot AS (SELECT SUM(n_total) AS corpus_n, SUM(pow(n_total, {_MIX_ALPHA})) AS z
 w AS (SELECT source, n_total,
              pow(n_total, {_MIX_ALPHA}) / z AS weight,
              LEAST(n_total,
-                   CAST(FLOOR(corpus_n * {_MIX_BUDGET} * pow(n_total, {_MIX_ALPHA}) / z)
+                   CAST(FLOOR(ROUND(corpus_n * {_MIX_BUDGET} * pow(n_total, {_MIX_ALPHA}) / z, 6))
                         AS BIGINT)) AS n_target
       FROM counts, tot),
 t AS (SELECT source, n_total, weight, n_target,
@@ -317,11 +317,24 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("n_total").cast("double"), _MIX_ALPHA) / F.col("z"),
         )
         .withColumn(
+            # ROUND-before-FLOOR epsilon snap: z = SUM(pow(n, alpha)) is a
+            # FLOAT sum, so its last bits depend on partial-agg combine
+            # order (Spark task scheduling; DuckDB's own order).  With
+            # near-equal source counts, corpus_n * budget * weight lands
+            # ANALYTICALLY on an integer, and those order-dependent bits
+            # decide the floor — n_sampled flapped by 1-2 between
+            # otherwise-identical sf0.1 sweeps (caught by the r12
+            # end-of-round witness).  Snapping to 6 decimals first makes
+            # the floor order-independent: summation noise is ~1e-10
+            # absolute here, 5000x inside the 5e-7 snap window.  Mirrored
+            # in the DuckDB oracle above.
             "n_target",
             F.least(
                 F.col("n_total"),
                 F.floor(
-                    F.col("corpus_n") * _MIX_BUDGET * F.col("weight")
+                    F.round(
+                        F.col("corpus_n") * _MIX_BUDGET * F.col("weight"), 6
+                    )
                 ).cast("bigint"),
             ),
         )

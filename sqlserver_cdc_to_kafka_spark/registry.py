@@ -59,6 +59,10 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # query.  Clear this pin in round 13.
 _DRIVER_PRIORITY: list[str] = [
     "graph_pagerank_bipartite",
+    # r12 end-of-round witness caught a float-sum-order flake in its
+    # n_target floor (fixed with a ROUND-before-FLOOR snap, mirrored in
+    # the oracle); query+oracle changed after its last driver witness.
+    "pipeline_domain_mixture",
 ]
 
 
