@@ -50,20 +50,12 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # witness for a query whose semantics just changed).  Unknown names raise:
 # a typo here must not silently drop a query out of the window.
 #
-# ROUND 12 (round-11 VERDICT tasks 2+3): the seven r11 pins are cleared —
-# all seven got their green driver witness in CORRECTNESS_r11, so rotation
-# resumes on the r6-aged tail.  One new pin: graph_pagerank_bipartite's
-# query function changed at the r11 end-of-round snapshot (the persist
-# restructure in queries/graph.py — semantics-neutral, judge-rechecked
-# green) but its last DRIVER witness is r6, the oldest of any changed
-# query.  Clear this pin in round 13.
-_DRIVER_PRIORITY: list[str] = [
-    "graph_pagerank_bipartite",
-    # r12 end-of-round witness caught a float-sum-order flake in its
-    # n_target floor (fixed with a ROUND-before-FLOOR snap, mirrored in
-    # the oracle); query+oracle changed after its last driver witness.
-    "pipeline_domain_mixture",
-]
+# ROUND 13 (round-12 VERDICT task 2): both r12 pins are cleared —
+# graph_pagerank_bipartite and pipeline_domain_mixture got their green
+# driver witness in CORRECTNESS_r12 (rows/schema/hash all matched), so
+# rotation resumes on the r7-aged tail.  No query function or oracle
+# changed this round, so no new pin is needed.
+_DRIVER_PRIORITY: list[str] = []
 
 
 def _witness_ages() -> dict[str, tuple[int, int]]:

@@ -50,16 +50,20 @@ def test_equal_count_boundary_is_exact_and_order_independent(
 ):
     expected_target = int(
         N_SOURCES * DOCS_PER_SOURCE * _MIX_BUDGET / N_SOURCES
-    )  # 125; alpha cancels when counts are equal
-    assert abs(_MIX_ALPHA - 0.7) < 1e-12  # the cancellation needs any single alpha
+    )  # 125; with equal counts the weight is 1/N for ANY (finite) alpha
+    assert _MIX_ALPHA > 0
+    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
-    for sp in ("2", "7", "32"):
-        spark.conf.set("spark.sql.shuffle.partitions", sp)
-        rows = sorted(
-            (r["source"], r["n_target"], r["n_sampled"])
-            for r in q_domain_mixture(spark, boundary_corpus).collect()
-        )
-        assert all(t == expected_target for _, t, _ in rows), (sp, rows)
-        results[sp] = rows
+    try:
+        for sp in ("2", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            rows = sorted(
+                (r["source"], r["n_target"], r["n_sampled"])
+                for r in q_domain_mixture(spark, boundary_corpus).collect()
+            )
+            assert all(t == expected_target for _, t, _ in rows), (sp, rows)
+            results[sp] = rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
     # identical realized sample regardless of combine order
     assert results["2"] == results["7"] == results["32"]

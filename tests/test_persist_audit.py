@@ -18,7 +18,11 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
 
-from plan_audit import UNRELEASED_PERSIST_BY_CONTRACT, persist_audit  # noqa: E402
+from plan_audit import (  # noqa: E402
+    MIXED_PERSIST_RELEASE_BY_CONTRACT,
+    UNRELEASED_PERSIST_BY_CONTRACT,
+    persist_audit,
+)
 
 
 def test_unreleased_persists_exactly_match_contract():
@@ -40,3 +44,20 @@ def test_pinned_totals():
 def test_every_contract_rationale_is_substantive():
     for site, why in UNRELEASED_PERSIST_BY_CONTRACT.items():
         assert len(why) > 40, f"{site}: rationale too thin to adjudicate"
+    for site, why in MIXED_PERSIST_RELEASE_BY_CONTRACT.items():
+        assert len(why) > 40, f"{site}: rationale too thin to adjudicate"
+
+
+def test_mixed_persist_release_set_is_pinned():
+    # Functions with BOTH persist and unpersist calls could hide a
+    # persist-A/release-B mismatch behind a zero net (round-12 ADVICE);
+    # each is adjudicated by reading the release target.  persist_audit
+    # flags any drift (unlisted mixed fn / stale entry) — covered by
+    # test_unreleased_persists_exactly_match_contract's empty-flags assert —
+    # so here we just pin the set so additions are a conscious edit.
+    assert set(MIXED_PERSIST_RELEASE_BY_CONTRACT) == {
+        "pipeline/components.py:connected_components_star",
+        "queries/pipeline6.py:q_coreset_fps",
+        "streaming/change_feed.py:run_once",
+        "streaming/snapshot_stream.py:next_page",
+    }

@@ -238,16 +238,49 @@ UNRELEASED_PERSIST_BY_CONTRACT: dict[str, str] = {
 }
 
 
-def persist_audit(pkg_root: str | None = None) -> tuple[dict[str, int], list[str]]:
+# Functions whose persist AND unpersist counts are both nonzero.  The net
+# heuristic above assumes the in-function unpersist releases a frame
+# persisted in that same function — a persist of frame A plus an unpersist
+# of unrelated frame B would net to zero and hide an unreleased persist
+# (round-12 ADVICE).  Each mixed function is adjudicated here by reading
+# the release target; an unlisted mixed function is a FLAG.
+MIXED_PERSIST_RELEASE_BY_CONTRACT: dict[str, str] = {
+    "pipeline/components.py:connected_components_star": (
+        "the in-loop unpersist releases the SAME per-round edge frame `e` "
+        "after its convergence signature is collected; the surviving net "
+        "+1 is the vertex seed (see UNRELEASED entry)"
+    ),
+    "queries/pipeline6.py:q_coreset_fps": (
+        "try/finally releases the SAME persisted candidate frame `ev` "
+        "after the k-iteration argmax loop — every collect runs before "
+        "the release"
+    ),
+    "streaming/change_feed.py:run_once": (
+        "try/finally releases the SAME persisted micro-batch frame "
+        "`batch` after the sink write + progress computation drain it"
+    ),
+    "streaming/snapshot_stream.py:next_page": (
+        "the empty-page branch releases the SAME cached `page` frame; a "
+        "non-empty page is RETURNED cached and released by the caller "
+        "(streaming/pipeline_run.py:68, the audit's one net-negative "
+        "function) after the commit drains it"
+    ),
+}
+
+
+def persist_audit(
+    pkg_root: str | None = None,
+) -> tuple[dict[str, int], list[str]]:
     """Package-wide AST scan: net .persist()/.cache() minus .unpersist()
-    calls per enclosing function.  A positive net is an unreleased
+    calls per enclosing function (keyed by QUALIFIED name — the visitor
+    stack joined with '.', so same-named nested helpers in one file cannot
+    merge into one site; round-12 ADVICE).  A positive net is an unreleased
     (caller-managed) persist site and must be adjudicated in
     UNRELEASED_PERSIST_BY_CONTRACT; a contract entry whose site no longer
-    nets positive is stale.  Either mismatch returns a FLAG.  The net-count
-    heuristic assumes an unpersist in a function releases a frame persisted
-    in that same function (true of every site in this repo; a future
-    cross-function release would need a key-level rethink, not a silent
-    pass)."""
+    nets positive is stale.  Functions where persist and unpersist are BOTH
+    nonzero can hide a persist-A/release-B mismatch behind a zero net, so
+    each must be adjudicated in MIXED_PERSIST_RELEASE_BY_CONTRACT.  Any
+    mismatch returns a FLAG."""
     import ast
 
     if pkg_root is None:
@@ -256,6 +289,7 @@ def persist_audit(pkg_root: str | None = None) -> tuple[dict[str, int], list[str
             "sqlserver_cdc_to_kafka_spark",
         )
     sites: dict[str, int] = {}
+    mixed: dict[str, tuple[int, int]] = {}
     for root, _dirs, files in os.walk(pkg_root):
         for fname in sorted(files):
             if not fname.endswith(".py"):
@@ -267,8 +301,9 @@ def persist_audit(pkg_root: str | None = None) -> tuple[dict[str, int], list[str
 
             class _V(ast.NodeVisitor):
                 def __init__(self) -> None:
-                    self.stack = ["<module>"]
-                    self.net: dict[str, int] = {}
+                    self.stack: list[str] = []
+                    self.acquire: dict[str, int] = {}
+                    self.release: dict[str, int] = {}
 
                 def visit_FunctionDef(self, node):  # noqa: N802
                     self.stack.append(node.name)
@@ -284,16 +319,20 @@ def persist_audit(pkg_root: str | None = None) -> tuple[dict[str, int], list[str
                         "cache",
                         "unpersist",
                     ):
-                        d = -1 if f.attr == "unpersist" else 1
-                        k = self.stack[-1]
-                        self.net[k] = self.net.get(k, 0) + d
+                        k = ".".join(self.stack) or "<module>"
+                        d = self.release if f.attr == "unpersist" else self.acquire
+                        d[k] = d.get(k, 0) + 1
                     self.generic_visit(node)
 
             v = _V()
             v.visit(tree)
-            for fn_name, net in v.net.items():
-                if net > 0:
-                    sites[f"{rel}:{fn_name}"] = net
+            for fn_name in set(v.acquire) | set(v.release):
+                a = v.acquire.get(fn_name, 0)
+                r = v.release.get(fn_name, 0)
+                if a - r > 0:
+                    sites[f"{rel}:{fn_name}"] = a - r
+                if a and r:
+                    mixed[f"{rel}:{fn_name}"] = (a, r)
     flags: list[str] = []
     for site in sorted(sites):
         if site not in UNRELEASED_PERSIST_BY_CONTRACT:
@@ -304,6 +343,266 @@ def persist_audit(pkg_root: str | None = None) -> tuple[dict[str, int], list[str
         if site not in sites:
             flags.append(
                 f"FLAG: stale UNRELEASED_PERSIST_BY_CONTRACT entry (site gone): {site}"
+            )
+    for site in sorted(mixed):
+        if site not in MIXED_PERSIST_RELEASE_BY_CONTRACT:
+            flags.append(
+                f"FLAG: mixed persist/unpersist function without same-frame "
+                f"rationale: {site} {mixed[site]}"
+            )
+    for site in sorted(MIXED_PERSIST_RELEASE_BY_CONTRACT):
+        if site not in mixed:
+            flags.append(
+                f"FLAG: stale MIXED_PERSIST_RELEASE_BY_CONTRACT entry (site gone): {site}"
+            )
+    return sites, flags
+
+
+# Float-sum-boundary allowlist (round-12 VERDICT task 1).  The class: a
+# floor()/ceil()/int-cast whose input derives from an order-dependent FLOAT
+# AGGREGATE (sum/avg of doubles — partial-aggregation combine order moves
+# the low bits) without an intervening round() snap.  When the floored
+# value sits analytically on an integer, those bits decide the floor — the
+# r12 end-of-round witness caught pipeline_domain_mixture's n_target
+# flapping by 1-2 between identical sweeps (fixed: ROUND(x,6) before FLOOR,
+# mirrored in the oracle; queries/pipeline2.py:334).  The scan is a
+# conservative over-approximation (taint is per-function / per-statement,
+# not per-dataflow), so every member here carries a written rationale for
+# why ITS floor is order-independent; an unlisted member — or a stale
+# entry — is a FLAG, so the class cannot reopen silently.
+FLOAT_BOUNDARY_BY_CONTRACT: dict[str, str] = {
+    "queries/pipeline2.py:q_domain_mixture": (
+        "the remaining unrounded floor is `thresh` = floor(GRAIN * "
+        "n_target / n_total): both operands are exact integers (n_target "
+        "is itself the ROUND-snapped floor), the product stays far below "
+        "2^53, and IEEE division of exact integers is correctly rounded — "
+        "deterministic regardless of combine order; the float-sum taint "
+        "(z = SUM(pow(n,alpha))) only reaches this site through the "
+        "already-snapped n_target"
+    ),
+    "queries/pipeline3.py:q_embedding_quantize": (
+        "two floors in the residual expression quantize PER-ELEMENT "
+        "x/scale + 0.5 where scale = max|x|/127 — max is order-"
+        "independent, x is a raw column, no aggregate feeds the floor; "
+        "the tainting float aggregate (AVG(rel_err)) is DOWNSTREAM of the "
+        "floors and ROUND(,6)-snapped at exposure"
+    ),
+    "oracle:pipeline_domain_mixture": (
+        "SQL mirror of the q_domain_mixture thresh floor — exact-integer "
+        "operands, correctly-rounded division (see the Python entry)"
+    ),
+    "oracle:pipeline_embedding_quantize": (
+        "SQL mirror of the per-element quantizer floors — scale is "
+        "max-derived (order-independent), AVG is downstream and "
+        "ROUND-snapped (see the Python entry)"
+    ),
+}
+
+# Aggregates whose float result depends on combine order even when inputs
+# are "nice" (avg divides; stddev/var/corr accumulate float sums).
+_FLOAT_AGG_ALWAYS = {
+    "avg", "mean", "stddev", "stddev_pop", "stddev_samp",
+    "variance", "var_pop", "var_samp", "corr", "covar_pop", "covar_samp",
+}
+# sum() is order-dependent only over floats; these markers in its argument
+# subtree mean the summand is float-valued (integer sums are exact).
+_FLOATISH_FNS = {"pow", "sqrt", "exp", "log", "log2", "log10", "ln"}
+_INT_TYPES = {"int", "bigint", "long", "integer", "smallint", "tinyint", "short", "byte"}
+# textual (SQL / expr-string) float-aggregate taint: always-float aggs, or
+# sum over an explicitly float-producing head function
+_FLOAT_AGG_SQL = re.compile(
+    r"\b(avg|stddev\w*|var_pop|var_samp|variance|corr|covar\w*)\s*\("
+    r"|sum\s*\(\s*(pow|sqrt|exp|ln|log)\b",
+    re.I,
+)
+
+
+def _sql_balanced_arg(s: str, i: int) -> str:
+    """s[i] == '(': return the contents up to the matching close paren."""
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[i + 1 : j]
+    return s[i + 1 :]
+
+
+def _sql_boundary_sites(text: str) -> int:
+    """Count floor/ceil calls without a round() in their argument, plus
+    int-casts whose argument is float-producing (division / pow / sqrt)
+    with no round/floor/ceil snap, in an ALREADY-TAINTED statement."""
+    n = 0
+    for m in re.finditer(r"\b(floor|ceil)\s*\(", text):
+        if "round(" not in _sql_balanced_arg(text, m.end() - 1):
+            n += 1
+    for m in re.finditer(r"\bcast\s*\(", text):
+        arg = _sql_balanced_arg(text, m.end() - 1)
+        if (
+            re.search(r"\bas\s+(int|bigint|integer|long|smallint)\b", arg)
+            and not re.search(r"\b(round|floor|ceil)\s*\(", arg)
+            and re.search(r"/|\bpow\s*\(|\bsqrt\s*\(", arg)
+        ):
+            n += 1
+    return n
+
+
+def float_boundary_audit(pkg_root: str | None = None) -> tuple[dict[str, int], list[str]]:
+    """Static detector for the float-sum-boundary class (the flake the r12
+    witness caught dynamically).  Two scans, both conservative:
+
+    - Python AST, per function: if the function contains an order-dependent
+      float aggregate (always-float agg call, sum() with a float-valued
+      argument subtree, or a float-agg token in a body string literal),
+      then count (a) floor/ceil calls without round() in their argument
+      subtree, (b) int-casts of a float-producing expression with no
+      round/floor/ceil, and (c) floor/ceil/int-cast sites inside body
+      string literals (expr()/selectExpr() SQL) by the textual rule.
+      Decorator strings (the DuckDB oracles) and docstrings are excluded —
+      oracles are scanned separately below.
+
+    - Registry oracles, per statement: same textual rule over each
+      registered query's oracle SQL, keyed ``oracle:<query_name>``.
+
+    Taint is function/statement-granular, not dataflow-exact, so members
+    are expected — each needs a rationale in FLOAT_BOUNDARY_BY_CONTRACT
+    proving ITS floor order-independent (or a ROUND-before-FLOOR fix,
+    mirrored in the oracle).  Unlisted member or stale entry → FLAG."""
+    import ast
+
+    scan_oracles = pkg_root is None  # a custom root exercises the AST scan only
+    if pkg_root is None:
+        pkg_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "sqlserver_cdc_to_kafka_spark",
+        )
+
+    def _calls(node):
+        for n in ast.walk(node):
+            if isinstance(n, ast.Call):
+                f = n.func
+                name = (
+                    f.attr
+                    if isinstance(f, ast.Attribute)
+                    else (f.id if isinstance(f, ast.Name) else None)
+                )
+                if name:
+                    yield name, n
+
+    def _floatish(node) -> bool:
+        for n in ast.walk(node):
+            if isinstance(n, ast.Call):
+                f = n.func
+                name = (
+                    f.attr
+                    if isinstance(f, ast.Attribute)
+                    else (f.id if isinstance(f, ast.Name) else None)
+                )
+                if name in _FLOATISH_FNS:
+                    return True
+                if name == "cast" and any(
+                    isinstance(a, ast.Constant) and a.value in ("double", "float")
+                    for a in n.args
+                ):
+                    return True
+            if isinstance(n, ast.BinOp) and isinstance(n.op, ast.Div):
+                return True
+            if isinstance(n, ast.Constant) and isinstance(n.value, float):
+                return True
+        return False
+
+    def _has_call(node, names) -> bool:
+        return any(name in names for name, _ in _calls(node))
+
+    sites: dict[str, int] = {}
+    for root, _dirs, files in os.walk(pkg_root):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg_root).replace(os.sep, "/")
+            tree = ast.parse(open(path).read())
+            for node in ast.walk(tree):
+                if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    continue
+                # body-only strings: decorators hold the oracle (scanned via
+                # the registry), the docstring is prose
+                body = node.body
+                if (
+                    body
+                    and isinstance(body[0], ast.Expr)
+                    and isinstance(body[0].value, ast.Constant)
+                    and isinstance(body[0].value.value, str)
+                ):
+                    body = body[1:]
+                text = "\n".join(
+                    n.value.lower()
+                    for stmt in body
+                    for n in ast.walk(stmt)
+                    if isinstance(n, ast.Constant) and isinstance(n.value, str)
+                )
+                tainted = bool(_FLOAT_AGG_SQL.search(text))
+                if not tainted:
+                    for name, call in _calls(node):
+                        if name in _FLOAT_AGG_ALWAYS or (
+                            name == "sum" and call.args and _floatish(call.args[0])
+                        ):
+                            tainted = True
+                            break
+                if not tainted:
+                    continue
+                n_sites = _sql_boundary_sites(text)
+                for name, call in _calls(node):
+                    if name in ("floor", "ceil"):
+                        arg = call.args[0] if call.args else None
+                        if arg is not None and not _has_call(arg, {"round", "bround"}):
+                            n_sites += 1
+                    elif name == "cast" and isinstance(call.func, ast.Attribute):
+                        t = (
+                            call.args[0].value
+                            if call.args and isinstance(call.args[0], ast.Constant)
+                            else None
+                        )
+                        tgt = call.func.value
+                        if (
+                            isinstance(t, str)
+                            and t.lower() in _INT_TYPES
+                            and _floatish(tgt)
+                            and not _has_call(tgt, {"round", "bround", "floor", "ceil"})
+                        ):
+                            n_sites += 1
+                if n_sites:
+                    sites[f"{rel}:{node.name}"] = n_sites
+
+    if scan_oracles:
+        # registry oracle scan — imports the package, no SparkSession needed
+        from sqlserver_cdc_to_kafka_spark.registry import load_all
+
+        for name, q in sorted(load_all().items()):
+            sql = getattr(q, "oracle", None)
+            if not sql:
+                continue
+            low = sql.lower()
+            if not _FLOAT_AGG_SQL.search(low):
+                continue
+            n = _sql_boundary_sites(low)
+            if n:
+                sites[f"oracle:{name}"] = n
+
+    flags: list[str] = []
+    for site in sorted(sites):
+        if site not in FLOAT_BOUNDARY_BY_CONTRACT:
+            flags.append(
+                f"FLAG: unrounded floor/ceil/int-cast fed by a float aggregate "
+                f"without rationale: {site} (×{sites[site]}) — add "
+                f"ROUND-before-FLOOR (mirrored in the oracle) or adjudicate"
+            )
+    for site in sorted(FLOAT_BOUNDARY_BY_CONTRACT):
+        if site not in sites:
+            flags.append(
+                f"FLAG: stale FLOAT_BOUNDARY_BY_CONTRACT entry (site gone): {site}"
             )
     return sites, flags
 
@@ -393,7 +692,32 @@ def scan_all(spark, registry, names, args) -> int:
     for site in sorted(psites):
         why = UNRELEASED_PERSIST_BY_CONTRACT.get(site, "**UNADJUDICATED**")
         lines.append(f"- `{site}` (×{psites[site]}): {why}")
+    for site in sorted(MIXED_PERSIST_RELEASE_BY_CONTRACT):
+        lines.append(
+            f"- `{site}` (mixed persist+release, net counted above or zero): "
+            f"{MIXED_PERSIST_RELEASE_BY_CONTRACT[site]}"
+        )
     for fl in pflags:
+        lines.append(f"- **{fl}**")
+        print(fl)
+    fsites, fflags = float_boundary_audit()
+    n_flags += len(fflags)
+    lines += [
+        "",
+        "## Float-sum-boundary sites by contract",
+        "",
+        f"Static detector (`tools/plan_audit.py float_boundary_audit`) for "
+        f"the class the r12 witness caught dynamically — floor/ceil/int-cast "
+        f"fed by an order-dependent float aggregate without a ROUND snap: "
+        f"**{sum(fsites.values())} sites across {len(fsites)} "
+        f"functions/oracles**, each adjudicated below; a new member without "
+        "a rationale (or a ROUND fix) is a FLAG.",
+        "",
+    ]
+    for site in sorted(fsites):
+        why = FLOAT_BOUNDARY_BY_CONTRACT.get(site, "**UNADJUDICATED**")
+        lines.append(f"- `{site}` (×{fsites[site]}): {why}")
+    for fl in fflags:
         lines.append(f"- **{fl}**")
         print(fl)
     lines += ["", "## Cartesians by contract", ""]
