@@ -25,15 +25,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # both boot-to-boot CPU variance and ambient load AT BENCH TIME, so a
 # BENCH_r*.json adjudicates itself instead of needing an after-the-fact
 # BENCHNOTE/BENCHBAND archaeology session (the r11/r12 recurring dispute).
-# Pinned values: BENCH_r11_local.json — the last clean-boot clean-session
-# stamp (loadavg 0.29); plans unchanged since r5 (cdc_ordered_merge),
-# r10 (dedup_two_stage), r8 (val_topic_summary) per PLANSCAN row history.
-# Only meaningful at the default sf0.1 headline scale; at other SF dirs
-# the sentinel times scale with data and the factor is emitted as null.
+# Pinned values: BENCH_r13_local.json's host_sentinels — measured IN
+# SENTINEL POSITION (right after the two minimal warmups) on a clean
+# session at loadavg 0.57, so measured/pinned compares like-for-like
+# (round-13 ADVICE: the r11 pins came from the headline loop with the JVM
+# fully warm, conflating session warmth with host speed; factors from
+# rounds <=13 are not directly comparable).  Plans frozen since r5/r10/r8
+# per PLANSCAN row history.  Only meaningful at the default sf0.1 scale —
+# at other SF dirs the factor is emitted as null.
 _SENTINELS_SF01 = {
-    "cdc_ordered_merge": 2.328,
-    "dedup_two_stage": 1.962,
-    "val_topic_summary": 0.981,
+    "cdc_ordered_merge": 2.041,
+    "dedup_two_stage": 2.220,
+    "val_topic_summary": 1.025,
 }
 
 
@@ -86,7 +89,16 @@ def main() -> None:
             ratios = sorted(
                 host_sentinels[n] / _SENTINELS_SF01[n] for n in host_sentinels
             )
-            host_factor = round(ratios[len(ratios) // 2], 3)
+            # true median: with an even count (a sentinel failed), picking
+            # ratios[len//2] would take the UPPER middle — biased high
+            # exactly when the signal is thinnest (round-13 ADVICE)
+            mid = len(ratios) // 2
+            med = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
+            )
+            host_factor = round(med, 3)
             print(
                 f"# host_factor {host_factor} (sentinels {host_sentinels})",
                 file=sys.stderr,
@@ -152,7 +164,9 @@ def main() -> None:
         "host_factor": host_factor,
         "host_sentinels": host_sentinels or None,
         "host_sentinel_reference": (
-            "BENCH_r11_local.json in-session best-of-2 (clean boot, loadavg 0.29)"
+            "BENCH_r13_local.json host_sentinels (sentinel-position best-of-2, "
+            "clean session, loadavg 0.57) — position-symmetric since r14; "
+            "factors from rounds <=13 used r11 headline-loop pins"
             if host_factor is not None
             else None
         ),

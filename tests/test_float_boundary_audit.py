@@ -30,8 +30,14 @@ def test_members_exactly_match_contract_with_pinned_counts():
     assert flags == [], "\n".join(flags)
     # exact counts, not just membership: q_domain_mixture's one remaining
     # unrounded floor is the exact-integer `thresh`; q_embedding_quantize's
-    # two are the per-element x/scale quantizers (and their oracle mirrors)
+    # two are the per-element x/scale quantizers (and their oracle mirrors);
+    # the r14 double-column sum-taint widening (round-13 ADVICE) adds three
+    # members whose boundary sites are per-row epoch-bucket casts and whose
+    # tainting sums are DECIMAL (exact) — adjudicated in the contract
     assert sites == {
+        "queries/audit.py:q_metrics_rollup": 1,
+        "queries/behavior.py:q_gapfill_hourly": 1,
+        "queries/behavior.py:q_gapfill_locf": 1,
         "queries/pipeline2.py:q_domain_mixture": 1,
         "queries/pipeline3.py:q_embedding_quantize": 2,
         "oracle:pipeline_domain_mixture": 1,
@@ -72,3 +78,57 @@ def test_detector_would_have_caught_the_r12_bug():
         sites, flags = float_boundary_audit(pkg_root=d)
         assert sites == {"repro.py:pre_fix_mixture": 1}
         assert any("pre_fix_mixture" in fl for fl in flags)
+
+
+def test_detector_catches_bare_double_column_sum():
+    # Round-13 ADVICE false-negative: a float sum with NO float marker in
+    # the expression — sum over a base-schema DOUBLE column — must now
+    # taint, so a floor fed by it is flagged.
+    import tempfile
+    import textwrap
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "repro.py"), "w") as f:
+            f.write(
+                textwrap.dedent(
+                    """
+                    from pyspark.sql import functions as F
+
+                    def revenue_floor(orders):
+                        tot = orders.groupBy("o_custkey").agg(
+                            F.sum(F.col("o_totalprice")).alias("rev")
+                        )
+                        return tot.withColumn("tier", F.floor(F.col("rev")))
+                    """
+                )
+            )
+        sites, flags = float_boundary_audit(pkg_root=d)
+        assert sites == {"repro.py:revenue_floor": 1}
+        assert any("revenue_floor" in fl for fl in flags)
+
+
+def test_nested_defs_scan_under_their_own_scope():
+    # Round-13 ADVICE: a nested helper must not be scanned twice (own name
+    # + enclosing body) and its taint must not leak into the outer scope.
+    import tempfile
+    import textwrap
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "repro.py"), "w") as f:
+            f.write(
+                textwrap.dedent(
+                    """
+                    from pyspark.sql import functions as F
+
+                    def outer(df):
+                        def inner(g):
+                            z = g.agg(F.avg("x").alias("m"))
+                            return z.withColumn("b", F.floor(F.col("m")))
+                        # outer has a floor but NO float aggregate of its
+                        # own — inner's avg must not taint it
+                        return df.withColumn("k", F.floor(F.col("n")))
+                    """
+                )
+            )
+        sites, _flags = float_boundary_audit(pkg_root=d)
+        assert sites == {"repro.py:outer.inner": 1}

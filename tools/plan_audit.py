@@ -30,6 +30,7 @@ Exits non-zero if any FLAG fires on a bench query.
 from __future__ import annotations
 
 import argparse
+import ast
 import os
 import re
 import sys
@@ -281,13 +282,7 @@ def persist_audit(
     nonzero can hide a persist-A/release-B mismatch behind a zero net, so
     each must be adjudicated in MIXED_PERSIST_RELEASE_BY_CONTRACT.  Any
     mismatch returns a FLAG."""
-    import ast
-
-    if pkg_root is None:
-        pkg_root = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "sqlserver_cdc_to_kafka_spark",
-        )
+    pkg_root = pkg_root or _pkg_root_default()
     sites: dict[str, int] = {}
     mixed: dict[str, tuple[int, int]] = {}
     for root, _dirs, files in os.walk(pkg_root):
@@ -358,6 +353,73 @@ def persist_audit(
     return sites, flags
 
 
+def _iter_defs(tree):
+    """(qualified_name, node) for every def: a nested def is yielded under
+    its own dotted name and EXCLUDED from its parent's scan (_own_walk), so
+    no site double-counts and taint cannot leak scopes (round-13 ADVICE)."""
+
+    def rec(node, prefix):
+        for c in ast.iter_child_nodes(node):
+            if isinstance(c, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                yield prefix + c.name, c
+                yield from rec(c, prefix + c.name + ".")
+            else:
+                yield from rec(c, prefix)
+
+    yield from rec(tree, "")
+
+
+def _own_walk(node, *, root_is_def: bool = True):
+    """ast.walk limited to the node's own scope (nested def subtrees are
+    scanned separately).  root_is_def=False also skips a def passed AS the
+    root — for body-statement iteration."""
+    if not root_is_def and isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        return
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(
+            c
+            for c in ast.iter_child_nodes(n)
+            if not isinstance(c, (ast.FunctionDef, ast.AsyncFunctionDef))
+        )
+
+
+def _pkg_root_default() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sqlserver_cdc_to_kafka_spark",
+    )
+
+
+def _iter_pkg_defs(pkg_root: str):
+    """(rel_path, qualified_name, def_node) for every def in the package."""
+    for root, _dirs, files in os.walk(pkg_root):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg_root).replace(os.sep, "/")
+            for qual, node in _iter_defs(ast.parse(open(path).read())):
+                yield rel, qual, node
+
+
+def _contract_flags(sites: dict[str, int], contract: dict[str, str], what: str) -> list[str]:
+    """Unlisted member or stale contract entry -> FLAG."""
+    flags = [
+        f"FLAG: {what} without rationale: {s} (x{sites[s]}) — fix or adjudicate"
+        for s in sorted(sites)
+        if s not in contract
+    ]
+    flags += [
+        f"FLAG: stale contract entry (site gone): {s}"
+        for s in sorted(contract)
+        if s not in sites
+    ]
+    return flags
+
+
 # Float-sum-boundary allowlist (round-12 VERDICT task 1).  The class: a
 # floor()/ceil()/int-cast whose input derives from an order-dependent FLOAT
 # AGGREGATE (sum/avg of doubles — partial-aggregation combine order moves
@@ -387,6 +449,20 @@ FLOAT_BOUNDARY_BY_CONTRACT: dict[str, str] = {
         "the tainting float aggregate (AVG(rel_err)) is DOWNSTREAM of the "
         "floors and ROUND(,6)-snapped at exposure"
     ),
+    "queries/audit.py:q_metrics_rollup": (
+        "the int-cast is the per-row interval bucket ((us - us % I)/1e6) — "
+        "exact division, no aggregate feeds it; the tainting sum(value) is "
+        "DECIMAL(18,6)-cast first, an EXACT order-independent sum by design"
+    ),
+    "queries/behavior.py:q_gapfill_hourly": (
+        "the int-cast is the per-row hour bucket (us/3.6e9): correctly-"
+        "rounded IEEE division of exact ints < 2^53, no aggregate feeds "
+        "it; the tainting sum(value) is DECIMAL-cast (exact) before summing"
+    ),
+    "queries/behavior.py:q_gapfill_locf": (
+        "same per-row hour-bucket int-cast and DECIMAL-cast sum as "
+        "q_gapfill_hourly (shared grid) — no float aggregate reaches a cast"
+    ),
     "oracle:pipeline_domain_mixture": (
         "SQL mirror of the q_domain_mixture thresh floor — exact-integer "
         "operands, correctly-rounded division (see the Python entry)"
@@ -408,11 +484,21 @@ _FLOAT_AGG_ALWAYS = {
 # subtree mean the summand is float-valued (integer sums are exact).
 _FLOATISH_FNS = {"pow", "sqrt", "exp", "log", "log2", "log10", "ln"}
 _INT_TYPES = {"int", "bigint", "long", "integer", "smallint", "tinyint", "short", "byte"}
+# Base-schema DOUBLE columns: a sum over one is a float sum even with no
+# float marker in the expression (round-13 ADVICE false-negative).  Residual
+# documented gap: a double ALIASED elsewhere taints only the function whose
+# derivation (div/float-literal/cast-to-double) appears — no cross-function
+# dataflow.
+_DOUBLE_COLS = {
+    "c_acctbal", "value", "l_discount", "l_extendedprice", "l_quantity",
+    "l_tax", "o_totalprice", "p_retailprice", "s_acctbal", "embedding",
+}
 # textual (SQL / expr-string) float-aggregate taint: always-float aggs, or
-# sum over an explicitly float-producing head function
+# sum over an explicitly float-producing head function / base double column
 _FLOAT_AGG_SQL = re.compile(
     r"\b(avg|stddev\w*|var_pop|var_samp|variance|corr|covar\w*)\s*\("
-    r"|sum\s*\(\s*(pow|sqrt|exp|ln|log)\b",
+    r"|sum\s*\(\s*(pow|sqrt|exp|ln|log)\b"
+    r"|sum\s*\(\s*\(?\s*\w*\.?(" + "|".join(sorted(_DOUBLE_COLS)) + r")\b",
     re.I,
 )
 
@@ -470,17 +556,11 @@ def float_boundary_audit(pkg_root: str | None = None) -> tuple[dict[str, int], l
     are expected — each needs a rationale in FLOAT_BOUNDARY_BY_CONTRACT
     proving ITS floor order-independent (or a ROUND-before-FLOOR fix,
     mirrored in the oracle).  Unlisted member or stale entry → FLAG."""
-    import ast
-
     scan_oracles = pkg_root is None  # a custom root exercises the AST scan only
-    if pkg_root is None:
-        pkg_root = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "sqlserver_cdc_to_kafka_spark",
-        )
+    pkg_root = pkg_root or _pkg_root_default()
 
     def _calls(node):
-        for n in ast.walk(node):
+        for n in _own_walk(node):
             if isinstance(n, ast.Call):
                 f = n.func
                 name = (
@@ -491,8 +571,16 @@ def float_boundary_audit(pkg_root: str | None = None) -> tuple[dict[str, int], l
                 if name:
                     yield name, n
 
-    def _floatish(node) -> bool:
-        for n in ast.walk(node):
+    def _floatish(node, *, cols: bool = False) -> bool:
+        """Float markers; with cols=True also base-schema double columns
+        (round-13 ADVICE) — used for sum-taint only, not boundary sites."""
+        for n in _own_walk(node):
+            if cols and (
+                isinstance(n, ast.Constant) and n.value in _DOUBLE_COLS
+                or isinstance(n, ast.Name) and n.id in _DOUBLE_COLS
+                or isinstance(n, ast.Attribute) and n.attr in _DOUBLE_COLS
+            ):
+                return True
             if isinstance(n, ast.Call):
                 f = n.func
                 name = (
@@ -517,64 +605,48 @@ def float_boundary_audit(pkg_root: str | None = None) -> tuple[dict[str, int], l
         return any(name in names for name, _ in _calls(node))
 
     sites: dict[str, int] = {}
-    for root, _dirs, files in os.walk(pkg_root):
-        for fname in sorted(files):
-            if not fname.endswith(".py"):
-                continue
-            path = os.path.join(root, fname)
-            rel = os.path.relpath(path, pkg_root).replace(os.sep, "/")
-            tree = ast.parse(open(path).read())
-            for node in ast.walk(tree):
-                if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                    continue
-                # body-only strings: decorators hold the oracle (scanned via
-                # the registry), the docstring is prose
-                body = node.body
-                if (
-                    body
-                    and isinstance(body[0], ast.Expr)
-                    and isinstance(body[0].value, ast.Constant)
-                    and isinstance(body[0].value.value, str)
+    for rel, qual, node in _iter_pkg_defs(pkg_root):
+        # body-only strings: decorators hold the oracle (scanned via
+        # the registry), the docstring is prose
+        body = node.body[1:] if ast.get_docstring(node) is not None else node.body
+        text = "\n".join(
+            n.value.lower()
+            for stmt in body
+            for n in _own_walk(stmt, root_is_def=False)
+            if isinstance(n, ast.Constant) and isinstance(n.value, str)
+        )
+        tainted = bool(_FLOAT_AGG_SQL.search(text))
+        if not tainted:
+            for name, call in _calls(node):
+                if name in _FLOAT_AGG_ALWAYS or (
+                    name == "sum" and call.args and _floatish(call.args[0], cols=True)
                 ):
-                    body = body[1:]
-                text = "\n".join(
-                    n.value.lower()
-                    for stmt in body
-                    for n in ast.walk(stmt)
-                    if isinstance(n, ast.Constant) and isinstance(n.value, str)
+                    tainted = True
+                    break
+        if not tainted:
+            continue
+        n_sites = _sql_boundary_sites(text)
+        for name, call in _calls(node):
+            if name in ("floor", "ceil"):
+                arg = call.args[0] if call.args else None
+                if arg is not None and not _has_call(arg, {"round", "bround"}):
+                    n_sites += 1
+            elif name == "cast" and isinstance(call.func, ast.Attribute):
+                t = (
+                    call.args[0].value
+                    if call.args and isinstance(call.args[0], ast.Constant)
+                    else None
                 )
-                tainted = bool(_FLOAT_AGG_SQL.search(text))
-                if not tainted:
-                    for name, call in _calls(node):
-                        if name in _FLOAT_AGG_ALWAYS or (
-                            name == "sum" and call.args and _floatish(call.args[0])
-                        ):
-                            tainted = True
-                            break
-                if not tainted:
-                    continue
-                n_sites = _sql_boundary_sites(text)
-                for name, call in _calls(node):
-                    if name in ("floor", "ceil"):
-                        arg = call.args[0] if call.args else None
-                        if arg is not None and not _has_call(arg, {"round", "bround"}):
-                            n_sites += 1
-                    elif name == "cast" and isinstance(call.func, ast.Attribute):
-                        t = (
-                            call.args[0].value
-                            if call.args and isinstance(call.args[0], ast.Constant)
-                            else None
-                        )
-                        tgt = call.func.value
-                        if (
-                            isinstance(t, str)
-                            and t.lower() in _INT_TYPES
-                            and _floatish(tgt)
-                            and not _has_call(tgt, {"round", "bround", "floor", "ceil"})
-                        ):
-                            n_sites += 1
-                if n_sites:
-                    sites[f"{rel}:{node.name}"] = n_sites
+                tgt = call.func.value
+                if (
+                    isinstance(t, str)
+                    and t.lower() in _INT_TYPES
+                    and _floatish(tgt)
+                    and not _has_call(tgt, {"round", "bround", "floor", "ceil"})
+                ):
+                    n_sites += 1
+        if n_sites:
+            sites[f"{rel}:{qual}"] = n_sites
 
     if scan_oracles:
         # registry oracle scan — imports the package, no SparkSession needed
@@ -591,20 +663,153 @@ def float_boundary_audit(pkg_root: str | None = None) -> tuple[dict[str, int], l
             if n:
                 sites[f"oracle:{name}"] = n
 
-    flags: list[str] = []
-    for site in sorted(sites):
-        if site not in FLOAT_BOUNDARY_BY_CONTRACT:
-            flags.append(
-                f"FLAG: unrounded floor/ceil/int-cast fed by a float aggregate "
-                f"without rationale: {site} (×{sites[site]}) — add "
-                f"ROUND-before-FLOOR (mirrored in the oracle) or adjudicate"
-            )
-    for site in sorted(FLOAT_BOUNDARY_BY_CONTRACT):
-        if site not in sites:
-            flags.append(
-                f"FLAG: stale FLOAT_BOUNDARY_BY_CONTRACT entry (site gone): {site}"
-            )
-    return sites, flags
+    return sites, _contract_flags(
+        sites,
+        FLOAT_BOUNDARY_BY_CONTRACT,
+        "unrounded floor/ceil/int-cast fed by a float aggregate",
+    )
+
+
+# Unordered-collect / nondeterministic-order allowlist (round-13 VERDICT
+# task 1 — the float boundary's sibling, the last enumerated order-dependence
+# class without a static gate).  Members: collect_list/collect_set (array
+# order = combine order), first/any_value/last/nth_value (which row wins),
+# rand/monotonically_increasing_id (partition placement) reaching output
+# without a detected structural discipline (array_sort / sort_array /
+# map_from_entries wrapping; oracle-side internal ORDER BY).  Everything else
+# needs a rationale here; unlisted member or stale entry -> FLAG, so the
+# class cannot reopen silently.  (Reference analog: ordering is its core
+# invariant, cdc_kafka/main.py:329-331.)
+ORDER_DEPENDENCE_BY_CONTRACT: dict[str, str] = {
+    "operators/asof.py:asof_join": (
+        "last(ignorenulls) over (keys | __t, __tag): version-time uniqueness "
+        "is a documented docstring precondition, and tied probe rows are "
+        "null-payload rows skipped by ignorenulls — carry is tie-invariant"
+    ),
+    "pipeline/dedup.py:cross_split_contamination": (
+        "the capped collect_list is immediately exploded back to (shingle, "
+        "doc) pairs — set semantics; array order never reaches output"
+    ),
+    "queries/behavior.py:q_gapfill_locf": (
+        "last(ignorenulls) over hour within user_id: the exploded grid is "
+        "UNIQUE per (user_id, hour) — total window order, deterministic LOCF"
+    ),
+    "queries/pipeline2.py:q_domain_mixture": (
+        "three first() picks of values broadcast-joined from a 1-row-per-"
+        "source frame keyed by the groupBy key — group-CONSTANT, any order ties"
+    ),
+    "queries/pipeline6.py:q_window_suite": (
+        "first/last/nth_value over windows ordered by (day, o_orderkey); "
+        "o_orderkey is unique -> TOTAL order, every pick deterministic"
+    ),
+    "oracle:events_gapfill_locf": (
+        "SQL mirror of q_gapfill_locf — last_value over the unique "
+        "(user_id, hour) grid (see the Python entry)"
+    ),
+    "oracle:olap_window_suite": (
+        "SQL mirror of q_window_suite — window picks ordered by the unique "
+        "o_orderkey -> total order (see the Python entry)"
+    ),
+}
+
+# NOT in scope: rank/dense_rank/percent_rank/cume_dist (functions of the
+# order-key VALUE — tie-stable); lead/lag/row_number tie wobble is the O6
+# ordering-contract class, exercised by its own tests.
+_ORDER_DEP_FNS = {
+    "collect_list", "collect_set", "first", "any_value", "last", "nth_value",
+    "first_value", "last_value", "rand", "randn", "shuffle",
+    "monotonically_increasing_id",
+}
+_ORDER_DEP_SQL = re.compile(r"\b(" + "|".join(sorted(_ORDER_DEP_FNS)) + r")\s*\(", re.I)
+_ORDER_DISCIPLINES = {"array_sort", "sort_array", "map_from_entries"}
+_ORDER_DISCIPLINE_SQL = re.compile(
+    r"\b(array_sort|sort_array|map_from_entries)\s*\(", re.I
+)
+# DuckDB oracle side: aggs with an optional internal ORDER BY (the ordered
+# form is deterministic), window picks (order totality is not statically
+# checkable — always members), and randomness.
+_ORACLE_ORDERED_AGGS = re.compile(
+    r"\b(list|array_agg|string_agg|group_concat|first|any_value|arbitrary|last)\s*\(",
+    re.I,
+)
+_ORACLE_ALWAYS = re.compile(
+    r"\b(first_value|last_value|nth_value|random|setseed)\s*\(", re.I
+)
+
+
+def _sql_order_sites(text: str) -> int:
+    """Order-dependent constructs in an expr-string, outside the argument
+    spans of array_sort/sort_array/map_from_entries."""
+    spans = [
+        (m.end(), m.end() + len(_sql_balanced_arg(text, m.end() - 1)))
+        for m in _ORDER_DISCIPLINE_SQL.finditer(text)
+    ]
+    return sum(
+        1
+        for m in _ORDER_DEP_SQL.finditer(text)
+        if not any(a <= m.start() < b for a, b in spans)
+    )
+
+
+def order_dependence_audit(pkg_root: str | None = None) -> tuple[dict[str, int], list[str]]:
+    """float_boundary_audit's sibling (round-13 VERDICT task 1): per-function
+    scoped AST + body expr-string scan over the package (docstrings and
+    decorator strings excluded), plus a textual scan of every registered
+    oracle.  array_sort/sort_array/map_from_entries wrapping is recognized
+    structurally; everything else must be adjudicated in
+    ORDER_DEPENDENCE_BY_CONTRACT."""
+    scan_oracles = pkg_root is None
+    pkg_root = pkg_root or _pkg_root_default()
+
+    def _name(call):
+        f = call.func
+        return f.attr if isinstance(f, ast.Attribute) else getattr(f, "id", None)
+
+    sites: dict[str, int] = {}
+    for rel, qual, node in _iter_pkg_defs(pkg_root):
+        disciplined: set[int] = set()
+        for n in _own_walk(node):
+            if isinstance(n, ast.Call) and _name(n) in _ORDER_DISCIPLINES:
+                disciplined |= {
+                    id(m)
+                    for m in _own_walk(n)
+                    if m is not n and isinstance(m, ast.Call)
+                }
+        n_sites = sum(
+            1
+            for n in _own_walk(node)
+            if isinstance(n, ast.Call)
+            and _name(n) in _ORDER_DEP_FNS
+            and id(n) not in disciplined
+        )
+        body = node.body[1:] if ast.get_docstring(node) is not None else node.body
+        n_sites += sum(
+            _sql_order_sites(n.value.lower())
+            for stmt in body
+            for n in _own_walk(stmt, root_is_def=False)
+            if isinstance(n, ast.Constant) and isinstance(n.value, str)
+        )
+        if n_sites:
+            sites[f"{rel}:{qual}"] = n_sites
+
+    if scan_oracles:
+        from sqlserver_cdc_to_kafka_spark.registry import load_all
+
+        for name, q in sorted(load_all().items()):
+            low = (getattr(q, "oracle", None) or "").lower()
+            n = sum(
+                1
+                for m in _ORACLE_ORDERED_AGGS.finditer(low)
+                if " order by " not in _sql_balanced_arg(low, m.end() - 1)
+            ) + len(_ORACLE_ALWAYS.findall(low))
+            if n:
+                sites[f"oracle:{name}"] = n
+
+    return sites, _contract_flags(
+        sites,
+        ORDER_DEPENDENCE_BY_CONTRACT,
+        "order-dependent construct reaching output without discipline",
+    )
 
 
 def scan_all(spark, registry, names, args) -> int:
@@ -718,6 +923,26 @@ def scan_all(spark, registry, names, args) -> int:
         why = FLOAT_BOUNDARY_BY_CONTRACT.get(site, "**UNADJUDICATED**")
         lines.append(f"- `{site}` (×{fsites[site]}): {why}")
     for fl in fflags:
+        lines.append(f"- **{fl}**")
+        print(fl)
+    osites, oflags = order_dependence_audit()
+    n_flags += len(oflags)
+    lines += [
+        "",
+        "## Order-dependence sites by contract",
+        "",
+        f"Static detector (`order_dependence_audit`) for the unordered-"
+        f"collect / nondeterministic-order class (collect_list/first/"
+        f"any_value/rand/... reaching output undisciplined): "
+        f"**{sum(osites.values())} sites across {len(osites)} "
+        f"functions/oracles**, adjudicated below; a new member without a "
+        "rationale is a FLAG.",
+        "",
+    ]
+    for site in sorted(osites):
+        why = ORDER_DEPENDENCE_BY_CONTRACT.get(site, "**UNADJUDICATED**")
+        lines.append(f"- `{site}` (×{osites[site]}): {why}")
+    for fl in oflags:
         lines.append(f"- **{fl}**")
         print(fl)
     lines += ["", "## Cartesians by contract", ""]
