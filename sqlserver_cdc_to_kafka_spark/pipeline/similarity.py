@@ -149,8 +149,31 @@ def cosine_threshold_pairs_lsh(
     generation (OR-amplified — a pair is a candidate if ANY band's hash
     collides), then the EXACT cosine verify on candidates only. Candidates
     come from an equality self-join on (band, band_hash) — never a corpus ×
-    corpus cross join; at 100 TB the join shuffles on the band hash and skew
-    is bounded by bucket population, not N².
+    corpus cross join.
+
+    Physical shape (restructured after the r14 sf10 probe): candidate pairs
+    are found by a per-bucket numpy tiled-GEMM PREFILTER
+    (``_bucket_near_pairs`` via ``applyInPandas`` over (band, hash)) that
+    emits only pairs whose BLAS cosine clears ``threshold − 5e-7 − 1e-9``;
+    the exact Catalyst verify (the same ``dot``/``l2_norm``/``round``
+    expressions as always) then decides final membership on that ≈linear
+    pair set, so the OUTPUT is bit-identical to the pure-expression plan
+    and the DuckDB oracle is untouched. Why not the previous forms, both
+    measured at uniform sf10 (200k vectors, 10×4-bit bands, ≈1.2e10 bucket
+    pairs): (a) materializing the candidate set (``distinct`` then two
+    join-backs) spilled >50 GB of shuffle and never completed; (b)
+    streaming the verify through the bucket self-join (array-HOF dot, and a
+    64-term codegen'd scalar dot, and the same under a shuffled-hash join)
+    kept memory flat but still evaluates Θ(Σ n_b²) ≈ 1.2e10 dots in JVM
+    scalar code — >20 min/run, killed. BLAS does the same 8e11 flops in
+    seconds. The Θ(Σ n_b²) score work is inherent to OR-amplified LSH at a
+    weak threshold (the ρ ≈ 0.64 caveat on ``lsh_params_for_threshold``);
+    at near-dup thresholds (t ≥ 0.8) random-pair collisions are negligible
+    and the same shape is genuinely sub-quadratic. Memory contract: one
+    (band, hash) bucket (≈ N/2^band_size vectors) must fit a worker's
+    pandas group — any parameterization worth running keeps bucket
+    population bounded, which is the same condition that keeps the score
+    work finite.
 
     Parameters default to ``lsh_params_for_threshold(threshold)`` — at 0.4
     that is 10 bands of 4 bits (40 planes), measured recall ≈ 0.80 on the
@@ -166,20 +189,17 @@ def cosine_threshold_pairs_lsh(
     e = df.select(
         F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
     ).withColumn("n", l2_norm(F.col("v")))
-    # persist: the self-join consumes the signatures twice; without this the
-    # Arrow/python signature pass runs once per side. The returned plan reads
-    # the cache lazily, so release is caller-managed (LRU eviction /
-    # clearCache(), the documented reliance of pipeline/clustering.py)
-    bands = _band_signatures(e, signs, band_size).persist()
+    # The vector rides through the signature pass (Arrow pass-through
+    # column, bit-exact for IEEE doubles) so the per-bucket prefilter needs
+    # no join back to the corpus; candidates then flow through the SAME
+    # exact-verify tail as ever. No persist: the signature frame is
+    # consumed exactly once (by the groupBy→applyInPandas prefilter).
+    sigs = _band_signatures(e, signs, band_size, carry_vec=True)
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.vid") < F.col("b.vid")),
+        sigs.groupBy("band", "bh")
+        .applyInPandas(
+            _bucket_near_pairs(threshold), "vec_a bigint, vec_b bigint"
         )
-        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
         .distinct()
     )
     ea = e.select(
@@ -202,8 +222,71 @@ def cosine_threshold_pairs_lsh(
     )
 
 
-def _band_signatures(e: DataFrame, signs: list[list[float]], band_size: int) -> DataFrame:
-    """(vid, band, bh) for every vector — the banded sign-LSH signature.
+def _bucket_near_pairs(threshold: float):
+    """Per-(band, hash)-bucket candidate generator: a numpy tiled-GEMM
+    cosine prefilter emitting ordered pairs (vec_a < vec_b) whose BLAS
+    cosine ≥ ``threshold − 5e-7 − 1e-9``.
+
+    The margin makes the prefilter a PROVABLE superset of the exact verify:
+    the downstream filter is ``round(cos, 6) ≥ t`` which (for a 6-decimal
+    t) is ``cos ≥ t − 5e-7`` up to half-ulp dust, and |BLAS − sequential
+    Catalyst fold| for a 64-dim unit-scale dot is < 1e-13 — five orders
+    below the extra 1e-9 slack. So no pair the exact expression would keep
+    is ever pruned, and every emitted pair is re-scored by the exact
+    expression; BLAS thread-order wobble can only add/remove candidates the
+    verify rejects anyway, keeping the output deterministic. Tiles are
+    1024×4096 (32 MB of float64 scores) regardless of bucket size."""
+    import numpy as np
+
+    margin = threshold - 5e-7 - 1e-9
+
+    def gen(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        vids = pdf["vid"].to_numpy()
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        # zero-norm vectors: exact path yields null cosine (dropped by the
+        # filter); mirror that by excluding them from candidates
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Vn = np.where(norms[:, None] > 0, V / norms[:, None], 0.0)
+        out_a: list = []
+        out_b: list = []
+        for i0 in range(0, n, 1024):
+            Ai = Vn[i0 : i0 + 1024]
+            vi = vids[i0 : i0 + 1024]
+            for j0 in range(0, n, 4096):
+                S = Ai @ Vn[j0 : j0 + 4096].T
+                ii, jj = np.nonzero(
+                    (S >= margin) & (vi[:, None] < vids[j0 : j0 + 4096][None, :])
+                )
+                if len(ii):
+                    out_a.append(vi[ii])
+                    out_b.append(vids[j0 : j0 + 4096][jj])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+        )
+
+    return gen
+
+
+def _band_signatures(
+    e: DataFrame,
+    signs: list[list[float]],
+    band_size: int,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(vid, band, bh[, v]) for every vector — the banded sign-LSH signature.
+
+    ``carry_vec=True`` passes the vector column through unchanged (an Arrow
+    pass-through, no recompute) so the threshold-pairs verify can run inside
+    the bucket self-join without a join back to the corpus; the duplication
+    is one vector copy per band — O(N·n_bands), linear in corpus size.
 
     Physical path note: expressing each of N planes as a JVM
     ``aggregate(zip_with(v, array<64 literals>))`` makes Catalyst
@@ -226,15 +309,23 @@ def _band_signatures(e: DataFrame, signs: list[list[float]], band_size: int) -> 
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
             bits = (V @ P.T > 0).astype(np.int64)  # rows x planes
-            out_vid, out_band, out_bh = [], [], []
+            out_vid, out_band, out_bh, out_v = [], [], [], []
             for b in range(n_bands):
                 bh = bits[:, b * band_size : (b + 1) * band_size] @ weights
                 out_vid.extend(pdf["vid"])
                 out_band.extend([b] * len(pdf))
                 out_bh.extend(bh)
-            yield pd.DataFrame({"vid": out_vid, "band": out_band, "bh": out_bh})
+                if carry_vec:
+                    out_v.extend(pdf["v"])
+            out = {"vid": out_vid, "band": out_band, "bh": out_bh}
+            if carry_vec:
+                out["v"] = out_v
+            yield pd.DataFrame(out)
 
-    return e.select("vid", "v").mapInPandas(sig, "vid bigint, band int, bh int")
+    schema = "vid bigint, band int, bh int"
+    if carry_vec:
+        schema += ", v array<double>"
+    return e.select("vid", "v").mapInPandas(sig, schema)
 
 
 def hyperplane_signs(planes: int = LSH_PLANES, dim: int = EMBEDDING_DIM) -> list[list[float]]:

@@ -34,11 +34,14 @@ def test_unreleased_persists_exactly_match_contract():
 def test_pinned_totals():
     # The numbers the round-11 verdict counted (8 named sites) plus the
     # three the sweep found that it didn't enumerate (components ×2,
-    # split_corrupt, ivf_topk — see PLANSCAN).  If this moves, the PLANSCAN
-    # section and a rationale must move with it — that's the point.
+    # split_corrupt, ivf_topk — see PLANSCAN), MINUS the threshold-pairs
+    # site: the r14 sf10-probe restructure replaced its band self-join
+    # with a per-bucket GEMM prefilter, so the signature frame is consumed
+    # once and the persist was removed outright.  If this moves, the
+    # PLANSCAN section and a rationale must move with it — that's the point.
     sites, _ = persist_audit()
-    assert len(sites) == 11
-    assert sum(sites.values()) == 12  # connected_components holds two
+    assert len(sites) == 10
+    assert sum(sites.values()) == 11  # connected_components holds two
 
 
 def test_every_contract_rationale_is_substantive():

@@ -211,10 +211,6 @@ UNRELEASED_PERSIST_BY_CONTRACT: dict[str, str] = {
         "both returned (clean, corrupt) views re-read the materialized "
         "parse — the documented _corrupt_record pattern requires it"
     ),
-    "pipeline/similarity.py:cosine_threshold_pairs_lsh": (
-        "the LSH self-join consumes the band-signature frame twice; "
-        "without the cache the Arrow signature pass runs once per side"
-    ),
     "pipeline/similarity.py:ivf_topk": (
         "the centroid-assignment frame feeds BOTH the inverted lists and "
         "the probe side of the returned top-k plan"
