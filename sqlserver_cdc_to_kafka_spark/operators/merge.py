@@ -133,8 +133,17 @@ def grouped_prefix_sum(
     so each (group, bucket) is a bounded slice; (2) window-sum within each
     slice in parallel and add the exclusive prefix total of the group's
     earlier buckets (a per-(group, bucket) SUM collected to the driver —
-    bounded by groups x buckets, not data size)."""
+    bounded by groups x buckets, not data size).
+
+    The input is persisted (r15): the operator drives THREE passes over it
+    (the bounds agg, the per-(group, bucket) totals collect, and the
+    returned bucketed window plan) — uncached, each re-derived the caller's
+    projection from source (pack_sequences re-tokenized the corpus per
+    pass, measured on the sf0.1 bench). Caller-managed release, same
+    contract as the other lazy-return persist sites: the returned plan
+    reads the cache, so LRU eviction / the harness's clearCache reclaims."""
     spark = df.sparkSession
+    df = df.persist()
     if buckets is None:
         buckets = max(spark.sparkContext.defaultParallelism, 16)
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).collect()[0]
@@ -219,13 +228,18 @@ def global_prefix_sum(
     only bucket boundaries derive from it, never the in-bucket order).
     Phase 1 range-buckets rows and collects one SUM per bucket (bounded
     by bucket count); phase 2 window-sums within each bucket in parallel
-    and adds the exclusive prefix of earlier buckets."""
+    and adds the exclusive prefix of earlier buckets.
+
+    Persisted for the same r15 reason as grouped_prefix_sum: three passes
+    (bounds agg, per-bucket totals, the returned window plan) otherwise
+    re-derive the caller's projection from source each time; caller-managed
+    release per the standing lazy-return contract."""
     spark = df.sparkSession
     if buckets is None:
         buckets = max(spark.sparkContext.defaultParallelism, 16)
     d = df.withColumn("__num", bucket_expr).withColumn(
         "__ord", F.struct(*order_exprs)
-    )
+    ).persist()
     lo, hi = d.agg(F.min("__num"), F.max("__num")).collect()[0]
     if lo is None:
         return df.withColumn(out_col, F.lit(None).cast("bigint"))

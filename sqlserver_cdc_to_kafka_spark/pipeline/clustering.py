@@ -7,23 +7,31 @@ collected once per iteration exactly as MLlib's KMeans driver loop does
 iteration i embed iteration i-1's whole subtree — lineage and recompute grow
 per round). Each iteration is:
 
-1. assignment — broadcast the k-row centroid relation against the corpus
-   and take the (dist, cid)-minimal centroid per vector with a ``min_by``
-   hash aggregate (map-side partials; cheaper than a row_number window,
-   which would sort). Inlining the centroids as a literal array expression
-   was tried and REJECTED: k·dim literals inside a nested fold made
-   Catalyst analysis + codegen the dominant cost (same pathology as the
-   create_map literal note in operators/merge.py) — a broadcast relation
-   keeps the expression tree small.
-2. update — posexplode to (cluster, dim_pos, val) and average per
-   (cluster, pos): one shuffle, k·dim groups, map-side partials.
+1. assignment — a PURE PROJECTION: the k centroids ride along as ONE
+   array<struct<cid, centroid>> row attached via a broadcast nested-loop
+   cross join (1 row — no per-centroid row multiplication), and the argmin
+   is ``array_min(transform(cents, …))`` — struct ordering (dist, cid) is
+   exactly the old min_by tie-break. This removes the r14 shape's k×
+   row blowup AND its corpus-wide groupBy(id) exchange, whose groups were
+   already task-local (every id's k candidate rows came out of one task, so
+   the exchange merged already-complete partials — pure shuffle waste,
+   measured 2.56 s → ~1.3 s on the sf0.1 bench). Inlining the centroids as
+   a LITERAL array was tried and REJECTED long before: k·dim literals inside
+   a nested fold made Catalyst analysis + codegen the dominant cost (same
+   pathology as the create_map literal note in operators/merge.py) — a
+   broadcast relation keeps the expression tree small; making it a single
+   1-row array keeps the join from multiplying rows.
+2. update — posexplode the assignment projection to (cluster, dim_pos, val)
+   and average per (cluster, pos): one shuffle whose map-side partials
+   collapse to k·dim rows per task — the exchange carries k·dim·tasks rows,
+   not the corpus.
 
 The input is cached across iterations (again the MLlib pattern).
 
 Determinism contract (for oracle parity): init = the k lowest-id vectors;
 all arithmetic in DOUBLE (float32 inputs upcast BEFORE subtraction), summed
 in element order; ties in the argmin break toward the lower cluster id
-(min_by ordering key = (dist, cid), unique because cid is unique).
+(struct ordering key = (dist, cid), unique because cid is unique).
 """
 
 from __future__ import annotations
@@ -32,14 +40,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_l2(vec_col: str, cent_col: str):
-    """Squared L2 in DOUBLE; upcasting each float32 element before the
-    subtraction keeps the arithmetic bit-identical to engines that compute
-    on doubles (the oracle)."""
+def _best_centroid(vec_col: str, cents_col: str = "cents") -> F.Column:
+    """struct(dist, cid) of the nearest centroid, as one array expression
+    over the broadcast centroid array. Squared L2 in DOUBLE; upcasting each
+    float32 element before the subtraction keeps the arithmetic bit-identical
+    to engines that compute on doubles (the oracle). ``array_min`` over
+    struct(dist, cid) is lexicographic — the same (dist, cid) tie-break as
+    the previous min_by form, so assignments are bit-identical."""
     return F.expr(
-        f"aggregate(zip_with({vec_col}, {cent_col}, "
+        f"array_min(transform({cents_col}, c -> struct("
+        f"aggregate(zip_with({vec_col}, c.centroid, "
         f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
-        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS dist, "
+        f"c.cid AS cid)))"
+    )
+
+
+def _with_best(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, b=struct(dist, cid)) — assignment as a map-only projection."""
+    return (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("b", _best_centroid(vec_col))
     )
 
 
@@ -47,22 +69,12 @@ def assign_clusters(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Assignment pass: nearest centroid per vector. The centroid side is
-    k rows — broadcast, so the join is a map-side nested loop; the argmin
-    is a min_by hash aggregate keyed by the vector id."""
-    joined = df.select(id_col, vec_col).crossJoin(
-        F.broadcast(centroids.select("cid", "centroid"))
+    ONE row (array of k structs) — broadcast nested-loop attach, argmin as
+    an array_min projection; no aggregate, no exchange."""
+    best = _with_best(df, centroids, id_col, vec_col)
+    return best.select(
+        id_col, F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist")
     )
-    best = (
-        joined.withColumn("dist", _sq_l2(vec_col, "centroid"))
-        .groupBy(id_col)
-        .agg(
-            F.min_by(
-                F.struct(F.col("cid"), F.col("dist")),
-                F.struct(F.col("dist"), F.col("cid")),
-            ).alias("b")
-        )
-    )
-    return best.select(id_col, F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
 
 
 def kmeans_fit(
@@ -76,7 +88,8 @@ def kmeans_fit(
     ``iters`` assignment+update rounds. Returns (final_assignment,
     final_centroids); the final assignment is computed against the LAST
     updated centroids so callers see a consistent (centroid, membership)
-    pair."""
+    pair. ``final_centroids`` is the 1-row array relation (cents =
+    array<struct<cid, centroid>> sorted by cid)."""
     spark = df.sparkSession
     # persisted for the iteration's repeated passes; intentionally NOT
     # unpersisted here — the returned assignment DataFrame still reads
@@ -87,8 +100,8 @@ def kmeans_fit(
     def materialize(cent_df: DataFrame) -> DataFrame:
         rows = cent_df.collect()  # k rows — bounded driver state
         return spark.createDataFrame(
-            sorted((r["cid"], list(r["centroid"])) for r in rows),
-            "cid int, centroid array<double>",
+            [(sorted((r["cid"], list(r["centroid"])) for r in rows),)],
+            "cents array<struct<cid: int, centroid: array<double>>>",
         )
 
     centroids = materialize(
@@ -100,26 +113,14 @@ def kmeans_fit(
         )
     )
     for _ in range(iters):
-        # assignment that CARRIES the vector through the min_by, so the
-        # update explodes straight off the agg output — no second join
-        # (and no second corpus shuffle) per iteration
-        joined = df.select(id_col, vec_col).crossJoin(
-            F.broadcast(centroids.select("cid", "centroid"))
-        )
-        assigned = (
-            joined.withColumn("dist", _sq_l2(vec_col, "centroid"))
-            .groupBy(id_col)
-            .agg(
-                F.min_by(
-                    F.struct(F.col("cid"), F.col(vec_col)),
-                    F.struct(F.col("dist"), F.col("cid")),
-                ).alias("b")
-            )
-        )
+        # assignment is a projection, so the update explodes straight off it
+        # — the only exchange per iteration is the k·dim-group aggregate,
+        # and map-side partials collapse it to k·dim rows per task
         means = (
-            assigned.select(
+            _with_best(df, centroids, id_col, vec_col)
+            .select(
                 F.col("b.cid").alias("cid"),
-                F.posexplode(f"b.{vec_col}").alias("pos", "val"),
+                F.posexplode(vec_col).alias("pos", "val"),
             )
             .groupBy("cid", "pos")
             .agg(F.avg(F.col("val").cast("double")).alias("m"))

@@ -57,19 +57,27 @@ def ngram_jaccard_pairs(
     Candidate generation: ONE shuffle of the inverted index —
     ``groupBy(shingle) → sorted doc list → in-group pair explode`` — instead
     of the classic two-sided self-join (which shuffles the index twice and
-    hash-joins it against itself). Per-doc shingle counts come straight from
-    the shingle array (no explode, no extra shuffle); AQE broadcasts that
-    side onto the candidate pairs while it fits, shuffle-joins beyond.
+    hash-joins it against itself). Per-doc shingle counts RIDE ALONG through
+    the index (one extra int per exchange row) so the jaccard denominator
+    needs NO size joins downstream — the r14 form joined the pair table
+    against the size projection twice (guide §2.3 "shuffle keys and metadata
+    instead of payloads", inverted: the metadata is small enough to carry).
 
     ``max_doc_freq`` (off by default to keep results exact): drop shingles
     appearing in more than N docs before pairing — the standard stop-shingle
     cap that bounds the worst-case group at web scale, where a boilerplate
     phrase would otherwise produce a quadratic group."""
     sh = df.select(F.col(id_col), word_shingles(text_col).alias("shingles"))
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
-    idx = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    idx = sh.select(
+        F.col(id_col), F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("shingle"),
+    )
+    # sort by struct(id, sz) == sort by id (ids are unique), so the pair
+    # explode below still emits doc_a < doc_b deterministically
     grouped = idx.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(id_col)).alias("docs")
+        F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), "sz"))).alias(
+            "docs"
+        )
     )
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("docs") <= max_doc_freq)
@@ -79,16 +87,15 @@ def ngram_jaccard_pairs(
             F.expr(
                 "flatten(transform(docs, (x, i) -> "
                 "transform(slice(docs, i + 2, size(docs)), y -> "
-                "struct(x AS doc_a, y AS doc_b))))"
+                "struct(x.i AS doc_a, x.sz AS sz_a, y.i AS doc_b, y.sz AS sz_b))))"
             )
         ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    ).select("p.doc_a", "p.sz_a", "p.doc_b", "p.sz_b")
+    # sz_a/sz_b are functionally dependent on doc_a/doc_b — adding them to
+    # the grouping key changes no groups and keeps the aggregate deterministic
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
         .select(
             "doc_a",
             "doc_b",

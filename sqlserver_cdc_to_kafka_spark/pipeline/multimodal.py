@@ -249,55 +249,92 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _audio_feature_frame(pdf: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Features of one Arrow batch of (id, media_type, payload) rows: every
+    payload is REALLY decoded (RIFF chunk walk + np.frombuffer PCM parse)
+    and the features come from the decoded samples — rate/duration from the
+    container, amplitude stats and RMS from the waveform. Shared by the
+    two-step extract and the fused synth+extract pass."""
+    import math
+
+    cols = {k: [] for k in (
+        "doc_id", "media_type", "n_bytes", "sample_rate", "n_samples",
+        "duration_ms", "amp_min", "amp_max", "amp_sum", "rms",
+    )}
+    for doc_id, media_type, payload in zip(
+        pdf[id_col], pdf["media_type"], pdf["payload"]
+    ):
+        if payload is None:
+            continue
+        raw = bytes(payload)
+        rate, samples = decode_wav(raw)
+        s64 = samples.astype(np.int64)
+        n = len(samples)
+        cols["doc_id"].append(doc_id)
+        cols["media_type"].append(media_type)
+        cols["n_bytes"].append(len(raw))
+        cols["sample_rate"].append(rate)
+        cols["n_samples"].append(n)
+        cols["duration_ms"].append(n * 1000.0 / rate)
+        cols["amp_min"].append(int(s64.min()))
+        cols["amp_max"].append(int(s64.max()))
+        cols["amp_sum"].append(int(s64.sum()))
+        cols["rms"].append(math.sqrt(int((s64 * s64).sum()) / n))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(cols["doc_id"], dtype="int64"),
+            "media_type": cols["media_type"],
+            "n_bytes": pd.array(cols["n_bytes"], dtype="int32"),
+            "sample_rate": pd.array(cols["sample_rate"], dtype="int32"),
+            "n_samples": pd.array(cols["n_samples"], dtype="int32"),
+            "duration_ms": pd.array(cols["duration_ms"], dtype="float64"),
+            "amp_min": pd.array(cols["amp_min"], dtype="int32"),
+            "amp_max": pd.array(cols["amp_max"], dtype="int32"),
+            "amp_sum": pd.array(cols["amp_sum"], dtype="int64"),
+            "rms": pd.array(cols["rms"], dtype="float64"),
+        }
+    )
+
+
 def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched audio feature extraction: every payload is REALLY
-    decoded (RIFF chunk walk + np.frombuffer PCM parse) and the features
-    come from the decoded samples — rate/duration from the container,
-    amplitude stats and RMS from the waveform."""
+    """Arrow-batched audio feature extraction over an existing payload
+    column (see _audio_feature_frame for the real decode)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
         for pdf in batches:
-            cols = {k: [] for k in (
-                "doc_id", "media_type", "n_bytes", "sample_rate", "n_samples",
-                "duration_ms", "amp_min", "amp_max", "amp_sum", "rms",
-            )}
-            for doc_id, media_type, payload in zip(
-                pdf[id_col], pdf["media_type"], pdf["payload"]
-            ):
-                if payload is None:
-                    continue
-                raw = bytes(payload)
-                rate, samples = decode_wav(raw)
-                s64 = samples.astype(np.int64)
-                n = len(samples)
-                cols["doc_id"].append(doc_id)
-                cols["media_type"].append(media_type)
-                cols["n_bytes"].append(len(raw))
-                cols["sample_rate"].append(rate)
-                cols["n_samples"].append(n)
-                cols["duration_ms"].append(n * 1000.0 / rate)
-                cols["amp_min"].append(int(s64.min()))
-                cols["amp_max"].append(int(s64.max()))
-                cols["amp_sum"].append(int(s64.sum()))
-                cols["rms"].append(math.sqrt(int((s64 * s64).sum()) / n))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array(cols["doc_id"], dtype="int64"),
-                    "media_type": cols["media_type"],
-                    "n_bytes": pd.array(cols["n_bytes"], dtype="int32"),
-                    "sample_rate": pd.array(cols["sample_rate"], dtype="int32"),
-                    "n_samples": pd.array(cols["n_samples"], dtype="int32"),
-                    "duration_ms": pd.array(cols["duration_ms"], dtype="float64"),
-                    "amp_min": pd.array(cols["amp_min"], dtype="int32"),
-                    "amp_max": pd.array(cols["amp_max"], dtype="int32"),
-                    "amp_sum": pd.array(cols["amp_sum"], dtype="int64"),
-                    "rms": pd.array(cols["rms"], dtype="float64"),
-                }
-            )
+            yield _audio_feature_frame(pdf, id_col)
 
     return df.mapInPandas(_extract, schema=AUDIO_SCHEMA)
+
+
+def synth_and_extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture synthesis + feature extraction fused into ONE Arrow pass
+    (r15, guide §4): the attach→extract composition evaluated two stacked
+    MapInPandas nodes, shipping every WAV payload JVM→Python→JVM→Python;
+    fused, only the id column crosses in and only the feature row crosses
+    out — the payload bytes live and die inside one Python worker, still
+    exercising encode_wav → decode_wav end-to-end byte-for-byte (the same
+    two helpers, unchanged)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        encode_wav(*wav_params_for(int(doc_id)))
+                        for doc_id in pdf[id_col]
+                    ],
+                    "media_type": "audio/wav",
+                }
+            )
+            yield _audio_feature_frame(payloads, id_col)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        _run, schema=AUDIO_SCHEMA
+    )
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms int, frame_hash string"

@@ -235,7 +235,15 @@ def _bucket_near_pairs(threshold: float):
     is ever pruned, and every emitted pair is re-scored by the exact
     expression; BLAS thread-order wobble can only add/remove candidates the
     verify rejects anyway, keeping the output deterministic. Tiles are
-    1024×4096 (32 MB of float64 scores) regardless of bucket size."""
+    1024×4096 (32 MB of float64 scores) regardless of bucket size.
+
+    Triangular tiling (r15, from the r14 ADVICE): the bucket is sorted by
+    vid first, so position order agrees with the vid order the pair mask
+    enforces — the j loop then starts at the i tile's origin instead of 0,
+    skipping every strictly-sub-diagonal tile whose pairs the mask would
+    discard wholesale. Halves the prefilter GEMM flops; emitted pair set is
+    identical (each i<j pair still scored exactly once, by the same BLAS
+    dot of the same normalized rows)."""
     import numpy as np
 
     margin = threshold - 5e-7 - 1e-9
@@ -247,7 +255,9 @@ def _bucket_near_pairs(threshold: float):
         if n < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
         vids = pdf["vid"].to_numpy()
-        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        order = np.argsort(vids)
+        vids = vids[order]
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
         norms = np.linalg.norm(V, axis=1)
         # zero-norm vectors: exact path yields null cosine (dropped by the
         # filter); mirror that by excluding them from candidates
@@ -258,7 +268,7 @@ def _bucket_near_pairs(threshold: float):
         for i0 in range(0, n, 1024):
             Ai = Vn[i0 : i0 + 1024]
             vi = vids[i0 : i0 + 1024]
-            for j0 in range(0, n, 4096):
+            for j0 in range(i0, n, 4096):
                 S = Ai @ Vn[j0 : j0 + 4096].T
                 ii, jj = np.nonzero(
                     (S >= margin) & (vi[:, None] < vids[j0 : j0 + 4096][None, :])

@@ -108,20 +108,51 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join+distinct edge derivation, tripling the dominant subtree's memory
     # pressure (the flaky 8 g heap death at sf10). Release is the session
     # LRU / the bench harness's clearCache between reps.
+    #
+    # The cache is PARTITION-ALIGNED (r15): hash-repartitioned on src to the
+    # session's shuffle-partition count BEFORE persisting, so every
+    # consumer keyed by src/node — the degree aggregate and BOTH iteration
+    # joins — reads the cached partitioning instead of re-shuffling the
+    # full edge list per round. One extra exchange at materialization buys
+    # the removal of one full-edge exchange per iteration plus the degree
+    # exchange (guide §2.4 "two operations keyed the same way share one
+    # exchange"); the repartition count tracks spark.sql.shuffle.partitions,
+    # so the alignment is scale-adaptive, not a local[32] constant.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
         .unionByName(
             pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
         )
+        .repartition(n_part, "src")
         .persist()
     )
+    # MATERIALIZE the cache before building the consumers: an unmaterialized
+    # cache under AQE wraps its plan in an un-finalized AdaptiveSparkPlan
+    # whose output partitioning reads as unknown, so every consumer plans a
+    # defensive re-exchange and the repartition above buys nothing (measured:
+    # the deg aggregate and both iteration joins each kept a full-edge
+    # Exchange). After the count the InMemoryRelation exposes
+    # hashpartitioning(src, n_part) and the downstream joins/aggregates plan
+    # exchange-free. The count is bounded driver state (one long) — the same
+    # in-function action pattern as cdc.py's frontier collect.
+    edges.count()
     # deg doubles as the node base (every node appears as a src of the
     # undirected edge list), and the rank vector CARRIES outdeg — one
     # join per iteration against edges instead of separate pr/deg/nodes
-    # joins (3→2 per round, measured on the sf0.1 bench)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("outdeg")
+    # joins (3→2 per round, measured on the sf0.1 bench). Persisted (r15):
+    # deg feeds the init vector plus one left join per iteration; uncached,
+    # each consumer re-aggregated the full cached edge list (3 node-count
+    # aggregates over |E| rows in the 2-iteration plan). Planned after the
+    # edges materialization, the aggregate itself is exchange-free and deg
+    # inherits the hash(node = src) partitioning both iteration left-joins
+    # need; materialized for the same plan-time-visibility reason as edges.
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("outdeg"))
+        .persist()
     )
+    deg.count()
     pr = deg.withColumn("pr", F.lit(_MASS).cast("bigint"))
     for _ in range(_ITERS):
         contrib = (

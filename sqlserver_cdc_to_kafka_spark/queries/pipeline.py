@@ -665,14 +665,17 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplitude/RMS from the decoded waveform (pipeline.multimodal.decode_wav).
     The oracle recomputes every feature from the generation formula, so a
     parser bug (chunk offset, alignment, sign, sample width) breaks the
-    hash."""
+    hash. r15: synthesis and parse run FUSED in one Arrow pass (guide §4 —
+    the two-step composition shipped every payload across the Python
+    boundary twice; see pipeline.multimodal.synth_and_extract_audio_features;
+    the standalone attach/extract operators remain for payload-consuming
+    callers and their tests)."""
     from sqlserver_cdc_to_kafka_spark.pipeline.multimodal import (
-        attach_wav_payload,
-        extract_audio_features,
+        synth_and_extract_audio_features,
     )
 
     docs = _docs(spark, sf_dir)
-    return extract_audio_features(attach_wav_payload(docs, "doc_id"), "doc_id")
+    return synth_and_extract_audio_features(docs, "doc_id")
 
 
 def _minhash_audit_oracle() -> str:

@@ -124,10 +124,18 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     an add-1-smoothed bigram model FROM the corpus in one aggregation pass,
     then score every document by its mean log2 P(w_i | w_{i-1}); documents
     far from the corpus distribution (gibberish, boilerplate) score low.
-    Rolled up per source. Two aggregations + two equality joins on the
-    bigram keys — model and corpus co-shuffle on the same keys; no Python.
-    The vocabulary size is a bounded scalar (one count), the only
-    driver-side value."""
+    Rolled up per source. The model/denominator counts attach as TWO
+    STACKED COUNT WINDOWS over one exchange (r15): the w1-partition window
+    shuffles the bigram stream by hash(w1) once, and the (w1, w2) window on
+    top needs no further exchange — hash(w1) already clusters (w1, w2) —
+    only an in-partition re-sort. The r14 form aggregated the same counts
+    into model/lefts relations and equality-joined them back, which
+    re-derived the exploded bigram stream (split + explode of the corpus)
+    three times and exchanged it for each join (guide §2.4). Same integer
+    counts, same lp expression; no Python. The vocabulary size is a bounded
+    scalar (one count), the only driver-side value."""
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     w = docs.select("doc_id", "source", F.split("text", " ").alias("ws"))
     flat = (
@@ -144,14 +152,14 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "b.w1", "b.w2")
     )
-    model = flat.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    lefts = flat.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = (
         w.select(F.explode("ws").alias("word")).agg(F.count_distinct("word")).collect()[0][0]
     )
+    w_left = Window.partitionBy("w1")
+    w_pair = Window.partitionBy("w1", "w2")
     scored = (
-        flat.join(model, ["w1", "w2"])
-        .join(lefts, "w1")
+        flat.withColumn("c1", F.count("*").over(w_left))
+        .withColumn("c", F.count("*").over(w_pair))
         .select(
             "doc_id",
             "source",
@@ -676,33 +684,42 @@ def incremental_dedup_status(
         .select("doc_id")
         .withColumn("__exact", F.lit(True))
     )
-    sizes = base.select("doc_id", F.size("shingles").alias("sz"))
-    sh = base.select("doc_id", "side", F.explode("shingles").alias("shingle"))
+    # per-doc shingle counts ride along through the inverted index (one int
+    # per exchange row) so the jaccard denominator needs no size joins after
+    # the candidate aggregate — same r15 carry as ngram_jaccard_pairs
+    sh = base.select(
+        "doc_id", "side", F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("shingle"),
+    )
     cor_sh = sh.filter(F.col("side") == "corpus").select(
-        F.col("doc_id").alias("cor_id"), "shingle"
+        F.col("doc_id").alias("cor_id"), F.col("sz").alias("sz_b"), "shingle"
     )
     if max_doc_freq is not None:
-        # Stop-shingle cap: keep only shingles appearing in ≤ N corpus docs.
-        # One extra agg over the corpus index; at scale this frequency table
-        # is maintained incrementally alongside the shingle store.
-        rare = (
-            cor_sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
+        # Stop-shingle cap as a COUNT window over the shingle partition (r15):
+        # the r14 form aggregated the corpus index by shingle and semi-joined
+        # it back against itself — two exchanges of the index; the window
+        # needs one, and the candidate join below reuses its hash(shingle)
+        # partitioning AND sort, so the corpus side reaches the join with
+        # zero further exchanges (guide §2.4). Same row-count-per-shingle
+        # semantics (shingles are per-doc distinct). At scale this frequency
+        # table is maintained incrementally alongside the shingle store.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        cor_sh = (
+            cor_sh.withColumn("__df", F.count("*").over(w))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
         )
-        cor_sh = cor_sh.join(rare, "shingle", "leftsemi")
     inter = (
         sh.filter(F.col("side") == "incoming")
-        .select(F.col("doc_id").alias("inc_id"), "shingle")
+        .select(F.col("doc_id").alias("inc_id"), F.col("sz").alias("sz_a"), "shingle")
         .join(cor_sh, "shingle")
-        .groupBy("inc_id", "cor_id")
+        .groupBy("inc_id", "cor_id", "sz_a", "sz_b")
         .agg(F.count("*").alias("n"))
     )
     near = (
-        inter.join(sizes.select(F.col("doc_id").alias("inc_id"), F.col("sz").alias("sz_a")), "inc_id")
-        .join(sizes.select(F.col("doc_id").alias("cor_id"), F.col("sz").alias("sz_b")), "cor_id")
-        .filter(
+        inter.filter(
             F.col("n") / (F.col("sz_a") + F.col("sz_b") - F.col("n")).cast("double")
             >= F.lit(threshold)
         )

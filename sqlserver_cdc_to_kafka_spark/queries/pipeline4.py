@@ -315,6 +315,11 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "source", "text", "split", quality_prob().alias("p")).persist()
     train = base.filter(F.col("split") == "train")
     qual = train.filter(F.col("p") >= 0.5)
+    # NOTE (r15): a min-window over the md5(text) partition was tried here
+    # instead of agg + semi-join and MEASURED SLOWER (isolated best-of-2
+    # 2.96 → 3.33 s): the semi-join's build side is doc_ids only (AQE
+    # broadcasts it, so qual's text payload is never exchanged), while the
+    # window shuffles the full text column by md5 once per consumer branch.
     keep = qual.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
     dedup = qual.join(keep.select("doc_id"), "doc_id", "leftsemi")
     evs = (

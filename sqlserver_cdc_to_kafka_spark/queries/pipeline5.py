@@ -184,8 +184,16 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     StrictMath vs C libm can differ in the last ulp — a real hash-gate
     flake for zero analytical gain, since the ranking is monotone-identical
     for fixed tf).  Plan: tokenize-explode (no shuffle) → (doc,term) tf agg
-    → term df agg → co-shuffled join on term, 1-row N broadcast, and a
-    per-doc window whose partitions are bounded by per-doc vocabulary."""
+    → term df agg → join on term (AQE broadcasts the df table while it
+    fits), 1-row N broadcast, and a per-doc window whose partitions are
+    bounded by per-doc vocabulary.  r15 notes: (a) df is a plain COUNT —
+    tf already has exactly one row per (doc, term), so the r14
+    count_distinct paid a two-phase distinct expansion for the same value;
+    (b) replacing the df agg+join with a COUNT window over the term
+    partition was tried and MEASURED 2× SLOWER (isolated 1.67 → 3.4–3.8 s):
+    the window sorts the whole tf stream by term, while the agg's df table
+    broadcast-joins without ever exchanging tf — the corpus-funnel lesson
+    again (window ≠ free even when it saves an exchange on paper)."""
     from pyspark.sql import Window
 
     docs = ensure_parallel(load_table(spark, sf_dir, "documents"))
@@ -193,7 +201,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df, "term")

