@@ -369,33 +369,25 @@ def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, planes: int = LSH_PLAN
     )
 
 
-def ivf_assignments(
-    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8
-) -> DataFrame:
-    """IVF coarse quantizer with deterministic centroids (the first
-    ``n_centroids`` vectors by id — a fixed, engine-portable choice standing
-    in for a k-means fit, which at 100 TB would be trained on a sample and
-    broadcast exactly the same way).
-
-    Returns (vid, v, n, cid, cs, crank): every vector with its cosine to each
-    centroid ranked; crank=1 is the assignment, crank<=nprobe is the probe
-    list. Centroids are broadcast — the corpus is scanned once, no shuffle of
-    the big side."""
-    e = df.select(
-        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
-    ).withColumn("n", l2_norm(F.col("v")))
-    cent = e.filter(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("n").alias("cn")
+def _rank_desc_then_id(l: Column, r: Column) -> Column:
+    """array_sort comparator reproducing ``ORDER BY cs DESC, cid ASC`` with
+    Spark's SQL ordering semantics exactly: NaN sorts as the LARGEST double
+    (first under DESC) and equal to itself; 0.0/-0.0 compare equal and fall
+    through to the cid tiebreak — so the sorted array is the same total
+    order row_number() produced."""
+    cid_cmp = (
+        F.when(l["cid"] < r["cid"], F.lit(-1))
+        .when(l["cid"] > r["cid"], F.lit(1))
+        .otherwise(F.lit(0))
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vid",
-        "v",
-        "n",
-        "cid",
-        F.round(dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6).alias("cs"),
+    return (
+        F.when(F.isnan(l["cs"]) & F.isnan(r["cs"]), cid_cmp)
+        .when(F.isnan(l["cs"]), F.lit(-1))
+        .when(F.isnan(r["cs"]), F.lit(1))
+        .when(l["cs"] > r["cs"], F.lit(-1))
+        .when(l["cs"] < r["cs"], F.lit(1))
+        .otherwise(cid_cmp)
     )
-    w = Window.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("cid"))
-    return scored.withColumn("crank", F.row_number().over(w))
 
 
 def ivf_topk(
@@ -412,15 +404,66 @@ def ivf_topk(
     ``nprobe`` nearest clusters, exact top-k within the probed lists. At
     scale the corpus is written bucketed by cluster id so a probe is a
     partition-pruned scan; recall < 1.0 by design — the exact counterpart is
-    ``cosine_topk``."""
-    asg = ivf_assignments(df, id_col, vec_col, n_centroids).cache()
-    lists = asg.filter(F.col("crank") == 1).select(
-        F.col("vid").alias("c_id"), F.col("v").alias("cv2"), F.col("n").alias("cn2"),
-        F.col("cid").alias("cluster"),
+    ``cosine_topk``.
+
+    Centroids are deterministic: the first ``n_centroids`` vectors by id —
+    a fixed, engine-portable choice standing in for a k-means fit, which at
+    100 TB would be trained on a sample and broadcast exactly the same way.
+
+    r15 (guide §2.3/§2.4, the kmeans/label_margin attach pattern): the r14
+    shape crossJoined the corpus against the centroid rows (×n_centroids row
+    multiplication) and ranked with a corpus-wide row_number window — one
+    full shuffle of every vector payload just to order n_centroids numbers
+    per row, then cached that ×8 relation for two consumers.  Now the
+    centroids ride as ONE broadcast array row (bounded driver state —
+    n_centroids vectors) and each vector sorts its own n_centroids-element
+    score array in place (comparator ≡ the window's ORDER BY, see
+    ``_rank_desc_then_id``), so cluster assignment is MAP-ONLY: no row
+    multiplication, no corpus shuffle, no cache.  The only remaining
+    exchange is the final per-query rank over the probed candidates, which
+    is inherent to exact top-k."""
+    e = df.select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    cent_rows = sorted(
+        e.filter(F.col("vid") < n_centroids)
+        .select(F.col("vid").alias("cid"), "v", "n")
+        .collect(),
+        key=lambda r: r["cid"],
     )
-    probes = asg.filter((F.col("vid") < query_max_id) & (F.col("crank") <= nprobe)).select(
+    cents_df = df.sparkSession.createDataFrame(
+        [
+            (
+                [
+                    (int(r["cid"]), [float(x) for x in r["v"]], float(r["n"]))
+                    for r in cent_rows
+                ],
+            )
+        ],
+        "cents array<struct<cid:bigint,cv:array<double>,cn:double>>",
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(dot(F.col("v"), c["cv"]) / (F.col("n") * c["cn"]), 6).alias(
+                    "cs"
+                ),
+                c["cid"].alias("cid"),
+            ),
+        ),
+        _rank_desc_then_id,
+    )
+    asg = e.crossJoin(F.broadcast(cents_df)).select("vid", "v", "n", ranked.alias("ranked"))
+    lists = asg.select(
+        F.col("vid").alias("c_id"), F.col("v").alias("cv2"), F.col("n").alias("cn2"),
+        F.element_at("ranked", 1)["cid"].alias("cluster"),
+    )
+    probes = asg.filter(F.col("vid") < query_max_id).select(
         F.col("vid").alias("q_id"), F.col("v").alias("qv"), F.col("n").alias("qn"),
-        F.col("cid").alias("cluster"),
+        F.explode(
+            F.transform(F.slice("ranked", 1, nprobe), lambda s: s["cid"])
+        ).alias("cluster"),
     )
     scored = lists.join(F.broadcast(probes), "cluster").select(
         "q_id",

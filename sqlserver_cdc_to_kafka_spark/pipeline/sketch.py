@@ -63,7 +63,13 @@ def count_min_estimates(df: DataFrame, item_col: str) -> DataFrame:
     """(item, exact_count, cms_estimate): every distinct item's true count
     next to its CMS point estimate (min over depth rows of the hashed
     counter). estimate >= exact always — collisions only inflate."""
-    counters = count_min_counters(df, item_col)
+    # r15 (guide §2.3 "aggregate before you shuffle"): the counter table is
+    # a linear function of the exact-count table — c(depth, bucket) =
+    # Σ exact_count over items hashing there — so both sketch sides derive
+    # from ONE aggregation of the item stream instead of two full
+    # derivations (the r14 shape exploded the RAW stream ×CMS_DEPTH and
+    # md5-hashed every occurrence; now the ×4 explode and the hashes run
+    # over distinct items only). Exact integer sums → identical counters.
     exact = (
         df.select(F.col(item_col).alias("item"))
         .groupBy("item")
@@ -72,6 +78,9 @@ def count_min_estimates(df: DataFrame, item_col: str) -> DataFrame:
     probes = exact.withColumn(
         "depth", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
     ).withColumn("bucket", _cms_bucket(F.col("depth"), F.col("item")))
+    counters = probes.groupBy("depth", "bucket").agg(
+        F.sum("exact_count").alias("count")
+    )
     return (
         probes.join(counters, ["depth", "bucket"])
         .groupBy("item", "exact_count")

@@ -540,16 +540,24 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours, no cross join against a global calendar — a user active one
     day never expands to the corpus's full history), then one
     co-partitioned left join against the actual hourly aggregate."""
+    # r15 wave 3 (guide §2.4 — remove the join outright): every hour in a
+    # user's [min, max] span either HAS an actual row or lies strictly
+    # between two consecutive actual hours of that user.  So instead of a
+    # spans aggregate (a second full scan of events) + sequence-exploded
+    # grid + grid⋈actual left join, each hourly-aggregate row emits ITSELF
+    # plus its trailing gap hours: explode
+    # sequence(hour, coalesce(next_hour − 1, hour)) over a lead() window —
+    # adjacent hours add nothing, the span's last hour has no successor so
+    # no gaps trail it (exactly the old [min, max] grid semantics).  ONE
+    # subtree: one events scan (was 2), two exchanges (the hourly
+    # aggregate + the user window over hour-level rows), zero joins (was
+    # 3 exchanges + join; a present/gaps union form was tried first but
+    # column pruning specialised the two branches' aggregates and broke
+    # AQE stage reuse — this single-Generate form shares everything by
+    # construction).
     ev = _events_us_full(spark, sf_dir)
     hours = ev.select(
         "user_id", (F.col("us") / _HOUR_US_GF).cast("bigint").alias("hour"), "value"
-    )
-    spans = hours.groupBy("user_id").agg(
-        F.min("hour").alias("h_lo"), F.max("hour").alias("h_hi")
-    )
-    grid = spans.select(
-        "user_id",
-        F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("hour"),
     )
     actual = hours.groupBy("user_id", "hour").agg(
         F.count("*").alias("n"),
@@ -557,12 +565,30 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_micros"),
     )
-    return grid.join(actual, ["user_id", "hour"], "left").select(
+    w_next = Window.partitionBy("user_id").orderBy("hour")
+    with_next = actual.withColumn("next_hour", F.lead("hour").over(w_next))
+    filled = with_next.select(
+        "user_id",
+        F.col("hour").alias("actual_hour"),
+        "n",
+        "value_micros",
+        F.explode(
+            F.sequence(
+                F.col("hour"),
+                F.coalesce(F.col("next_hour") - 1, F.col("hour")),
+            )
+        ).alias("hour"),
+    )
+    is_gap = F.col("hour") != F.col("actual_hour")
+    return filled.select(
         "user_id",
         (F.col("hour") * _HOUR_US_GF).alias("hour_us"),
-        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
-        F.coalesce("value_micros", F.lit(0)).cast("bigint").alias("value_micros"),
-        F.col("n").isNull().alias("is_gap"),
+        F.when(is_gap, F.lit(0)).otherwise(F.col("n")).cast("bigint").alias("n"),
+        F.when(is_gap, F.lit(0))
+        .otherwise(F.coalesce("value_micros", F.lit(0)))
+        .cast("bigint")
+        .alias("value_micros"),
+        is_gap.alias("is_gap"),
     )
 
 

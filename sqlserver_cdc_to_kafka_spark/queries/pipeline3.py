@@ -6,7 +6,7 @@ incremental new-batch-vs-corpus dedup — each hash-checked against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
@@ -529,15 +529,28 @@ def q_dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
-    freq = chunks.groupBy("chunk_hash").agg(
-        F.count_distinct("doc_id").alias("n_docs_with")
+    # r15 wave 3 (guide §2.4): the r14 shape derived `chunks` TWICE — once
+    # into the count_distinct freq aggregate and once as the probe side of
+    # chunks⋈freq — so the corpus-wide split+md5 chunking ran two full
+    # passes, and the join exchanged the whole chunk stream a third time.
+    # Instead: pre-aggregate to one row per (chunk_hash, doc_id) carrying
+    # the within-doc multiplicity c, then n_docs_with is a plain COUNT
+    # window over the chunk_hash partition (rows ARE distinct docs), and
+    # the per-doc rollup sums c.  One chunk derivation, no join; the
+    # exchanges carry (hash, id, c) — never text.  Counts are exact
+    # integers → identical in any combine order.
+    g = chunks.groupBy("chunk_hash", "doc_id", "source").agg(
+        F.count("*").alias("c")
     )
+    w_hash = Window.partitionBy("chunk_hash")
     per_doc = (
-        chunks.join(freq, "chunk_hash")
+        g.withColumn("n_docs_with", F.count("*").over(w_hash))
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").alias("n_chunks"),
-            F.count_if(F.col("n_docs_with") > 1).alias("n_dup_chunks"),
+            F.sum("c").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs_with") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup_chunks"
+            ),
         )
     )
     return per_doc.groupBy("source").agg(

@@ -313,13 +313,34 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after every rep precisely so warm reruns cannot silently skip the
     # quality scan — the r9 25.8 s -> 4.2 s warm-inflation hazard).
     base = docs.select("doc_id", "source", "text", "split", quality_prob().alias("p")).persist()
-    train = base.filter(F.col("split") == "train")
-    qual = train.filter(F.col("p") >= 0.5)
     # NOTE (r15): a min-window over the md5(text) partition was tried here
     # instead of agg + semi-join and MEASURED SLOWER (isolated best-of-2
     # 2.96 → 3.33 s): the semi-join's build side is doc_ids only (AQE
     # broadcasts it, so qual's text payload is never exchanged), while the
     # window shuffles the full text column by md5 once per consumer branch.
+    #
+    # r15 wave 3 — count algebra (guide §1.2 "don't compute things you
+    # throw away"). The funnel reports COUNTS, not rows, so three whole
+    # subtrees of the r14 plan were materializing relations only to count
+    # them:
+    #   * corpus / train_split / quality_kept were three separate scans of
+    #     the cache → ONE aggregate pass with conditional counts, unpivoted
+    #     by stack();
+    #   * |dedup| = |keep| (keep's doc_ids are distinct and all inside
+    #     qual; doc_id is unique in documents) = the number of md5(text)
+    #     groups in qual → count_distinct, no semi-join; the coalesce
+    #     sentinel ('∅' is outside md5's hex alphabet) keeps a NULL-text
+    #     group countable exactly as GROUP BY would;
+    #   * cont ⊆ dedup by construction and doc_id is unique, so
+    #     |clean| = |dedup| − |cont| → the anti-join branch (which re-ran
+    #     the entire keep+semi+explode+semi+distinct chain) is pure
+    #     arithmetic on two scalars.
+    # PRECONDITION (same class as graph.py's nonnegative-key note): doc_id
+    # unique per row — holds for the documents table by generation; a
+    # duplicated id would break the |clean| subtraction.
+    is_train = F.col("split") == "train"
+    is_qual = is_train & (F.col("p") >= 0.5)
+    qual = base.filter(is_qual)
     keep = qual.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
     dedup = qual.join(keep.select("doc_id"), "doc_id", "leftsemi")
     evs = (
@@ -333,24 +354,24 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = dedup.join(cont, "doc_id", "left_anti")
 
-    counts = [
-        df.groupBy().agg(
-            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_docs")
-        )
-        for name, df in (
-            ("corpus", base),
-            ("train_split", train),
-            ("quality_kept", qual),
-            ("exact_deduped", dedup),
-            ("decontaminated", clean),
-        )
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionAll(c)
-    return out
+    head = base.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.count(F.when(is_train, F.lit(1))).alias("n_train"),
+        F.count(F.when(is_qual, F.lit(1))).alias("n_qual"),
+    ).selectExpr(
+        "stack(3, 'corpus', n_corpus, 'train_split', n_train,"
+        " 'quality_kept', n_qual) AS (stage, n_docs)"
+    )
+    dn = qual.agg(
+        F.count_distinct(F.coalesce(F.md5("text"), F.lit("∅"))).alias("n_dedup")
+    )
+    cn = cont.agg(F.count(F.lit(1)).alias("n_cont"))
+    tail = dn.crossJoin(cn).selectExpr(
+        "stack(2, 'exact_deduped', n_dedup,"
+        " 'decontaminated', n_dedup - n_cont) AS (stage, n_docs)"
+    )
+    return head.unionAll(tail)
 
 
 _SUBSTR_K = 8  # window length in tokens (the ExactSubstr overlap unit)

@@ -43,10 +43,14 @@ def test_pinned_totals():
     # consumer — see the graph.py rationale).  If this moves, the PLANSCAN
     # section and a rationale must move with it — that's the point.  r15
     # also added the two prefix-sum operator caches (grouped_prefix_sum /
-    # global_prefix_sum — three driver-action passes each, see merge.py).
+    # global_prefix_sum — three driver-action passes each, see merge.py),
+    # and REMOVED the ivf_topk cache: the broadcast-array rewrite made
+    # cluster assignment map-only, so there is no shared shuffled frame
+    # left worth keeping (recomputing a map-only projection per consumer
+    # is cheaper than materializing the ×n_centroids relation it replaced).
     sites, _ = persist_audit()
-    assert len(sites) == 12
-    assert sum(sites.values()) == 14  # connected_components and pagerank hold two
+    assert len(sites) == 11
+    assert sum(sites.values()) == 13  # connected_components and pagerank hold two
 
 
 def test_every_contract_rationale_is_substantive():

@@ -22,6 +22,8 @@ BNLJ_ALLOWED = {
     "join_range_version_intervals",  # broadcast 1-row max-point fold
     "sketch_quantile_histogram",  # broadcast 3-row quantile probes
     "pipeline_kmeans_centroids",  # broadcast k-row centroid matrix (assignment pass)
+    "pipeline_label_margin",  # broadcast 1-row centroid-matrix array (r15 attach)
+    "pipeline_corpus_build_funnel",  # 1-row×1-row scalar-count attach (r15)
     "text_tfidf_topterms",  # broadcast 1-row corpus-size aggregate (scalar join)
     "ts_user_similarity_topk",  # broadcast 1-row grid-origin scalar (t0)
     "ts_user_similarity_topk_scalable",  # same 1-row t0 broadcast; pair
@@ -71,7 +73,7 @@ BROADCAST_ALLOWED = {
     ("operators/merge.py", "spark.createDataFrame"),  # groups×buckets offset table
     ("pipeline/clustering.py", "centroids"),  # ONE row (array of k structs)
     ("pipeline/similarity.py", "q"),  # query batch: bounded by operator contract
-    ("pipeline/similarity.py", "cent"),  # k centroids
+    ("pipeline/similarity.py", "cents_df"),  # ONE row (centroid array, r15 ivf)
     ("pipeline/similarity.py", "probes"),  # nprobe rows per query
     ("queries/pipeline2.py", "tot"),  # scalar aggregate (1 row)
     ("queries/pipeline4.py", "tot"),  # scalar aggregate (1 row)
@@ -94,6 +96,7 @@ BROADCAST_ALLOWED = {
     ("queries/olap2.py", "region"),  # fixed 5 rows
     ("queries/behavior.py", "base"),  # scalar aggregate (1 row: corpus t0)
     ("queries/pipeline6.py", "tot"),  # scalar aggregate (1 row)
+    ("queries/pipeline6.py", "cents_df"),  # ONE row (label-centroid array, r15)
     ("queries/pipeline6.py", "u"),  # scalar aggregate (1 row: user total)
     ("queries/pipeline6.py", "nation"),  # fixed 25 rows
     ("queries/pipeline6.py", "ks"),  # 4 literal sweep points

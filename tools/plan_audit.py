@@ -211,10 +211,6 @@ UNRELEASED_PERSIST_BY_CONTRACT: dict[str, str] = {
         "both returned (clean, corrupt) views re-read the materialized "
         "parse — the documented _corrupt_record pattern requires it"
     ),
-    "pipeline/similarity.py:ivf_topk": (
-        "the centroid-assignment frame feeds BOTH the inverted lists and "
-        "the probe side of the returned top-k plan"
-    ),
     "operators/merge.py:grouped_prefix_sum": (
         "the bounds agg, the (group, bucket) totals collect and the "
         "returned bucketed window plan all read the caller's projection; "
