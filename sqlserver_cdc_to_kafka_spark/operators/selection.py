@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,8 +44,21 @@ def exact_group_kth(
 ) -> list[tuple]:
     """Return [(group, n, {label: value})] — for each group, the exact
     k-th smallest ``value_col`` for every rank function in ``rank_fns``
-    (each maps the group row-count n -> target rank in [1, n])."""
-    base = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    (each maps the group row-count n -> target rank in [1, n]).
+
+    r15 (guide §5 caching + §1.2): the operator makes THREE passes over
+    its input — stats, bucket counts, residual resolution — and the r14
+    form re-executed the caller's whole upstream DAG for each (the
+    shipping-delay query re-ran its lineitem⋈orders join TWELVE times:
+    2 full passes + one job per group×label).  Now the (g, v) projection
+    is persisted for the operator's lifetime (released before return),
+    and ALL residual ranks resolve in ONE pass: the |groups|·|labels|
+    target-bucket table broadcasts, hash-joins on g with the bucket range
+    as a residual condition, and a row_number window picks the
+    residual-th smallest per (g, label).  Per-(g, label) window slice ≈
+    n_g / n_buckets rows through one task — the same bound the per-target
+    TakeOrdered had."""
+    base = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v")).persist()
     stats = {
         r["g"]: (r["lo"], r["hi"], r["n"])
         for r in base.groupBy("g")
@@ -87,11 +100,10 @@ def exact_group_kth(
     hist: dict = {}
     for r in counts:
         hist.setdefault(r["g"], []).append((r["b"], r["c"]))
-    out: list[tuple] = []
+    targets: list[tuple] = []
     for g, (lo, hi, n) in stats.items():
         w = max(1, (int(hi) - int(lo)) // n_buckets + 1)
         buckets = sorted(hist[g])
-        results: dict[str, int] = {}
         for label, rank_fn in rank_fns.items():
             k = rank_fn(int(n))
             cum = 0
@@ -103,21 +115,35 @@ def exact_group_kth(
                 cum += c
             # residual-th smallest within the candidate bucket only
             blo = int(lo) + int(target_bucket) * w
-            bhi = blo + w
-            vals = (
-                base.filter(
-                    (F.col("g") == g)
-                    & (F.col("v") >= blo)
-                    & (F.col("v") < bhi)
+            targets.append((g, label, blo, blo + w, int(residual)))
+    kth: dict[tuple, int] = {}
+    if targets:
+        g_type = base.schema["g"].dataType.simpleString()
+        tdf = df.sparkSession.createDataFrame(
+            targets,
+            f"tg {g_type}, label string, blo bigint, bhi bigint, residual bigint",
+        )
+        w_rank = Window.partitionBy("g", "label").orderBy("v")
+        kth = {
+            (r["g"], r["label"]): int(r["v"])
+            for r in (
+                base.join(
+                    F.broadcast(tdf),
+                    (F.col("g") == F.col("tg"))
+                    & (F.col("v") >= F.col("blo"))
+                    & (F.col("v") < F.col("bhi")),
                 )
-                .orderBy("v")
-                .limit(int(residual))
-                .agg(F.max("v").alias("kth"))
+                .withColumn("rn", F.row_number().over(w_rank))
+                .filter(F.col("rn") == F.col("residual"))
+                .select("g", "label", "v")
                 .collect()
             )
-            results[label] = int(vals[0]["kth"])
-        out.append((g, int(n), results))
-    return out
+        }
+    base.unpersist()
+    return [
+        (g, int(n), {label: kth[(g, label)] for label in rank_fns})
+        for g, (_lo, _hi, n) in stats.items()
+    ]
 
 
 def exact_group_percentiles_df(

@@ -21,7 +21,7 @@ convergence checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,14 +37,26 @@ def connected_components(
     # cache: every iteration joins against adj — without this, each round
     # re-executes the whole upstream candidate-generation DAG (for near-dup
     # inputs, the full LSH pipeline) instead of reading a materialized edge
-    # list
+    # list.  PARTITION-ALIGNED + MATERIALIZED (r15, the pagerank pattern —
+    # guide §2.4): hash-repartitioned on src to the session's
+    # shuffle-partition count and count()-materialized, so every round's
+    # adj⋈labels join reads the cached partitioning instead of re-shuffling
+    # the full edge list per round (an un-materialized cache under AQE is an
+    # un-finalized AdaptiveSparkPlan whose partitioning reads as unknown, so
+    # consumers plan defensive re-exchanges).  One alignment exchange at
+    # materialization buys diameter-many full-edge exchanges; the count
+    # tracks spark.sql.shuffle.partitions — scale-adaptive, not a local
+    # constant.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     adj = (
         fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .repartition(n_part, "src")
         .cache()
     )
+    adj.count()
     labels = (
         adj.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -114,15 +126,18 @@ def _sym(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """(v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})."""
-    nbrs = _sym(e)
-    mins = (
-        nbrs.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select("u", F.least("mn", F.col("u")).alias("m"))
-    )
+    """(v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u}).
+
+    r15 (guide §2.4, the count-window pattern): the neighborhood minimum is
+    a MIN window over the u partition instead of a groupBy + join-back —
+    the r14 form exchanged the symmetrized edge set three times per star
+    (aggregate, join probe, distinct); the window form exchanges it twice
+    (window, distinct) and drops the join outright.  Exact integer min in
+    any combine order → identical edge set."""
+    w_u = Window.partitionBy("u")
     return (
-        nbrs.join(mins, "u")
+        _sym(e)
+        .withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
@@ -131,13 +146,25 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """(v, m) for every strictly-smaller neighbor v plus u itself, m =
-    min of u's smaller neighborhood; drops the (m, m) self-edge."""
-    nbrs = _sym(e).filter(F.col("v") < F.col("u"))
-    mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    min of u's smaller neighborhood; drops the (m, m) self-edge.
+
+    Same r15 window form as ``_large_star``; the one-per-u (u, m) row the
+    r14 union branch contributed is emitted per edge row instead (a 2-way
+    explode) and collapsed by the final distinct — the same set."""
+    w_u = Window.partitionBy("u")
     cand = (
-        nbrs.join(mins, "u")
-        .select(F.col("v").alias("node"), "m")
-        .unionByName(mins.select(F.col("u").alias("node"), "m"))
+        _sym(e)
+        .filter(F.col("v") < F.col("u"))
+        .withColumn("m", F.min("v").over(w_u))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("node"), F.col("m").alias("m")),
+                    F.struct(F.col("u").alias("node"), F.col("m").alias("m")),
+                )
+            ).alias("nm")
+        )
+        .select("nm.node", "nm.m")
     )
     return (
         cand.filter(F.col("node") != F.col("m"))

@@ -578,10 +578,23 @@ def q_stream_drain_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{tmp}/feed.parquet"
     shutil.copyfile(_glob.glob(f"{stage}/part-*.parquet")[0], path)
     spark.dataSource.register(ChangeFeedDataSource)
+    # r15 (guide §2 "scale-adaptive, not a constant"): the rate limit was a
+    # hard-coded 5000 rows/trigger — a local-mode constant that made the
+    # drain pay ~38 micro-batch round-trips at sf0.1 (each ~1.4 s of
+    # trigger planning + Python-source RPC + job scheduling, measured
+    # 45-57 s total) and would pay MILLIONS at 100 TB.  The batch size now
+    # derives from the staged feed's parquet footer (exact row count, no
+    # data read) to target 8 micro-batches at ANY scale — the multi-batch
+    # offset-planning witness property is preserved at every SF, the
+    # drained row set is identical by construction (rate limiting never
+    # changes WHAT is drained, only the trigger cadence).
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(path).metadata.num_rows
     stream = (
         spark.readStream.format("cdc_change_feed")
         .option("path", path)
-        .option("batchSize", 5000)
+        .option("batchSize", max(1, -(-n_rows // 8)))
         .option("seqColumn", "change_seq")
         .load()
     )

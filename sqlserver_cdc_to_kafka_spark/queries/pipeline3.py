@@ -824,7 +824,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is bounded by the largest cluster, not the corpus; at 100 TB
     k scales with corpus size to cap cluster width, and the pair pass
     reuses the exact-cosine expressions of the ANN baseline."""
-    from sqlserver_cdc_to_kafka_spark.pipeline.clustering import kmeans_fit
+    from sqlserver_cdc_to_kafka_spark.pipeline.clustering import (
+        _best_centroid,
+        kmeans_fit,
+    )
     from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
         as_double_array,
         dot,
@@ -832,26 +835,69 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    assigned, _cents = kmeans_fit(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    # r15 (guide §2.4): the r14 shape joined emb back against kmeans_fit's
+    # assignment — but the assignment IS a map-only projection over the
+    # same embeddings frame kmeans_fit already persisted, so the join paid
+    # two corpus exchanges (×3 consumers: both self-join sides + the
+    # rollup) to attach a column each consumer can compute in place.  ev
+    # now derives cid directly from the returned 1-row centroid array with
+    # the same `_best_centroid` expression against the same centroid
+    # literals — bit-identical assignment, zero exchanges; the remaining
+    # shuffles are the within-cluster self-join's own (by cid), which are
+    # the query's payload.
+    _assigned, cents = kmeans_fit(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    # ev is PERSISTED (r15): four consumers read it (the GEMM prefilter,
+    # both verify-join sides, the rollup) and the k×dim argmin fold it
+    # carries is the expensive part of the projection — uncached, every
+    # consumer re-evaluated it (measured ~1.5 s/pass at sf0.1).  Same
+    # caller-managed lazy-return pattern as kmeans_fit's own input cache.
     ev = (
-        emb.join(assigned.select("vec_id", "cid"), "vec_id")
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.col("embedding"),
+            _best_centroid("embedding")["cid"].alias("cid"),
+        )
         .select("vec_id", "cid", as_double_array("embedding").alias("v"))
         .withColumn("n", l2_norm(F.col("v")))
+        .persist()
     )
-    a = ev.select(
-        F.col("cid").alias("p_cid"),
+    # r15 (guide §4, the r14 threshold-pairs kernel): the within-cluster
+    # pair pass scored Θ(Σ n_c²) JVM higher-order-function dot folds
+    # through an O(n_c²)-row self-join.  Now each cluster runs the SAME
+    # per-group numpy tiled-GEMM prefilter the LSH path uses
+    # (`_bucket_near_pairs`, margin threshold − 5e-7 − 1e-9, provable
+    # candidate superset), and the exact Catalyst verify re-scores only
+    # the near-pairs — output pair set bit-identical, the DuckDB oracle
+    # untouched.  Clusters PARTITION the corpus (each vector has exactly
+    # one cid), so no distinct is needed and a pair's cid re-derives from
+    # either endpoint in the verify join.  Memory contract: one cluster
+    # must fit a worker's pandas group — the same k-scales-with-corpus
+    # contract the within-cluster self-join already required (docstring
+    # above).
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
+        _bucket_near_pairs,
+    )
+
+    cand = (
+        ev.select("cid", F.col("vec_id").alias("vid"), "v")
+        .groupBy("cid")
+        .applyInPandas(_bucket_near_pairs(_SEMDEDUP_COS), "vec_a bigint, vec_b bigint")
+    )
+    ea = ev.select(
         F.col("vec_id").alias("vec_a"),
+        F.col("cid").alias("p_cid"),
         F.col("v").alias("va"),
         F.col("n").alias("na"),
     )
-    b = ev.select(
-        F.col("cid").alias("b_cid"),
+    eb = ev.select(
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
         F.col("n").alias("nb"),
     )
     pairs = (
-        a.join(b, (a.p_cid == b.b_cid) & (a.vec_a < b.vec_b))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn(
             "cos", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
         )

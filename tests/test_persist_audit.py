@@ -48,9 +48,12 @@ def test_pinned_totals():
     # cluster assignment map-only, so there is no shared shuffled frame
     # left worth keeping (recomputing a map-only projection per consumer
     # is cheaper than materializing the ×n_centroids relation it replaced).
+    # r15 also added q_semdedup's `ev` persist — four consumers read the
+    # assignment projection whose k×dim argmin fold is the expensive
+    # column (see the pipeline3 rationale).
     sites, _ = persist_audit()
-    assert len(sites) == 11
-    assert sum(sites.values()) == 13  # connected_components and pagerank hold two
+    assert len(sites) == 12
+    assert sum(sites.values()) == 14  # connected_components and pagerank hold two
 
 
 def test_every_contract_rationale_is_substantive():
@@ -68,6 +71,7 @@ def test_mixed_persist_release_set_is_pinned():
     # test_unreleased_persists_exactly_match_contract's empty-flags assert —
     # so here we just pin the set so additions are a conscious edit.
     assert set(MIXED_PERSIST_RELEASE_BY_CONTRACT) == {
+        "operators/selection.py:exact_group_kth",
         "pipeline/components.py:connected_components_star",
         "queries/pipeline6.py:q_coreset_fps",
         "streaming/change_feed.py:run_once",

@@ -89,6 +89,7 @@ BROADCAST_ALLOWED = {
     ("queries/olap2.py", "nation"),  # fixed 25 rows
     ("queries/olap2.py", "pos"),  # scalar aggregate (1 row)
     ("queries/olap2.py", "top"),  # scalar aggregate (1 row)
+    ("queries/pipeline3.py", "cents"),  # ONE row (k-centroid array, r15 semdedup)
     ("queries/pipeline5.py", "n"),  # scalar aggregate (1 row: corpus size)
     ("queries/pipeline5.py", "tot"),  # scalar aggregate (1 row: doc total)
     ("queries/olap2.py", "n1"),  # nation alias, fixed 25 rows
@@ -109,6 +110,8 @@ BROADCAST_ALLOWED = {
     # by predicate contract (vec_id % 10 == 0 AND vec_id < 10000)
     ("queries/pipeline6.py", "sp"),  # scalar aggregate (1 row: fold spread)
     ("operators/merge.py", "tot"),  # scalar aggregate (1 row: ntile row count)
+    ("operators/selection.py", "tdf"),  # |groups|·|labels| target buckets —
+    # bounded by the operator's low-cardinality-groups contract (r15)
 }
 
 

@@ -238,6 +238,12 @@ UNRELEASED_PERSIST_BY_CONTRACT: dict[str, str] = {
         "both the incoming and corpus sides of the returned status union "
         "read the fingerprint/shingle base"
     ),
+    "queries/pipeline3.py:q_semdedup": (
+        "the GEMM prefilter, both exact-verify join sides and the rollup "
+        "read the assignment projection `ev`, whose k×dim argmin fold is "
+        "the expensive column (r15); same lazy-return persist pattern as "
+        "kmeans_fit's input cache"
+    ),
     "queries/pipeline4.py:q_corpus_build_funnel": (
         "the five funnel stage counts share the dominant quality scan; "
         "the returned one-job union is lazy by registry contract"
@@ -261,6 +267,12 @@ MIXED_PERSIST_RELEASE_BY_CONTRACT: dict[str, str] = {
         "try/finally releases the SAME persisted candidate frame `ev` "
         "after the k-iteration argmax loop — every collect runs before "
         "the release"
+    ),
+    "operators/selection.py:exact_group_kth": (
+        "releases the SAME persisted (g, v) projection `base` after the "
+        "stats / bucket-count / batched-residual collects all drain it "
+        "(r15: the projection previously re-executed the caller's whole "
+        "upstream DAG once per pass and once per group×label target)"
     ),
     "streaming/change_feed.py:run_once": (
         "try/finally releases the SAME persisted micro-batch frame "
