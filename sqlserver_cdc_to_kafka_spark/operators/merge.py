@@ -148,6 +148,10 @@ def grouped_prefix_sum(
         buckets = max(spark.sparkContext.defaultParallelism, 16)
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).collect()[0]
     if lo is None:
+        # empty/all-null input: the trivial plan below reads at most a
+        # handful of rows — release the persist here, no consumer needs it
+        # (r16, from the r15 ADVICE early-return-leak note)
+        df.unpersist()
         return df.withColumn(out_col, F.lit(None).cast("bigint"))
     bucketed = df.withColumn(
         "__bucket",
@@ -242,6 +246,9 @@ def global_prefix_sum(
     ).persist()
     lo, hi = d.agg(F.min("__num"), F.max("__num")).collect()[0]
     if lo is None:
+        # empty/all-null input: the returned plan reads `df`, not `d` — the
+        # persisted `d` would otherwise leak with no reader (r15 ADVICE)
+        d.unpersist()
         return df.withColumn(out_col, F.lit(None).cast("bigint"))
     d = d.withColumn(
         "__bucket",

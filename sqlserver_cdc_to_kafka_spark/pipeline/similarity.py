@@ -222,7 +222,7 @@ def cosine_threshold_pairs_lsh(
     )
 
 
-def _bucket_near_pairs(threshold: float):
+def _bucket_near_pairs(threshold: float, max_bucket_rows: int = 4_000_000):
     """Per-(band, hash)-bucket candidate generator: a numpy tiled-GEMM
     cosine prefilter emitting ordered pairs (vec_a < vec_b) whose BLAS
     cosine ≥ ``threshold − 5e-7 − 1e-9``.
@@ -243,15 +243,51 @@ def _bucket_near_pairs(threshold: float):
     skipping every strictly-sub-diagonal tile whose pairs the mask would
     discard wholesale. Halves the prefilter GEMM flops; emitted pair set is
     identical (each i<j pair still scored exactly once, by the same BLAS
-    dot of the same normalized rows)."""
+    dot of the same normalized rows).
+
+    Runtime guards (r16, VERDICT task 3):
+
+    * ``max_bucket_rows`` — one (band, hash) bucket materializes as a dense
+      numpy matrix in ONE Python worker, so an oversized/skewed bucket (bad
+      LSH parameterization, a degenerate corpus where many vectors share a
+      signature) previously OOM-killed the worker with no diagnosis. The
+      kernel now fails LOUDLY with the bucket size and the limit before
+      allocating. The default (4M rows ≈ 4 GiB of float64 at dim 64 for
+      V + Vn) is a sanity backstop, not a tuning knob: any healthy
+      parameterization keeps buckets ~N/2^band_size, orders of magnitude
+      below it.
+    * ``margin <= 0`` (threshold ≤ ~5e-7) — the GEMM score test ``S >=
+      margin`` then passes EVERY pair, silently degrading the prefilter to
+      the full quadratic pair set. Warn at plan-construction time (this
+      factory runs on the driver) instead of silently burning the flops.
+    """
     import numpy as np
 
     margin = threshold - 5e-7 - 1e-9
+    if margin <= 0:
+        import warnings
+
+        warnings.warn(
+            f"_bucket_near_pairs: threshold={threshold} gives margin={margin}"
+            " <= 0 — the GEMM prefilter passes every pair (quadratic"
+            " candidate set); use a threshold > 5.1e-7 or the exact"
+            " cosine_threshold_pairs path",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     def gen(pdf):
         import pandas as pd
 
         n = len(pdf)
+        if n > max_bucket_rows:
+            raise RuntimeError(
+                f"_bucket_near_pairs: bucket of {n} rows exceeds"
+                f" max_bucket_rows={max_bucket_rows}; an LSH/cluster bucket"
+                " this large would OOM the Python worker (dense GEMM is"
+                " O(bucket^2) scores). Re-parameterize (larger band_size /"
+                " more clusters) or sub-salt the bucket key."
+            )
         if n < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
         vids = pdf["vid"].to_numpy()

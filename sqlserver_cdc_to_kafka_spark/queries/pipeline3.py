@@ -134,8 +134,6 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     three times and exchanged it for each join (guide §2.4). Same integer
     counts, same lp expression; no Python. The vocabulary size is a bounded
     scalar (one count), the only driver-side value."""
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir)
     w = docs.select("doc_id", "source", F.split("text", " ").alias("ws"))
     flat = (
@@ -716,8 +714,6 @@ def incremental_dedup_status(
         # zero further exchanges (guide §2.4). Same row-count-per-shingle
         # semantics (shingles are per-doc distinct). At scale this frequency
         # table is maintained incrementally alongside the shingle store.
-        from pyspark.sql import Window
-
         w = Window.partitionBy("shingle")
         cor_sh = (
             cor_sh.withColumn("__df", F.count("*").over(w))

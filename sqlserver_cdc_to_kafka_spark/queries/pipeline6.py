@@ -894,7 +894,11 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # split pivoted into columns: per (source, pos) the exact integer sums
     # of both splits side by side, plus per-split vector counts tallied on
-    # the pos=1 rows (one row per vector — dim >= 1 always)
+    # the pos=1 rows (one row per vector — dim >= 1 always).  PRECONDITION
+    # (r15 ADVICE): a zero-length embedding would contribute no pos=1 row
+    # and silently vanish from the counts; the embeddings fixture is
+    # fixed-dim (TESTDATA.md) so none exist — a source with variable-dim
+    # vectors must count from the pre-explode frame instead.
     pm = exploded.groupBy("source", "pos").agg(
         F.sum(F.when(F.col("split") == "train", F.col("micro")).otherwise(0))
         .cast("bigint")

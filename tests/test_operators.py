@@ -153,6 +153,38 @@ def test_threshold_pairs_lsh_recall(spark, sf_dir):
     assert recall >= 0.75, f"LSH threshold-pairs recall too low: {recall}"
 
 
+def test_bucket_near_pairs_guards():
+    """r16 (VERDICT task 3): the GEMM-prefilter kernel must fail LOUDLY on
+    an oversized bucket (previously a silent Python-worker OOM) and warn at
+    construction when margin <= 0 silently disables the prefilter."""
+    import warnings
+
+    import pandas as pd
+    import pytest
+
+    from sqlserver_cdc_to_kafka_spark.pipeline.similarity import (
+        _bucket_near_pairs,
+    )
+
+    gen = _bucket_near_pairs(0.4, max_bucket_rows=10)
+    oversized = pd.DataFrame(
+        {"vid": list(range(11)), "v": [[1.0, 0.0]] * 11}
+    )
+    with pytest.raises(RuntimeError, match="max_bucket_rows"):
+        gen(oversized)
+    # at the limit it still runs (boundary is inclusive)
+    ok = gen(oversized.head(10))
+    assert {"vec_a", "vec_b"} == set(ok.columns)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _bucket_near_pairs(0.0)
+    assert any(
+        "margin" in str(w.message) and w.category is RuntimeWarning
+        for w in caught
+    ), "margin<=0 must raise a RuntimeWarning at construction"
+
+
 def test_lsh_params_for_threshold_tuning():
     """The parameter chooser must widen bands as the threshold rises (higher
     p1 → selectivity is cheap) and respect the plane budget."""
