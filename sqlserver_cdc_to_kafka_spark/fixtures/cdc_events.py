@@ -56,30 +56,58 @@ def _conditional(struct_col, cond):
     return F.slice(F.array(struct_col), 1, F.when(cond, 1).otherwise(0))
 
 
-def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_events(
+    spark: SparkSession, sf_dir: str, key_partitioned: bool = False
+) -> DataFrame:
     """Change feed over ``orders`` (single-column PK ``o_orderkey``).
 
     Generated in ONE scan: each order row expands (explode) to its 1-3
     change events — no 3-way self-union, so the source is read and
-    repartitioned once however many branches the derivation has."""
-    orders = ensure_parallel(load_table(spark, sf_dir, "orders"))
+    repartitioned once however many branches the derivation has.
+
+    ``key_partitioned`` (r16, guide §2.4 "share one exchange"): hash-
+    repartition ORDERS by ``o_orderkey`` BEFORE the explode and keep
+    ``o_orderkey`` as the pass-through source column (outside the event
+    struct), so the Generate preserves ``hashpartitioning(o_orderkey)`` and
+    every key-clustered consumer (per-key windows, last-per-key aggregates,
+    key joins) plans with NO further exchange of the event feed. The one
+    shuffle then moves the PRE-explode orders rows — fewer rows, before the
+    1-3× event multiplication — instead of the exploded feed, and a hash
+    exchange (unlike the default round-robin) pays no sort-before-
+    repartition. o_orderkey is unique per source row, so the hash spread is
+    uniform — no skew risk. Identical rows, columns and column order either
+    way; consumers whose first shuffle is NOT keyed by o_orderkey keep the
+    default."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders = (
+        orders.repartition(F.col("o_orderkey"))
+        if key_partitioned
+        else ensure_parallel(orders)
+    )
     k = F.col("o_orderkey")
     et = F.col("o_orderdate")
     all_fields = F.array(*[F.lit(c) for c in ORDERS_PAYLOAD])
 
     def ev(op, seq, time, updated, custkey, status, total, odate, prio):
-        return F.struct(
+        fields = [
             F.lit(op).alias("__operation"),
             seq.cast("bigint").alias("change_seq"),
             time.alias("__event_time"),
             updated.alias("__updated_fields"),
-            k.alias("o_orderkey"),
-            custkey.alias("o_custkey"),
-            status.alias("o_orderstatus"),
-            total.alias("o_totalprice"),
-            odate.alias("o_orderdate"),
-            prio.alias("o_orderpriority"),
+        ]
+        if not key_partitioned:
+            # default layout: key inside the struct (select("e.*") below)
+            fields.append(k.alias("o_orderkey"))
+        fields.extend(
+            [
+                custkey.alias("o_custkey"),
+                status.alias("o_orderstatus"),
+                total.alias("o_totalprice"),
+                odate.alias("o_orderdate"),
+                prio.alias("o_orderpriority"),
+            ]
         )
+        return F.struct(*fields)
 
     ins = ev(
         OP_INSERT, k * 3, et, all_fields,
@@ -102,6 +130,22 @@ def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = F.concat(
         F.array(ins), _conditional(upd, k % 5 == 0), _conditional(del_, k % 17 == 0)
     )
+    if key_partitioned:
+        # o_orderkey passes through the Generate as the ORIGINAL attribute,
+        # which is what lets Catalyst carry hashpartitioning(o_orderkey)
+        # across the explode; column order matches the default path exactly
+        return orders.select("o_orderkey", F.explode(events).alias("e")).select(
+            "e.__operation",
+            "e.change_seq",
+            "e.__event_time",
+            "e.__updated_fields",
+            "o_orderkey",
+            "e.o_custkey",
+            "e.o_orderstatus",
+            "e.o_totalprice",
+            "e.o_orderdate",
+            "e.o_orderpriority",
+        )
     return orders.select(F.explode(events).alias("e")).select("e.*")
 
 

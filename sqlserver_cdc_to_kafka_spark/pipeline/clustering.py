@@ -104,12 +104,25 @@ def kmeans_fit(
             "cents array<struct<cid: int, centroid: array<double>>>",
         )
 
-    centroids = materialize(
+    # Init centroids stay a LAZY 1-row plan (r16, driver-round reduction):
+    # the k lowest-id vectors aggregate to the same sorted
+    # array<struct<cid, centroid>> row in-plan (array_sort over the unique
+    # cid is exactly materialize()'s python sort), and iteration 1 embeds it
+    # as its broadcast side — one TakeOrdered subtree inside iteration 1's
+    # job instead of a SEPARATE init collect round-trip. Only the init is
+    # safe to leave lazy: it is one bounded subtree, whereas leaving the
+    # UPDATED centroids lazy would nest iteration i-1's whole plan inside
+    # iteration i (the documented rejection above). Iteration means are
+    # identical — same init values, same arithmetic.
+    centroids = (
         df.orderBy(id_col)
         .limit(k)
         .select(
             F.col(id_col).cast("int").alias("cid"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("centroid"),
+        )
+        .agg(
+            F.expr("array_sort(collect_list(struct(cid, centroid)))").alias("cents")
         )
     )
     for _ in range(iters):

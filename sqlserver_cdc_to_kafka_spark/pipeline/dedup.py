@@ -124,13 +124,23 @@ def _minhash_params(seeds: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", seeds: int = MINHASH_SEEDS
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    seeds: int = MINHASH_SEEDS,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature vector via universal hashing over ONE
     md5-derived base hash per shingle. All ``seeds`` minima are parallel
     aggregate expressions over one pass of the exploded shingle index
-    (map-side partial min) — never rows ×seeds."""
-    idx = shingle_index(df, id_col, text_col)
+    (map-side partial min) — never rows ×seeds.
+
+    ``index`` (r16): a caller-supplied ``(id_col, shingle)`` inverted index
+    (typically persisted) to read instead of re-deriving the shingle explode
+    from the corpus — the r15 dedup_two_stage plan shingled the corpus FOUR
+    times because the LSH candidate pass and the exact-verify pass each
+    derived the index independently per join side."""
+    idx = shingle_index(df, id_col, text_col) if index is None else index
     base = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
     hashed = idx.select(id_col, base.alias("h"))
     min_exprs = [
@@ -151,11 +161,13 @@ def minhash_lsh_candidate_pairs(
     text_col: str = "text",
     seeds: int = MINHASH_SEEDS,
     band_size: int = LSH_BAND_SIZE,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature; docs colliding in ANY
     band are candidates. Sub-quadratic: candidates come from a groupBy/join
-    on (band, band_hash), never an all-pairs comparison."""
-    sigs = minhash_signatures(df, id_col, text_col, seeds)
+    on (band, band_hash), never an all-pairs comparison. ``index`` as in
+    ``minhash_signatures``."""
+    sigs = minhash_signatures(df, id_col, text_col, seeds, index=index)
     n_bands = seeds // band_size
     band_exprs = [
         F.md5(
@@ -183,8 +195,17 @@ def minhash_lsh_candidate_pairs(
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     a = melted.select(F.col(id_col).alias("doc_a"), "band", "bh")
     b = melted.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    # SHUFFLE_MERGE hint (r16, guide §2.4/§3.1): both self-join sides are
+    # the SAME banded-signature subtree, so forcing the shuffled join makes
+    # their exchanges canonically identical and AQE plans one as a
+    # ReusedExchange — the whole shingle+minhash derivation runs ONCE
+    # instead of once per side (verified in plans/r16/dedup_minhash_lsh_
+    # after.txt). The previous plan broadcast one side, which (a) derived
+    # the corpus subtree twice and (b) broadcast a CORPUS-sized relation —
+    # a guaranteed >8 GB broadcast failure at 100 TB. SMJ spills gracefully
+    # and the hot-bucket skew falls under AQE skew-join handling.
     return (
-        a.join(b, ["band", "bh"])
+        a.join(b.hint("shuffle_merge"), ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

@@ -320,7 +320,11 @@ def q_range_version_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import epoch_micros
     from sqlserver_cdc_to_kafka_spark.operators.rangejoin import banded_range_join
 
-    feed = cdc_events(spark, sf_dir)
+    # key-partitioned feed (r16): the lead() window below is keyed by
+    # o_orderkey, so it reads the Generate's preserved hash(o_orderkey)
+    # partitioning — the exploded interval feed is never shuffled; the one
+    # exchange on this side moves the pre-explode orders rows
+    feed = cdc_events(spark, sf_dir, key_partitioned=True)
     us = epoch_micros(feed, "__event_time")
     w = Window.partitionBy("o_orderkey").orderBy("change_seq")
     intervals = feed.select(

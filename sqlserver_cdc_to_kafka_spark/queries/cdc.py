@@ -91,15 +91,23 @@ def _merged_with_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project to the 3 needed columns BEFORE the merge: the sort/rank then
     # moves 3 narrow columns instead of the whole envelope
     cdc = cdc_events(spark, sf_dir).select("change_seq", "__operation", "o_orderkey")
-    feeds = [
-        cdc.filter(F.col("change_seq") % 2 == 0),
-        cdc.filter(F.col("change_seq") % 2 == 1),
-    ]
+    # The two per-parity feeds (change_seq % 2 == 0 / == 1) partition the
+    # full feed — their UNION ALL is a PERMUTATION of `cdc` itself, and
+    # every consumer below is row-order independent (the frontier aggregate,
+    # the bounded filter, and global_order_rank's bucket window ordered by
+    # the UNIQUE change_seq). So the merge is computed as the single feed
+    # (r16, guide §1.2 "don't compute things you throw away"): the r15 form
+    # materialized the union of the two filter branches, which ran the
+    # cdc_events explode TWICE (AQE reused the scan exchange but not the
+    # Generate) and filtered 2x|feed| rows to keep each row once. The K-way
+    # union itself stays exercised by operators/merge.ordered_merge's tests;
+    # the frontier semantics (per-feed max, then min) are unchanged below.
+    #
     # persisted: the frontier collect below plus the returned lazy rank plan
     # both read `merged`, so the cache must outlive this function — release
     # is caller-managed (LRU eviction / clearCache(), the documented
     # reliance of pipeline/clustering.py)
-    merged = feeds[0].unionByName(feeds[1]).persist()
+    merged = cdc.persist()
     # ONE driver job for frontier + lower bound: per-feed maxes (the feed tag
     # is derivable from the index) and the global min together
     row = merged.agg(
@@ -165,8 +173,16 @@ WHERE rn = 1 AND __operation <> 1
 )
 def q_compaction_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: compacted-topic replay — latest value per key, tombstoned keys
-    dropped (progress_tracking.py:236-246). One shuffle via max_by."""
-    out = last_value_per_key(cdc_events(spark, sf_dir), ["o_orderkey"], "change_seq")
+    dropped (progress_tracking.py:236-246). One shuffle via max_by — and
+    with the key-partitioned feed (r16) that shuffle moves the pre-explode
+    ORDERS rows, not the exploded event feed: the max_by aggregate reads the
+    Generate's preserved hashpartitioning(o_orderkey) and plans
+    exchange-free."""
+    out = last_value_per_key(
+        cdc_events(spark, sf_dir, key_partitioned=True),
+        ["o_orderkey"],
+        "change_seq",
+    )
     return out.select(
         "o_orderkey",
         "o_orderstatus",
@@ -204,9 +220,14 @@ WHERE NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = u.o_orderkey)
 def q_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/J6/W5: the replayer — last-op-per-key dedupe, deletes-first, MERGE
     upsert onto the target (replayer.py:355-525). Feed = update/delete events
-    applied to the orders snapshot."""
+    applied to the orders snapshot. Key-partitioned feed (r16): the
+    last-per-key aggregate AND the full-outer merge join both reuse the
+    pre-explode hash(o_orderkey) exchange — the exploded feed itself is
+    never shuffled."""
     target = load_table(spark, sf_dir, "orders").drop("o_orderdate")
-    feed = cdc_events(spark, sf_dir).filter(F.col("__operation").isin(1, 4))
+    feed = cdc_events(spark, sf_dir, key_partitioned=True).filter(
+        F.col("__operation").isin(1, 4)
+    )
     return replay_merge(target, feed, ["o_orderkey"])
 
 
@@ -590,11 +611,16 @@ def q_stream_drain_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # changes WHAT is drained, only the trigger cadence).
     import pyarrow.parquet as _pq
 
+    # floor (not ceil) the rows-per-trigger so the batch COUNT never drops
+    # below 8 while n_rows >= 8: ceil gave e.g. 9 rows -> batchSize 2 -> 5
+    # batches, quietly weakening the multi-batch offset-planning witness at
+    # tiny feeds (r15 ADVICE). Tiny feeds (n_rows < 8) degrade gracefully to
+    # one row per trigger.
     n_rows = _pq.ParquetFile(path).metadata.num_rows
     stream = (
         spark.readStream.format("cdc_change_feed")
         .option("path", path)
-        .option("batchSize", max(1, -(-n_rows // 8)))
+        .option("batchSize", max(1, n_rows // 8))
         .option("seqColumn", "change_seq")
         .load()
     )
@@ -641,9 +667,18 @@ def q_stream_snapshot_unified_drain(spark: SparkSession, sf_dir: str) -> DataFra
         SnapshotStream,
         unified_feed,
     )
+    from sqlserver_cdc_to_kafka_spark.streaming.windows import parquet_row_count
 
     orders = load_table(spark, sf_dir, "orders")
-    pager = SnapshotStream(orders, ["o_orderkey"], batch_size=5000)
+    # r16 (guide §2 scale-adaptive, the r15 stream-drain batchSize
+    # precedent): page size derives from the table's parquet footer to
+    # target 8 keyset pages at ANY scale — the hard-coded 5000 meant 30
+    # driver-round pages at sf0.1 (each a TakeOrdered job + a cached page)
+    # and would mean millions at 100 TB. The no-dupe/no-gap multi-page
+    # witness holds at every SF; the unified row set is identical by
+    # construction (pagination never changes WHAT is emitted).
+    page_rows = max(1, parquet_row_count(f"{sf_dir}/orders.parquet") // 8)
+    pager = SnapshotStream(orders, ["o_orderkey"], batch_size=page_rows)
     pages = []
     while (p := pager.next_page()) is not None:
         pages.append(p)

@@ -136,6 +136,14 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashpartitioning(src, n_part) and the downstream joins/aggregates plan
     # exchange-free. The count is bounded driver state (one long) — the same
     # in-function action pattern as cdc.py's frontier collect.
+    #
+    # r16 note (VERDICT task 7, examined and left): merging this count into
+    # deg.count() (one materialization job for both caches) was considered
+    # and REJECTED — deg's first action would then be planned while the
+    # edges cache is still an unfinalized AdaptiveSparkPlan, so the deg
+    # aggregate plans a defensive full-edge Exchange INSIDE the
+    # materialization job. One saved driver round is not worth re-shuffling
+    # the edge list (the query's dominant payload) once per run at scale.
     edges.count()
     # deg doubles as the node base (every node appears as a src of the
     # undirected edge list), and the rank vector CARRIES outdeg — one

@@ -400,26 +400,49 @@ def q_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup composition: sub-quadratic LSH candidate
     generation, then EXACT Jaccard verification only on candidates — the
     two stages the sf-scale queries exercise separately, composed. At
-    100 TB the verify stage touches |candidates| pairs, never |docs|²."""
+    100 TB the verify stage touches |candidates| pairs, never |docs|².
+
+    r16 (guide §2.4/§2.3 — this was a frozen bench sentinel, re-pinned this
+    round): the r15 plan scanned `documents` SIX times and ran the shingle
+    explode FOUR times (once per LSH join side, once per verify join side)
+    plus two standalone size projections. Now ONE shingled relation,
+    persisted, feeds everything: the minhash/LSH pass reads it via the
+    ``index`` operator parameter, both exact-verify join sides read it, and
+    the per-doc shingle counts RIDE ALONG through it into the intersection
+    aggregate's grouping key (functionally dependent on the doc ids — the
+    ngram_jaccard r15 pattern), so the two size joins are gone outright.
+    sz = size(word_shingles(text)) is the same expression the old inline
+    projection computed; docs with no shingles never reach `inter` in
+    either form (no index rows, no signature). Identical output at all SFs
+    (oracle-checked).
+
+    Persist contract: the returned plan reads the cache through both verify
+    sides — caller-managed release (the standing lazy-return pattern)."""
     from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
         minhash_lsh_candidate_pairs,
-        shingle_index,
     )
+    from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
 
     docs = _docs(spark, sf_dir)
-    cand = minhash_lsh_candidate_pairs(docs, "doc_id")
-    idx = shingle_index(docs, "doc_id")
-    sizes = docs.select(
-        "doc_id",
-        F.size(F.expr(
-            "transform(array(split(text, ' ')), ws -> CASE WHEN size(ws) >= 3 "
-            "THEN array_distinct(transform(sequence(0, size(ws) - 3), "
-            "i -> concat_ws(' ', slice(ws, i + 1, 3)))) ELSE array() END)[0]"
-        )).alias("sz"),
+    idx = (
+        docs.select("doc_id", word_shingles("text").alias("shingles"))
+        .select(
+            "doc_id",
+            F.size("shingles").alias("sz"),
+            F.explode("shingles").alias("shingle"),
+        )
+        .persist()
     )
-    ia = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    cand = minhash_lsh_candidate_pairs(
+        docs, "doc_id", index=idx.select("doc_id", "shingle")
+    )
+    ia = idx.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
+    )
     ib = idx.select(
-        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
+        F.col("doc_id").alias("doc_b2"),
+        F.col("sz").alias("sz_b"),
+        F.col("shingle").alias("shingle_b"),
     )
     inter = (
         cand.join(ia, "doc_a")
@@ -428,23 +451,16 @@ def q_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_b") == F.col("doc_b2"))
             & (F.col("shingle") == F.col("shingle_b")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.3)
-    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.3)
 
 
 @query(

@@ -51,9 +51,16 @@ def test_pinned_totals():
     # r15 also added q_semdedup's `ev` persist — four consumers read the
     # assignment projection whose k×dim argmin fold is the expensive
     # column (see the pipeline3 rationale).
+    # r16: the two prefix-sum operators moved from the unreleased to the
+    # MIXED set — their empty-input early returns now release the cache
+    # (r15 ADVICE leak fix), so both net to zero and are adjudicated in
+    # MIXED_PERSIST_RELEASE_BY_CONTRACT instead.  r16 also added
+    # q_dedup_two_stage's shingle-index persist (six scans / four shingle
+    # explodes collapsed to one cached relation — see the pipeline2
+    # rationale).
     sites, _ = persist_audit()
-    assert len(sites) == 12
-    assert sum(sites.values()) == 14  # connected_components and pagerank hold two
+    assert len(sites) == 11
+    assert sum(sites.values()) == 13  # connected_components and pagerank hold two
 
 
 def test_every_contract_rationale_is_substantive():
@@ -71,6 +78,8 @@ def test_mixed_persist_release_set_is_pinned():
     # test_unreleased_persists_exactly_match_contract's empty-flags assert —
     # so here we just pin the set so additions are a conscious edit.
     assert set(MIXED_PERSIST_RELEASE_BY_CONTRACT) == {
+        "operators/merge.py:grouped_prefix_sum",
+        "operators/merge.py:global_prefix_sum",
         "operators/selection.py:exact_group_kth",
         "pipeline/components.py:connected_components_star",
         "queries/pipeline6.py:q_coreset_fps",

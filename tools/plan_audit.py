@@ -211,15 +211,6 @@ UNRELEASED_PERSIST_BY_CONTRACT: dict[str, str] = {
         "both returned (clean, corrupt) views re-read the materialized "
         "parse — the documented _corrupt_record pattern requires it"
     ),
-    "operators/merge.py:grouped_prefix_sum": (
-        "the bounds agg, the (group, bucket) totals collect and the "
-        "returned bucketed window plan all read the caller's projection; "
-        "uncached each pass re-derived it from source (r15)"
-    ),
-    "operators/merge.py:global_prefix_sum": (
-        "same three-pass shape as grouped_prefix_sum over the composite-"
-        "order projection; the returned window plan reads the cache (r15)"
-    ),
     "queries/cdc.py:_merged_with_rank": (
         "the frontier collect plus the returned lazy rank plan both read "
         "`merged`"
@@ -233,6 +224,12 @@ UNRELEASED_PERSIST_BY_CONTRACT: dict[str, str] = {
         "recomputes per iteration (the flaky 8 g heap death at sf10); "
         "both are count()-materialized in-function so consumers plan "
         "against the known partitioning"
+    ),
+    "queries/pipeline2.py:q_dedup_two_stage": (
+        "the LSH candidate pass and BOTH exact-verify join sides of the "
+        "returned plan read the persisted shingle index (r16: previously "
+        "six document scans / four shingle explodes per run); lazy-return "
+        "pattern, caller-managed release"
     ),
     "queries/pipeline3.py:incremental_dedup_status": (
         "both the incoming and corpus sides of the returned status union "
@@ -258,6 +255,21 @@ UNRELEASED_PERSIST_BY_CONTRACT: dict[str, str] = {
 # (round-12 ADVICE).  Each mixed function is adjudicated here by reading
 # the release target; an unlisted mixed function is a FLAG.
 MIXED_PERSIST_RELEASE_BY_CONTRACT: dict[str, str] = {
+    "operators/merge.py:grouped_prefix_sum": (
+        "the empty-input early return releases the SAME persisted input "
+        "(nothing downstream reads it — r15 ADVICE leak fix); on the "
+        "normal path the bounds agg, the (group, bucket) totals collect "
+        "and the RETURNED bucketed window plan all read the cache, so "
+        "release there is caller-managed (the r15 rationale: uncached, "
+        "each pass re-derived the caller's projection from source)"
+    ),
+    "operators/merge.py:global_prefix_sum": (
+        "the empty-input early return releases the SAME persisted `d` "
+        "(the returned plan reads the un-persisted original `df` on that "
+        "path — r15 ADVICE leak fix); normal path is the three-pass "
+        "grouped_prefix_sum shape whose returned window plan reads the "
+        "cache — caller-managed release"
+    ),
     "pipeline/components.py:connected_components_star": (
         "the in-loop unpersist releases the SAME per-round edge frame `e` "
         "after its convergence signature is collected; the surviving net "
