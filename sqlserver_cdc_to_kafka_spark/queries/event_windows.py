@@ -222,22 +222,32 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from sqlserver_cdc_to_kafka_spark.streaming.stateful import sessionize_stateful
-    from sqlserver_cdc_to_kafka_spark.streaming.windows import read_events_stream
+    from sqlserver_cdc_to_kafka_spark.streaming.windows import (
+        parquet_row_count,
+        read_events_stream,
+        scoped_shuffle_partitions,
+        state_partitions,
+    )
 
     ev = read_events_stream(spark, sf_dir)
     stream = ev.select("user_id", F.unix_micros("event_time").alias("us"))
     sessions = sessionize_stateful(stream)
     scratch = os.path.join(tempfile.gettempdir(), f"sessdrain_{uuid.uuid4().hex[:12]}")
     outdir = os.path.join(scratch, "out")
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r16: state partitions sized to the feed (see windows.state_partitions)
+    with scoped_shuffle_partitions(
+        spark,
+        state_partitions(spark, parquet_row_count(f"{sf_dir}/events.parquet")),
+    ):
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return drained(spark.read.parquet(outdir), scratch)
 
 
@@ -410,7 +420,12 @@ def q_stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from sqlserver_cdc_to_kafka_spark.streaming.stateful import funnel_stateful
-    from sqlserver_cdc_to_kafka_spark.streaming.windows import read_events_stream
+    from sqlserver_cdc_to_kafka_spark.streaming.windows import (
+        parquet_row_count,
+        read_events_stream,
+        scoped_shuffle_partitions,
+        state_partitions,
+    )
 
     ev = read_events_stream(spark, sf_dir)
     stream = ev.select(
@@ -424,15 +439,20 @@ def q_stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"funneldrain_{uuid.uuid4().hex[:12]}"
     )
     outdir = os.path.join(scratch, "out")
-    q = (
-        completions.writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r16: state partitions sized to the feed (see windows.state_partitions)
+    with scoped_shuffle_partitions(
+        spark,
+        state_partitions(spark, parquet_row_count(f"{sf_dir}/events.parquet")),
+    ):
+        q = (
+            completions.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return drained(
         spark.read.parquet(outdir)
         .groupBy("step")
@@ -470,7 +490,12 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     import tempfile
     import uuid
 
-    from sqlserver_cdc_to_kafka_spark.streaming.windows import read_events_stream
+    from sqlserver_cdc_to_kafka_spark.streaming.windows import (
+        parquet_row_count,
+        read_events_stream,
+        scoped_shuffle_partitions,
+        state_partitions,
+    )
 
     ev = read_events_stream(spark, sf_dir)
     base = ev.select(
@@ -490,15 +515,20 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         tempfile.gettempdir(), f"dedupwm_{uuid.uuid4().hex[:12]}"
     )
     outdir = os.path.join(scratch, "out")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r16: state partitions sized to the feed (see windows.state_partitions)
+    with scoped_shuffle_partitions(
+        spark,
+        state_partitions(spark, parquet_row_count(f"{sf_dir}/events.parquet")),
+    ):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return drained(spark.read.parquet(outdir), scratch)
 
 
@@ -596,7 +626,10 @@ def q_stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         markov_transitions_stateful,
     )
     from sqlserver_cdc_to_kafka_spark.streaming.windows import (
+        parquet_row_count,
         read_events_stream,
+        scoped_shuffle_partitions,
+        state_partitions,
     )
 
     types = tuple(
@@ -622,15 +655,22 @@ def q_stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outdir = os.path.join(scratch, "out")
     try:
-        q = (
-            pairs.writeStream.format("parquet")
-            .option("path", outdir)
-            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # r16: state partitions sized to the feed (windows.state_partitions)
+        with scoped_shuffle_partitions(
+            spark,
+            state_partitions(
+                spark, parquet_row_count(f"{sf_dir}/events.parquet")
+            ),
+        ):
+            q = (
+                pairs.writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         drained = spark.read.parquet(outdir)
         names = spark.createDataFrame(
             [(i, t) for i, t in enumerate(types)], "r long, name string"

@@ -20,7 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import as_event_time
-from sqlserver_cdc_to_kafka_spark.streaming.windows import drained, events_schema
+from sqlserver_cdc_to_kafka_spark.streaming.windows import (
+    drained,
+    events_schema,
+    parquet_row_count,
+    scoped_shuffle_partitions,
+    state_partitions,
+)
 
 
 def _sides(ev, left_type: str, right_type: str):
@@ -97,15 +103,20 @@ def attribution_join_drain(
         F.col("a_id").alias("click_id"),
         F.col("b_id").alias("purchase_id"),
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r16: the symmetric hash join runs FOUR state stores per partition per
+    # micro-batch — size the partition count to the feed (windows.state_partitions)
+    with scoped_shuffle_partitions(
+        spark, state_partitions(spark, parquet_row_count(f"{sf_dir}/events.parquet"))
+    ):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return drained(spark.read.parquet(outdir), scratch)
 
 
@@ -207,15 +218,22 @@ def attribution_join_outer_drain(
         F.col("a_id").alias("click_id"),
         F.col("b_id").alias("purchase_id"),
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", outdir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r16: 4 state stores per partition per micro-batch × 4 batches (real +
+    # 2 sentinel + final) made per-store commit overhead the measured
+    # dominant cost (STREAMPROFILE_r16.json: 10-22 s addBatch on 0-2-row
+    # batches) — size the partition count to the feed
+    with scoped_shuffle_partitions(
+        spark, state_partitions(spark, parquet_row_count(f"{sf_dir}/events.parquet"))
+    ):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.read.parquet(outdir)
     # sentinel rows excluded
     return drained(out.filter(F.col("user_id").isNotNull()), scratch)

@@ -21,6 +21,57 @@ from pyspark.sql import types as T
 from sqlserver_cdc_to_kafka_spark.functions.datetime_fns import as_event_time
 
 
+def state_partitions(
+    spark: SparkSession, n_rows: int, rows_per_partition: int = 25_000, floor: int = 8
+) -> int:
+    """Scale-adaptive state-store partition count for the drain witnesses
+    (r16, from the committed per-micro-batch breakdown in
+    STREAMPROFILE_r16.json).
+
+    A streaming stateful operator runs one state store (the symmetric hash
+    join runs FOUR) per shuffle partition per micro-batch, and every store
+    commit is a delta file + fsync plus a full eviction scan. With the
+    session's 32 shuffle partitions, the two heavy drain witnesses paid
+    128-512 store commits per run while holding a few KB of state per
+    store — measured: batches with 0-2 input rows spent 10-22 s almost
+    entirely in state commit (fsync here costs ~20 ms/file). Partition
+    count now derives from the staged feed's row count (guide §2.2 "fewer,
+    larger partitions" applied to state deltas), floored for parallelism
+    and CAPPED at the session's shuffle partitions, so at scale (rows >>
+    25k x cores) this is a no-op and the cluster default rules. Output is
+    partition-count invariant (pinned by the oracle across SFs and by the
+    check_oracle --shuffle-partitions probes)."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(cap, max(floor, n_rows // rows_per_partition))
+
+
+class scoped_shuffle_partitions:
+    """Set spark.sql.shuffle.partitions around a synchronous streaming
+    drain (the value is read at query START and baked into the checkpoint;
+    both passes of a two-phase drain see the same scoped value) and restore
+    it on exit — the drains run inside shared bench/oracle sessions whose
+    global setting must not drift."""
+
+    def __init__(self, spark: SparkSession, n: int) -> None:
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
+def parquet_row_count(path: str) -> int:
+    """Exact row count from the parquet footer — no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def drained(df: DataFrame, scratch: str) -> DataFrame:
     """Pin a drain result off its scratch files, then remove them.
 
@@ -154,6 +205,9 @@ def windowed_counts_file_sink(
 
     batch = spark.read.parquet(src)
     max_us = batch.select(F.max(epoch_micros(batch, "ts")).alias("m")).collect()[0]["m"]
+    # r16: state partitions sized to the feed (see state_partitions) — both
+    # passes run under the same scoped value (checkpoint-pinned)
+    n_state = state_partitions(spark, parquet_row_count(src))
     # far enough that (sentinel - watermark) > end of every real window
     sentinel_us = (
         (max_us // window_micros + 2) * window_micros + watermark_micros + window_micros
@@ -167,16 +221,17 @@ def windowed_counts_file_sink(
             .parquet(stage)
         )
         events = raw.withColumn("event_time", as_event_time(raw, "ts"))
-        q = (
-            agg_builder(events)
-            .writeStream.format("parquet")
-            .option("path", outdir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with scoped_shuffle_partitions(spark, n_state):
+            q = (
+                agg_builder(events)
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     # phase 1: real events only — runs to completion, committing every real
     # file into the checkpoint's seen-files log
