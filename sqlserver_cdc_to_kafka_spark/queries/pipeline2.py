@@ -402,47 +402,37 @@ def q_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     two stages the sf-scale queries exercise separately, composed. At
     100 TB the verify stage touches |candidates| pairs, never |docs|².
 
-    r16 (guide §2.4/§2.3 — this was a frozen bench sentinel, re-pinned this
-    round): the r15 plan scanned `documents` SIX times and ran the shingle
-    explode FOUR times (once per LSH join side, once per verify join side)
-    plus two standalone size projections. Now ONE shingled relation,
-    persisted, feeds everything: the minhash/LSH pass reads it via the
-    ``index`` operator parameter, both exact-verify join sides read it, and
-    the per-doc shingle counts RIDE ALONG through it into the intersection
-    aggregate's grouping key (functionally dependent on the doc ids — the
-    ngram_jaccard r15 pattern), so the two size joins are gone outright.
-    sz = size(word_shingles(text)) is the same expression the old inline
-    projection computed; docs with no shingles never reach `inter` in
-    either form (no index rows, no signature). Identical output at all SFs
-    (oracle-checked).
-
-    Persist contract: the returned plan reads the cache through both verify
-    sides — caller-managed release (the standing lazy-return pattern)."""
+    r16 (guide §2.4 — this was a frozen bench sentinel, re-pinned this
+    round): the LSH candidate pass now derives its signature subtree ONCE
+    (the SHUFFLE_MERGE ReusedExchange inside minhash_lsh_candidate_pairs)
+    instead of once per self-join side — sf1 same-boot A/B 6.4 -> 6.0 s.
+    The verify tail deliberately KEEPS the r15 shape (intersection count
+    per (doc_a, doc_b), then two broadcast size joins on the tiny candidate
+    table): two measured r16 alternatives REGRESSED at sf1 and were
+    reverted — (a) persisting one shared exploded index (~20M rows at sf1;
+    the deserialized cache write cost more than the streamed re-derivations
+    it saved: 7.5-7.8 s vs 6.4), and (b) carrying per-doc sizes through the
+    verify index into the aggregate grouping key (the ngram_jaccard r15
+    pattern — but HERE the index rides a 20M-row BROADCAST, which the extra
+    column widens, and the grouping key doubles: 8.1-8.5 s vs 6.4). The
+    size expression and output are identical in every variant
+    (oracle-checked at 3 SFs each time)."""
     from sqlserver_cdc_to_kafka_spark.pipeline.dedup import (
         minhash_lsh_candidate_pairs,
     )
     from sqlserver_cdc_to_kafka_spark.pipeline.text import word_shingles
 
+    from sqlserver_cdc_to_kafka_spark.pipeline.dedup import shingle_index
+
     docs = _docs(spark, sf_dir)
-    idx = (
-        docs.select("doc_id", word_shingles("text").alias("shingles"))
-        .select(
-            "doc_id",
-            F.size("shingles").alias("sz"),
-            F.explode("shingles").alias("shingle"),
-        )
-        .persist()
+    cand = minhash_lsh_candidate_pairs(docs, "doc_id")
+    idx = shingle_index(docs, "doc_id")
+    sizes = docs.select(
+        "doc_id", F.size(word_shingles("text")).alias("sz")
     )
-    cand = minhash_lsh_candidate_pairs(
-        docs, "doc_id", index=idx.select("doc_id", "shingle")
-    )
-    ia = idx.select(
-        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
-    )
+    ia = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
     ib = idx.select(
-        F.col("doc_id").alias("doc_b2"),
-        F.col("sz").alias("sz_b"),
-        F.col("shingle").alias("shingle_b"),
+        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
     )
     inter = (
         cand.join(ia, "doc_a")
@@ -451,16 +441,23 @@ def q_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_b") == F.col("doc_b2"))
             & (F.col("shingle") == F.col("shingle_b")),
         )
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    return inter.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= 0.3)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
 
 
 @query(

@@ -54,13 +54,12 @@ def test_pinned_totals():
     # r16: the two prefix-sum operators moved from the unreleased to the
     # MIXED set — their empty-input early returns now release the cache
     # (r15 ADVICE leak fix), so both net to zero and are adjudicated in
-    # MIXED_PERSIST_RELEASE_BY_CONTRACT instead.  r16 also added
-    # q_dedup_two_stage's shingle-index persist (six scans / four shingle
-    # explodes collapsed to one cached relation — see the pipeline2
-    # rationale).
+    # MIXED_PERSIST_RELEASE_BY_CONTRACT instead.  (A r16 shingle-index
+    # persist in q_dedup_two_stage was tried and REVERTED on the sf1 A/B —
+    # the cache write cost more than the streamed re-derivations it saved.)
     sites, _ = persist_audit()
-    assert len(sites) == 11
-    assert sum(sites.values()) == 13  # connected_components and pagerank hold two
+    assert len(sites) == 10
+    assert sum(sites.values()) == 12  # connected_components and pagerank hold two
 
 
 def test_every_contract_rationale_is_substantive():

@@ -225,12 +225,6 @@ UNRELEASED_PERSIST_BY_CONTRACT: dict[str, str] = {
         "both are count()-materialized in-function so consumers plan "
         "against the known partitioning"
     ),
-    "queries/pipeline2.py:q_dedup_two_stage": (
-        "the LSH candidate pass and BOTH exact-verify join sides of the "
-        "returned plan read the persisted shingle index (r16: previously "
-        "six document scans / four shingle explodes per run); lazy-return "
-        "pattern, caller-managed release"
-    ),
     "queries/pipeline3.py:incremental_dedup_status": (
         "both the incoming and corpus sides of the returned status union "
         "read the fingerprint/shingle base"
