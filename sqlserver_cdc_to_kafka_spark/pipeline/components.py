@@ -48,12 +48,17 @@ def connected_components(
     # tracks spark.sql.shuffle.partitions — scale-adaptive, not a local
     # constant.
     n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # repartition BEFORE distinct (r16, guide §2.4): hashpartitioning(src)
+    # satisfies the distinct's ClusteredDistribution((src, dst)) — subset of
+    # the keys — so the dedup aggregate runs ON the alignment exchange and
+    # keeps its partitioning, where distinct-then-repartition paid TWO
+    # full-edge exchanges to materialize the same cache.
     adj = (
         fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .repartition(n_part, "src")
+        .distinct()
         .cache()
     )
     adj.count()

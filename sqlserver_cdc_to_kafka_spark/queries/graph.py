@@ -90,13 +90,9 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `% 2` and `div 2`, which truncate toward zero, so a negative odd
     # encoding (-5 % 2 = -1, -5 div 2 = -2) would mislabel and mis-decode.
     # TPC-H keys are 1-based; a signed-key source needs pmod/floor-div here.
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .distinct()
+    pairs = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("c_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("s_node"),
     )
     # Caller-managed cache (the documented lazy-return persist pattern, same
     # as cdc.py / similarity.py): the function returns a LAZY plan whose
@@ -118,6 +114,14 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange (guide §2.4 "two operations keyed the same way share one
     # exchange"); the repartition count tracks spark.sql.shuffle.partitions,
     # so the alignment is scale-adaptive, not a local[32] constant.
+    # r16 (guide §2.4): the pair dedup moved from a standalone
+    # distinct-before-union (its own full exchange on (c, s)) to a distinct
+    # ON the alignment exchange — hashpartitioning(src) satisfies the
+    # dedup's ClusteredDistribution((src, dst)) (subset of the keys), so the
+    # aggregate adds NO exchange and the cache keeps hash(src). Same edge
+    # set: symmetrize-then-dedup ≡ dedup-then-symmetrize (the two directions
+    # are distinct rows either way). One full-pair exchange removed from the
+    # materialization job.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
@@ -125,6 +129,7 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
         )
         .repartition(n_part, "src")
+        .distinct()
         .persist()
     )
     # MATERIALIZE the cache before building the consumers: an unmaterialized
