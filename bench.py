@@ -25,17 +25,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # both boot-to-boot CPU variance and ambient load AT BENCH TIME, so a
 # BENCH_r*.json adjudicates itself instead of needing an after-the-fact
 # BENCHNOTE/BENCHBAND archaeology session (the r11/r12 recurring dispute).
-# Pinned values: BENCH_r13_local.json's host_sentinels — measured IN
-# SENTINEL POSITION (right after the two minimal warmups) on a clean
-# session at loadavg 0.57, so measured/pinned compares like-for-like
-# (round-13 ADVICE: the r11 pins came from the headline loop with the JVM
-# fully warm, conflating session warmth with host speed; factors from
-# rounds <=13 are not directly comparable).  Plans frozen since r5/r10/r8
-# per PLANSCAN row history.  Only meaningful at the default sf0.1 scale —
-# at other SF dirs the factor is emitted as null.
+# Pin provenance:
+# - val_topic_summary: UNCHANGED since the r13 re-pin (BENCH_r13_local.json
+#   host_sentinels, sentinel position, clean session at loadavg 0.57) — its
+#   plan has been byte-frozen throughout and it is the CONTINUITY ANCHOR
+#   across the r16 discontinuity below.
+# - cdc_ordered_merge / dedup_two_stage: RE-PINNED in r16 (round-15 VERDICT
+#   task 1 — the freeze was costing real bench headroom, so both queries
+#   were optimized this round and their plans are frozen anew from here).
+#   New pins = the BENCH_r16_local.json sentinel-position measurements
+#   (2.292 / 2.324 at val-ratio 1.086/1.025 = 1.0595) NORMALIZED to the r13
+#   reference session via the val anchor (2.292/1.0595 = 2.163,
+#   2.324/1.0595 = 2.194), so all three pins still describe the same
+#   reference host speed.  host_factor values from r13-r15 and from r16+
+#   remain mutually comparable through the val anchor; the per-sentinel
+#   RATIOS for the two re-pinned queries are NOT comparable across the
+#   r15->r16 boundary (their plans changed — see BENCHBAND_r16.json).
+# Measured in sentinel position (right after the two minimal warmups),
+# best-of-2.  Only meaningful at the default sf0.1 scale — at other SF
+# dirs the factor is emitted as null.
 _SENTINELS_SF01 = {
-    "cdc_ordered_merge": 2.041,
-    "dedup_two_stage": 2.220,
+    "cdc_ordered_merge": 2.163,
+    "dedup_two_stage": 2.194,
     "val_topic_summary": 1.025,
 }
 
